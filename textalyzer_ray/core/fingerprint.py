@@ -1,0 +1,156 @@
+"""Deterministic hashing / sketching primitives for dedup & fingerprinting.
+
+Pure NumPy/stdlib (process-independent, seed-fixed — safe to compute on any
+worker and compare across runs):
+
+- ``stable_hash_u64``: blake2b-based 64-bit content hash (NOT Python's
+  salted ``hash()``).
+- ``shingles``: word k-grams.
+- ``minhash_signature`` + ``lsh_band_keys``: MinHash/LSH near-dup keys
+  (Broder '97 / Mining of Massive Datasets band technique).
+- ``simhash64``: Charikar SimHash over token counts.
+- ``winnowed_fingerprints``: rolling Karp-Rabin + winnowing (Schleimer et
+  al. '03) document fingerprints.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_MAXU64 = (1 << 64) - 1
+
+
+def stable_hash_u64(data: bytes | str) -> int:
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
+def stable_hash_hex(data: bytes | str) -> str:
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return hashlib.blake2b(data, digest_size=16).hexdigest()
+
+
+def shingles(tokens: list[str], k: int) -> list[str]:
+    """Word k-grams joined with a space; shorter docs yield one shingle of
+    all tokens (so every non-empty doc has at least one)."""
+    if not tokens:
+        return []
+    if len(tokens) <= k:
+        return [" ".join(tokens)]
+    return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+
+
+def _shingle_hashes(sh: list[str]) -> np.ndarray:
+    """crc32(lo) << 32 | crc32(reversed) — cheap, deterministic u64 per
+    shingle, adequate spread for MinHash bases."""
+    out = np.empty(len(sh), dtype=np.uint64)
+    for i, s in enumerate(sh):
+        b = s.encode("utf-8")
+        out[i] = (zlib.crc32(b) << 32) | zlib.crc32(b[::-1])
+    return out
+
+
+def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(
+    tokens: list[str], k: int, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]); empty docs -> all MAXU64."""
+    sh = shingles(tokens, k)
+    if not sh:
+        return np.full(len(a), _MAXU64, dtype=np.uint64)
+    base = _shingle_hashes(sh)  # (S,)
+    # (P, S) universal hash in uint64 modular arithmetic (wraparound is
+    # fine for min-selection as long as it is deterministic).
+    vals = (a[:, None] * base[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def lsh_band_keys(signature: np.ndarray, bands: int) -> list[tuple[int, int]]:
+    """Split the signature into ``bands`` equal bands; key = (band_id,
+    blake2b of the band bytes). Docs sharing any band key are candidates."""
+    rows = len(signature) // bands
+    keys = []
+    for band in range(bands):
+        chunk = signature[band * rows : (band + 1) * rows]
+        keys.append((band, stable_hash_u64(chunk.tobytes())))
+    return keys
+
+
+def jaccard(tokens_a: list[str], tokens_b: list[str], k: int) -> float:
+    sa, sb = set(shingles(tokens_a, k)), set(shingles(tokens_b, k))
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def simhash64(token_counts: dict[str, int]) -> int:
+    """Charikar SimHash: per-token 64-bit hash, count-weighted bit votes."""
+    if not token_counts:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok, cnt in token_counts.items():
+        h = stable_hash_u64(tok)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), cnt, -cnt)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(x: int, y: int) -> int:
+    return bin(x ^ y).count("1")
+
+
+def winnowed_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Winnowing fingerprints: rolling k-byte Karp-Rabin hashes, take the
+    min of each sliding window of ``window`` hashes (rightmost min on
+    ties), dedup consecutive picks. Deterministic document fingerprint."""
+    data = text.encode("utf-8")
+    n = len(data)
+    if n == 0:
+        return []
+    if n <= k:
+        return [stable_hash_u64(data)]
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    base = np.uint64(1_000_003)
+    # rolling polynomial hash of every k-byte window, vectorized via cumsum
+    # over base powers is numerically unstable in uint64 wraparound terms —
+    # use the standard O(n) rolling loop in numpy-chunked form instead.
+    hashes = np.empty(n - k + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # intentional uint64 wraparound
+        h = np.uint64(0)
+        top = base ** np.uint64(k - 1)
+        for i in range(k):
+            h = h * base + arr[i]
+        hashes[0] = h
+        for i in range(1, n - k + 1):
+            h = (h - arr[i - 1] * top) * base + arr[i + k - 1]
+            hashes[i] = h
+    if len(hashes) <= window:
+        return [int(hashes.min())]
+    # sliding-window minimum via stride tricks
+    sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    mins = sw.min(axis=1)
+    out: list[int] = []
+    prev = None
+    for m in mins:
+        if prev is None or m != prev:
+            out.append(int(m))
+            prev = m
+    return out
