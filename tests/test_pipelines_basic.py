@@ -1,0 +1,164 @@
+"""Ray pipeline tests: word histogram, line length, extraction,
+analytics — each checked against the pure-Python oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from textalyzer_ray.core.textmetrics import (
+    display_width,
+    frequency_map,
+    split_lines,
+    tokenize,
+)
+from textalyzer_ray.pipelines.analytics import (
+    events_tumbling_window,
+    lang_rollup,
+    token_counts,
+    top_k_longest,
+)
+from textalyzer_ray.pipelines.extraction import drop_stats, extract_pages, page_metrics
+from textalyzer_ray.pipelines.frequency import word_histogram, word_histogram_by_lang
+from textalyzer_ray.pipelines.line_length import line_length_histogram
+from textalyzer_ray.sources.webgen import synth_corpus
+
+pytestmark = pytest.mark.usefixtures("quiet_data_context")
+
+DOCS = [
+    "This test is a test to test the frequency map.",
+    "Hello World! A warm welcome to the world.",
+    "line one here\nline two follows\n\nfinal line",
+    "",
+    "你好 世界 你好",
+]
+
+
+def docs_ds():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(range(len(DOCS))),
+                "text": DOCS,
+                "lang": ["en", "en", "en", "en", "zh"],
+                "n_chars": [len(t) for t in DOCS],
+            }
+        )
+    )
+
+
+def oracle_histogram(texts):
+    freq = {}
+    for t in texts:
+        for w, c in frequency_map(t).items():
+            freq[w] = freq.get(w, 0) + c
+    return sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+class TestWordHistogram:
+    def test_matches_oracle_and_order(self):
+        rows = word_histogram(docs_ds()).take_all()
+        got = [(r["word"], r["count"]) for r in rows]
+        assert got == oracle_histogram(DOCS)
+
+    def test_salted_same_result(self):
+        plain = word_histogram(docs_ds()).take_all()
+        salted = word_histogram(docs_ds(), salted=True).take_all()
+        assert [(r["word"], r["count"]) for r in plain] == [
+            (r["word"], r["count"]) for r in salted
+        ]
+
+    def test_by_lang(self):
+        rows = word_histogram_by_lang(docs_ds()).take_all()
+        zh = [(r["word"], r["count"]) for r in rows if r["lang"] == "zh"]
+        assert zh == [("你好", 2), ("世界", 1)]
+
+
+class TestLineLength:
+    def test_matches_oracle(self):
+        rows = line_length_histogram(docs_ds()).take_all()
+        got = {r["length"]: r["count"] for r in rows}
+        expected = {}
+        for t in DOCS:
+            for line in split_lines(t):
+                w = display_width(line)
+                expected[w] = expected.get(w, 0) + 1
+        assert got == expected
+        lengths = [r["length"] for r in rows]
+        assert lengths == sorted(lengths)  # O5 ascending order
+
+    def test_reference_vector(self):
+        ds = rd.from_items(
+            [{"text": "line1\nline22\n"}, {"text": "line1\nline333\n"}]
+        )
+        rows = line_length_histogram(ds).take_all()
+        assert {r["length"]: r["count"] for r in rows} == {5: 2, 6: 1, 7: 1}
+
+
+class TestExtraction:
+    def test_byte_identical_and_drop_counters(self):
+        tbl = synth_corpus(40, seed=11, invalid_every=8)
+        ds = rd.from_arrow(tbl)
+        out = extract_pages(ds, keep_only_valid=False, concurrency=2)
+        stats = drop_stats(out)
+        assert stats.get("binary", 0) + stats.get("invalid_utf8", 0) == 5
+        ok_rows = extract_pages(ds, concurrency=2).take_all()
+        expected = {
+            u: t for u, t in zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()) if t
+        }
+        assert len(ok_rows) == len(expected)
+        for r in ok_rows:
+            assert r["text"] == expected[r["url"]]  # byte-identical per url
+
+    def test_page_metrics_schema(self):
+        ds = rd.from_arrow(synth_corpus(10, seed=2))
+        rows = page_metrics(ds, concurrency=2).take_all()
+        assert len(rows) == 10
+        r = rows[0]
+        for col in (
+            "url",
+            "text",
+            "n_words",
+            "n_syllables",
+            "flesch_reading_ease",
+            "n_tokens",
+            "quality_score",
+        ):
+            assert col in r
+        assert r["n_words"] == r["n_tokens"] == len(r["text"].split())
+
+
+class TestAnalytics:
+    def test_lang_rollup(self):
+        rows = lang_rollup(docs_ds()).take_all()
+        en = next(r for r in rows if r["lang"] == "en")
+        assert en["n_docs"] == 4
+        assert en["total_chars"] == sum(len(t) for t in DOCS[:4])
+
+    def test_top_k(self):
+        rows = top_k_longest(docs_ds(), k=2).take_all()
+        assert [r["doc_id"] for r in rows] == [0, 2]
+
+    def test_token_counts(self):
+        rows = token_counts(docs_ds()).take_all()
+        got = {r["doc_id"]: r["n_tokens"] for r in rows}
+        assert got == {i: len(tokenize(t)) for i, t in enumerate(DOCS)}
+
+    def test_events_window(self):
+        base = 1_577_836_800_000_000  # 2020-01-01T00:00:00 in epoch-us
+        ts = [base + i * 20 * 60 * 1_000_000 for i in range(12)]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "event_type": ["a", "b"] * 6,
+                    "value": [float(i) for i in range(12)],
+                }
+            )
+        )
+        rows = events_tumbling_window(ds, window_s=3600).take_all()
+        # 12 events over 4h, 2 types x alternating -> type a in hours 0..3
+        a_rows = [r for r in rows if r["event_type"] == "a"]
+        assert sum(r["n_events"] for r in a_rows) == 6
+        assert len(a_rows) == 4

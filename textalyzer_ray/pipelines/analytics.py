@@ -1,0 +1,120 @@
+"""Corpus analytics pipelines: rollups, top-k, windowed aggregates.
+
+These generalize the reference's "collect + sort + render" outputs
+(SURVEY.md §2.6: the reference prints everything; at corpus scale we add
+sort+limit) and add the stream-shaped windowed aggregate over the
+``events`` table (Ray Data has no event-time windows; a tumbling window
+is a derived-key groupby — ray_guide "Streaming-shaped workloads").
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from textalyzer_ray.stages.tokenize import doc_token_counts
+
+
+def lang_rollup(ds_docs: Dataset) -> Dataset:
+    """documents -> (lang, n_docs, total_chars, avg_chars) sorted by lang."""
+    return (
+        ds_docs.select_columns(["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Mean("n_chars", alias_name="avg_chars"),
+        )
+        .sort("lang")
+    )
+
+
+def source_rollup(ds_docs: Dataset) -> Dataset:
+    """documents -> per-source doc counts + char extremes."""
+    return (
+        ds_docs.select_columns(["source", "n_chars"])
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+        .sort("source")
+    )
+
+
+def top_k_longest(ds_docs: Dataset, k: int = 100) -> Dataset:
+    """Sort + limit (deterministic tie-break on doc_id)."""
+    return (
+        ds_docs.select_columns(["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def token_counts(ds_docs: Dataset) -> Dataset:
+    """(doc_id, n_tokens) per document — vectorized Arrow kernel."""
+    return ds_docs.map_batches(
+        lambda t: doc_token_counts(t, "doc_id", "text"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def events_tumbling_window(
+    ds_events: Dataset, window_s: int = 3600
+) -> Dataset:
+    """events(ts, event_type, value) -> per (event_type, window_start)
+    count + sum(value). Tumbling event-time window as a derived-key
+    groupby: window_start = floor(epoch_us / window) * window."""
+    win_us = window_s * 1_000_000
+
+    def add_window(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())
+        start = pc.multiply(pc.divide(epoch, win_us), win_us)  # int floor-div
+        return t.append_column("window_start", pc.cast(start, pa.timestamp("us")))
+
+    return (
+        ds_events.select_columns(["ts", "event_type", "value"])
+        .map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .sort(["event_type", "window_start"])
+    )
+
+
+def user_sessionize(
+    ds_events: Dataset, gap_s: int = 1800
+) -> Dataset:
+    """Session windows per user: events sorted by ts within each user
+    group; a gap > gap_s starts a new session. Returns per-session
+    (user_id, session_id, n_events, start_ts, end_ts).
+
+    Partitioning assumption: one user's events fit one group (true for
+    web-scale user activity; hot synthetic users would need salting by
+    day first).
+    """
+    import pandas as pd
+
+    gap_us = gap_s * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].astype("int64")
+        new_session = (ts.diff().fillna(gap_us + 1) > gap_us).cumsum()
+        out = g.assign(_sess=new_session).groupby("_sess").agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "count"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+        )
+        out["session_id"] = range(len(out))
+        return out.reset_index(drop=True)
+
+    return (
+        ds_events.select_columns(["user_id", "event_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )

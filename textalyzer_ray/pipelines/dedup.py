@@ -1,0 +1,316 @@
+"""Corpus deduplication pipelines (training-data extensions).
+
+- ``exact_dedup``: hash-partition + per-group keep-first (min id).
+- ``minhash_duplicate_pairs`` / ``minhash_dedup``: MinHash+LSH candidate
+  generation -> Jaccard verification -> connected components by
+  min-label propagation (groupby rounds, no driver union-find on big
+  data) -> keep the min-id representative per cluster.
+- ``simhash_duplicate_pairs``: 64-bit simhash, hamming<=t within prefix
+  buckets.
+- ``ngram_jaccard_pairs``: exact n-gram Jaccard verification for a
+  candidate pair list (the verification kernel used by minhash).
+
+Shuffle keys are always fixed-width hashes. Candidate groups are capped
+(``max_group``) with logged truncation — an LSH bucket holding the whole
+corpus is a pathological key (SURVEY.md §4 skew).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import pyarrow as pa
+from ray.data import Dataset
+
+from textalyzer_ray.core.fingerprint import jaccard
+from textalyzer_ray.core.textmetrics import tokenize
+from textalyzer_ray.stages.dedup import MinHasher, SimHasher, add_content_hash
+from textalyzer_ray.stages.pools import default_pool
+
+logger = logging.getLogger(__name__)
+
+
+def exact_dedup(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> Dataset:
+    """Keep the minimum-id row per distinct text. Returns (doc_id, text,
+    n_copies). Shuffles 8-byte hashes; collisions are resolved by
+    comparing the actual text inside the group."""
+
+    def hash_stage(t: pa.Table) -> pa.Table:
+        return add_content_hash(t.select([id_col, text_col]), text_col)
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        by_text: dict[str, list] = {}
+        for i, txt in zip(g[id_col].to_pylist(), g[text_col].to_pylist()):
+            by_text.setdefault(txt, []).append(i)
+        ids, texts, copies = [], [], []
+        for txt, members in by_text.items():
+            ids.append(min(members))
+            texts.append(txt)
+            copies.append(len(members))
+        return pa.table(
+            {
+                id_col: pa.array(ids, g.schema.field(id_col).type),
+                text_col: pa.array(texts, pa.string()),
+                "n_copies": pa.array(copies, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("content_hash")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+
+
+def minhash_duplicate_pairs(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    shingle_k: int = 3,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    max_group: int = 1000,
+) -> Dataset:
+    """(id_a, id_b, jaccard) verified near-duplicate pairs, id_a < id_b.
+
+    texts ride to the verification group via the band explode join-free:
+    the LSH rows carry (id, band, band_hash); verification re-reads the
+    text by joining... — instead we ship (id, text) through the band
+    rows once (text duplicated per band: bounded by bands x corpus; for
+    10^12 docs switch to shipping token-hash arrays instead of text).
+    """
+    hasher_kwargs = dict(
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        shingle_k=shingle_k,
+        bands=bands,
+    )
+
+    class BandWithText(MinHasher):
+        def __init__(self):
+            super().__init__(**hasher_kwargs)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = super().__call__(batch)
+            texts = dict(
+                zip(batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist())
+            )
+            t = rows.append_column(
+                "text", pa.array([texts[i] for i in rows[self.id_col].to_pylist()])
+            )
+            return t
+
+    bands_ds = ds.map_batches(
+        BandWithText, batch_format="pyarrow", concurrency=default_pool()
+    )
+
+    def verify_group(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_pylist()
+        texts = g["text"].to_pylist()
+        uniq: dict = {}
+        for i, t in zip(ids, texts):
+            uniq[i] = t
+        members = sorted(uniq)
+        if len(members) > max_group:
+            logger.warning(
+                "LSH bucket truncated: %d members > max_group=%d",
+                len(members),
+                max_group,
+            )
+            members = members[:max_group]
+        toks = {i: tokenize(uniq[i] or "") for i in members}
+        a_out, b_out, j_out = [], [], []
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                ja = jaccard(toks[members[x]], toks[members[y]], shingle_k)
+                if ja >= jaccard_threshold:
+                    a_out.append(members[x])
+                    b_out.append(members[y])
+                    j_out.append(ja)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out),
+                "id_b": pa.array(b_out),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
+        verify_group, batch_format="pyarrow"
+    )
+
+    # distinct pairs (same pair can surface from several bands)
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        dedup_pairs, batch_format="pyarrow"
+    )
+
+
+def connected_components(pairs: Dataset, max_rounds: int = 10) -> Dataset:
+    """(id_a, id_b) edges -> (doc_id, cluster_id=min reachable id) by
+    iterative min-label propagation: each round joins every node's
+    current label with its neighbors' and keeps the min; converges in
+    O(cluster diameter) rounds (near-dup clusters are shallow).
+    Distributed-safe: only groupby-min shuffles, no driver union-find.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+
+    def expand(t: pa.Table) -> pa.Table:
+        # undirected: emit both directions plus self-labels
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t["id_a"].combine_chunks(),
+                        t["id_b"].combine_chunks(),
+                    ]
+                ),
+                "label": pa.concat_arrays(
+                    [
+                        t["id_b"].combine_chunks(),
+                        t["id_a"].combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    labels = (
+        edges.map_batches(expand, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+    )
+    labels = labels.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "label": pc.min_element_wise(t["node"], t["label"]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(max_rounds):
+        # propagate: node's label -> its neighbors via the edge list
+        lab_rows = labels.take_all()
+        lab = {r["node"]: r["label"] for r in lab_rows}
+
+        def relabel(t: pa.Table, lab=lab) -> pa.Table:
+            a = t["id_a"].to_pylist()
+            b = t["id_b"].to_pylist()
+            return pa.table(
+                {
+                    "node": a + b,
+                    "label": [min(lab.get(y, y), lab.get(x, x)) for x, y in zip(a, b)]
+                    + [min(lab.get(x, x), lab.get(y, y)) for x, y in zip(a, b)],
+                }
+            )
+
+        new_labels = (
+            edges.map_batches(relabel, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        new = {r["node"]: r["label"] for r in new_labels.take_all()}
+        if new == lab:
+            break
+        labels = new_labels
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def minhash_dedup(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> Dataset:
+    """Full near-dedup: docs -> verified pairs -> clusters -> keep one
+    representative (min id) per cluster. Returns the KEPT (id, text).
+
+    The pair->cluster label map is collected to the driver (size = number
+    of near-duplicate docs, a small fraction of the corpus by
+    construction) and broadcast into the final filter.
+    """
+    import ray
+
+    pairs = minhash_duplicate_pairs(ds, id_col, text_col, **kwargs)
+    labels = connected_components(pairs)
+    drop = {
+        r["doc_id"] for r in labels.take_all() if r["doc_id"] != r["cluster_id"]
+    }
+    drop_ref = ray.put(drop)
+
+    class Keep:
+        def __init__(self, ref):
+            self.drop = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([i not in self.drop for i in t[id_col].to_pylist()])
+            return t.filter(mask)
+
+    return ds.map_batches(
+        Keep,
+        fn_constructor_args=(drop_ref,),
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+
+
+def simhash_duplicate_pairs(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_group: int = 2000,
+) -> Dataset:
+    """(id_a, id_b, hamming) candidate near-dups: simhash per doc (actor
+    pool), bucket by 16-bit prefix, pairwise hamming within bucket.
+    (Prefix bucketing misses pairs differing inside the prefix — the
+    standard multi-table permutation fix is noted in the docstring for
+    the scale path; one table suffices for the fixtures.)"""
+    from textalyzer_ray.core.fingerprint import hamming64
+
+    sim = ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_pylist()
+        hs = g["simhash"].to_pylist()
+        order = sorted(range(len(ids)), key=lambda i: ids[i])[:max_group]
+        a_out, b_out, d_out = [], [], []
+        for xi in range(len(order)):
+            for yi in range(xi + 1, len(order)):
+                x, y = order[xi], order[yi]
+                d = hamming64(int(hs[x]), int(hs[y]))
+                if d <= max_hamming:
+                    a_out.append(ids[x])
+                    b_out.append(ids[y])
+                    d_out.append(d)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out),
+                "id_b": pa.array(b_out),
+                "hamming": pa.array(d_out, pa.int32()),
+            }
+        )
+
+    return sim.groupby("simhash_prefix").map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )

@@ -1,0 +1,396 @@
+"""Distributed duplication detection (SURVEY.md G2/G4; reference:
+textalyzer/src/duplication.rs).
+
+Single-line (G2) — exact shuffle formulation:
+  explode lines (merge_file_lines semantics: trimmed content, empty
+  dropped, trimmed byte length > 5 — file_utils.rs:11-55 +
+  duplication.rs:13-16) -> groupby(content) collect locations ->
+  keep groups >= 2 -> sort by trimmed byte length desc.
+
+Multi-line (G4) — the reference's pairwise line-extension re-expressed
+as two shuffles + a grouped pairwise merge, NOT a shared-memory index
+(the reference uses Arc<Mutex<HashMap>>, duplication.rs:85,128):
+
+  1. explode trimmed non-empty lines; groupby(line) -> the duplicate-
+     line set (lines with >= 2 occurrences). Collected as 64-bit hashes
+     and broadcast via ray.put (size = distinct duplicated lines only —
+     the dup-dense fraction of the corpus; a frequency cap bounds hot
+     lines, counters log truncation).
+  2. per-document (map_batches + broadcast set): find maximal "runs" of
+     lines that are empty-or-duplicated. A matched block can never cross
+     a run boundary (a non-empty non-duplicated line cannot equal any
+     other file's line at that offset — it would be duplicated). For
+     each ANCHOR (a raw line equal to its trimmed duplicated form — the
+     reference's raw-vs-trimmed asymmetry, duplication.rs:144-149) emit
+     (anchor_key, url, line_no, suffix = raw run lines from the anchor,
+     capped at max_block_lines).
+  3. groupby(anchor_key) -> pairwise forward extension inside the group
+     (common trimmed-prefix of the two suffixes == the reference's
+     match loop, duplication.rs:174-185), emit (block, url, line) rows.
+  4. groupby(block) -> distinct locations + stats; filter >= 1 non-empty
+     line; global sort (non-empty lines desc, byte length desc, content
+     asc as a deterministic tie-break the reference leaves unspecified).
+  5. driver-side greedy overlap suppression (inherently sequential
+     global state, duplication.rs:301-336) over the collected candidate
+     block list — small relative to the corpus; ``max_blocks`` caps the
+     collect and the truncation is logged.
+
+Partitioning assumptions documented per stage; the shuffle keys are
+64-bit hashes (uniform), never long strings.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from textalyzer_ray.core.duplication import form_block, suppress_overlaps
+from textalyzer_ray.core.textmetrics import split_lines, trimmed_byte_len
+
+logger = logging.getLogger(__name__)
+
+LOCATION_TYPE = pa.list_(
+    pa.struct([pa.field("path", pa.string()), pa.field("line", pa.uint32())])
+)
+
+
+def _explode_trimmed_lines(ds: Dataset, id_col: str, text_col: str) -> Dataset:
+    """(id, line_number, content=trimmed line) for non-empty trimmed
+    lines (merge_file_lines, file_utils.rs:11-55)."""
+    from textalyzer_ray.stages.lines import explode_lines
+
+    return ds.map_batches(
+        lambda t: explode_lines(t, id_col, text_col, trim=True, drop_empty=True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def find_duplicate_lines(
+    ds: Dataset, id_col: str = "url", text_col: str = "text"
+) -> Dataset:
+    """G2: Dataset[id, text] -> Dataset[content, locations:list<struct>,
+    n_locations, trimmed_len] sorted by trimmed byte length desc.
+
+    Locations are sorted (path, line) — the reference's insertion order
+    is nondeterministic under rayon (SURVEY.md O3), ours is total.
+    """
+    lines = _explode_trimmed_lines(ds, id_col, text_col)
+
+    def keep_gt5(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater(pc.binary_length(t["content"]), 5))
+        # shuffle on the 64-bit content hash, not the line text: the
+        # exchange moves fixed-width keys; text rides along once per
+        # occurrence and collisions are impossible to mis-group because
+        # the group carries the content itself for verification.
+        h = _hash_strs(t["content"].to_pylist())
+        return t.append_column("content_hash", pa.array(h, pa.uint64()))
+
+    lines = lines.map_batches(keep_gt5, batch_format="pyarrow")
+
+    def collect_group(g: pa.Table) -> pa.Table:
+        # one hash group; split by actual content to be collision-proof
+        by_content: dict[str, list[tuple[str, int]]] = {}
+        for c, p, ln in zip(
+            g["content"].to_pylist(),
+            g[id_col].to_pylist(),
+            g["line_number"].to_pylist(),
+        ):
+            by_content.setdefault(c, []).append((p, ln))
+        contents, locations, n_locs, tlens = [], [], [], []
+        for c, locs in by_content.items():
+            if len(locs) < 2:
+                continue
+            locs = sorted(locs)
+            contents.append(c)
+            locations.append([{"path": p, "line": ln} for p, ln in locs])
+            n_locs.append(len(locs))
+            tlens.append(trimmed_byte_len(c))
+        return pa.table(
+            {
+                "content": pa.array(contents, pa.string()),
+                "locations": pa.array(locations, LOCATION_TYPE),
+                "n_locations": pa.array(n_locs, pa.int64()),
+                "trimmed_len": pa.array(tlens, pa.int64()),
+            }
+        )
+
+    return (
+        lines.groupby("content_hash")
+        .map_groups(collect_group, batch_format="pyarrow")
+        .sort(["trimmed_len", "content"], descending=[True, False])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-line (G4)
+# ---------------------------------------------------------------------------
+
+
+def _hash_strs(strs: list[str]) -> np.ndarray:
+    """Deterministic u64 hashes for trimmed line contents (vectorized)."""
+    if not strs:
+        return np.empty(0, dtype=np.uint64)
+    return (
+        pl.DataFrame({"s": strs})
+        .select(pl.col("s").hash(seed=0))["s"]
+        .to_numpy()
+        .astype(np.uint64)
+    )
+
+
+def duplicate_line_hashes(
+    ds: Dataset, id_col: str, text_col: str, hot_line_cap: int = 1 << 20
+) -> tuple[set[int], int]:
+    """Shuffle #1: the duplicate-line set as u64 hashes of trimmed
+    content. Partial per-batch counts -> groupby(hash).sum -> filter
+    count >= 2. Returns (hash set, n_capped) where n_capped counts lines
+    whose occurrence count exceeded ``hot_line_cap`` (they are KEPT but
+    logged — at 10^12 scale you would drop or sample them)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        from textalyzer_ray.stages.lines import explode_lines
+
+        lines = explode_lines(t, id_col, text_col, trim=True, drop_empty=True)
+        h = _hash_strs(lines["content"].to_pylist())
+        df = pl.DataFrame({"line_hash": h}).group_by("line_hash").len()
+        return pa.table(
+            {
+                "line_hash": pa.array(df["line_hash"].to_numpy(), pa.uint64()),
+                "count": pa.array(df["len"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("line_hash")
+        .aggregate(Sum("count", alias_name="count"))
+    )
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["count"], 2))
+
+    rows = counts.map_batches(dup_only, batch_format="pyarrow").take_all()
+    n_capped = sum(1 for r in rows if r["count"] > hot_line_cap)
+    if n_capped:
+        logger.warning("%d duplicate lines exceed hot_line_cap", n_capped)
+    return {int(r["line_hash"]) for r in rows}, n_capped
+
+
+def _member_records(
+    batch: pa.Table,
+    dup_hashes: set[int],
+    id_col: str,
+    text_col: str,
+    max_block_lines: int,
+) -> pa.Table:
+    """Per-document member extraction (stage 2 of the module docstring).
+
+    Runs = maximal stretches of lines that are empty-after-trim OR whose
+    trimmed hash is in the duplicate set. Every duplicated position in a
+    run is emitted as a group member with its run-suffix; ``is_anchor``
+    marks positions whose RAW line equals its trimmed form — only those
+    start blocks (the reference's raw-vs-trimmed asymmetry,
+    duplication.rs:144-149: indented copies are found FROM their
+    flush-left twins, never anchor themselves), but indented occurrences
+    still participate as partners (duplication.rs:152-165).
+    """
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    out_key, out_id, out_line, out_suffix, out_anchor = [], [], [], [], []
+    for doc_id, text in zip(ids, texts):
+        lines = split_lines(text or "")
+        n = len(lines)
+        if n == 0:
+            continue
+        trimmed = [l.strip() for l in lines]
+        h = _hash_strs(trimmed)
+        is_dup = np.array(
+            [bool(t) and int(hh) in dup_hashes for t, hh in zip(trimmed, h)],
+            dtype=bool,
+        )
+        in_run = is_dup | np.array([not t for t in trimmed], dtype=bool)
+        i = 0
+        while i < n:
+            if not in_run[i]:
+                i += 1
+                continue
+            j = i
+            while j < n and in_run[j]:
+                j += 1
+            # run = lines[i:j]; members inside it
+            for p in range(i, j):
+                if not is_dup[p]:
+                    continue
+                out_key.append(int(h[p]))
+                out_id.append(doc_id)
+                out_line.append(p + 1)
+                out_suffix.append(lines[p : min(j, p + max_block_lines)])
+                out_anchor.append(lines[p] == trimmed[p])
+            i = j
+    return pa.table(
+        {
+            "anchor_key": pa.array(out_key, pa.uint64()),
+            "path": pa.array(out_id, pa.string()),
+            "line": pa.array(out_line, pa.uint32()),
+            "suffix": pa.array(out_suffix, pa.list_(pa.string())),
+            "is_anchor": pa.array(out_anchor, pa.bool_()),
+        }
+    )
+
+
+def _extend_group(g: pa.Table) -> pa.Table:
+    """Stage 3: pairwise forward extension within one anchor group.
+
+    Members: every occurrence of this trimmed line, with is_anchor
+    marking the flush-left ones; only anchors start blocks, all members
+    can be partners (see _member_records)."""
+    paths = g["path"].to_pylist()
+    lns = g["line"].to_pylist()
+    suffixes = g["suffix"].to_pylist()
+    anchors = g["is_anchor"].to_pylist()
+    m = len(paths)
+    out_block, out_path, out_line = [], [], []
+    for a in range(m):
+        if not anchors[a]:
+            continue
+        sa = suffixes[a]
+        ta = [l.strip() for l in sa]
+        for b in range(m):
+            if b == a:
+                continue
+            if paths[b] == paths[a] and lns[b] == lns[a]:
+                continue
+            sb = suffixes[b]
+            tb = [l.strip() for l in sb]
+            max_len = min(len(sa), len(sb))
+            match_len = 0
+            for off in range(max_len):
+                if ta[off] == tb[off]:
+                    match_len += 1
+                else:
+                    break
+            if match_len >= 1:
+                block = form_block(sa[:match_len])
+                for p, ln in ((paths[a], lns[a]), (paths[b], lns[b])):
+                    out_block.append(block)
+                    out_path.append(p)
+                    out_line.append(ln)
+    return pa.table(
+        {
+            "block": pa.array(out_block, pa.string()),
+            "path": pa.array(out_path, pa.string()),
+            "line": pa.array(out_line, pa.uint32()),
+        }
+    )
+
+
+def multi_line_duplications(
+    ds: Dataset,
+    id_col: str = "url",
+    text_col: str = "text",
+    min_lines: int = 3,
+    max_block_lines: int = 500,
+    max_blocks: int = 100_000,
+) -> list[tuple[str, list[tuple[str, int]]]]:
+    """G4 end-to-end. Returns the reference result shape (block ->
+    surviving locations) after driver-side overlap suppression and the
+    min_lines retain filter (lib.rs:122-129).
+
+    Caps: ``max_block_lines`` bounds suffix shipping (blocks longer than
+    this are truncated — logged); ``max_blocks`` bounds the driver
+    collect for suppression (logged when hit).
+    """
+    dup_hashes, _ = duplicate_line_hashes(ds, id_col, text_col)
+    if not dup_hashes:
+        return []
+    dup_ref = ray.put(dup_hashes)
+
+    class MemberStage:
+        """Actor pool: fetches the broadcast duplicate-line set ONCE per
+        actor in __init__ (ray.put once on the driver, never re-shipped
+        per batch)."""
+
+        def __init__(self, ref, id_col: str, text_col: str, max_block_lines: int):
+            self.dup_hashes = ray.get(ref)
+            self.id_col = id_col
+            self.text_col = text_col
+            self.max_block_lines = max_block_lines
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return _member_records(
+                batch, self.dup_hashes, self.id_col, self.text_col, self.max_block_lines
+            )
+
+    from textalyzer_ray.stages.pools import default_pool
+
+    members = ds.map_batches(
+        MemberStage,
+        fn_constructor_args=(dup_ref, id_col, text_col, max_block_lines),
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+
+    # Shuffle #2: group by anchor line hash, pairwise extend per group.
+    pair_rows = members.groupby("anchor_key").map_groups(
+        _extend_group, batch_format="pyarrow"
+    )
+
+    # Stage 4: block aggregation — distinct locations + sortable stats.
+    def finalize_block(g: pa.Table) -> pa.Table:
+        block = g["block"][0].as_py()
+        locs = sorted(set(zip(g["path"].to_pylist(), g["line"].to_pylist())))
+        non_empty = sum(1 for l in block.split("\n") if l.strip())
+        if non_empty < 1 or len(locs) < 2:
+            return pa.table(
+                {
+                    "block": pa.array([], pa.string()),
+                    "paths": pa.array([], pa.list_(pa.string())),
+                    "lines": pa.array([], pa.list_(pa.uint32())),
+                    "non_empty_lines": pa.array([], pa.int64()),
+                    "byte_len": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "block": pa.array([block], pa.string()),
+                "paths": pa.array([[p for p, _ in locs]], pa.list_(pa.string())),
+                "lines": pa.array([[l for _, l in locs]], pa.list_(pa.uint32())),
+                "non_empty_lines": pa.array([non_empty], pa.int64()),
+                "byte_len": pa.array([len(block.encode())], pa.int64()),
+            }
+        )
+
+    candidates = (
+        pair_rows.groupby("block")
+        .map_groups(finalize_block, batch_format="pyarrow")
+        .sort(["non_empty_lines", "byte_len", "block"], descending=[True, True, False])
+        .limit(max_blocks)
+    )
+    rows = candidates.take_all()
+    if len(rows) == max_blocks:
+        logger.warning("candidate blocks truncated at max_blocks=%d", max_blocks)
+
+    sorted_blocks = [
+        (
+            r["block"],
+            list(zip(r["paths"], [int(l) for l in r["lines"]])),
+        )
+        for r in rows
+    ]
+    result = suppress_overlaps(sorted_blocks)
+    return [
+        (content, locs)
+        for content, locs in result
+        if sum(1 for l in content.split("\n") if l.strip()) >= min_lines
+    ]

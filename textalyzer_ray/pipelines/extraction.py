@@ -1,0 +1,85 @@
+"""The flagship pipeline: web pages -> extracted text -> per-doc metrics
+-> corpus aggregates (north_star shape: read_parquet -> extract (actor
+pool) -> tokenize/score -> histogram groupby -> write/collect).
+
+Input schema per BASELINE.json input_hint:
+(url, warc_ts, html:binary, text, lang).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from ray.data import Dataset
+
+from textalyzer_ray.stages.analyze import QualityScorer, ReadabilityScorer
+from textalyzer_ray.stages.extract import HtmlExtractor, keep_valid
+from textalyzer_ray.stages.pools import default_pool
+
+
+def extract_pages(
+    ds: Dataset,
+    html_col: str = "html",
+    out_col: str = "text",
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 256,
+    keep_only_valid: bool = True,
+) -> Dataset:
+    """html:binary -> extracted text (+ drop bookkeeping).
+
+    Actor pool: HTML parsing is per-doc Python, amortized across the
+    pool; modest batch_size keeps per-batch latency and memory bounded
+    when pages are large.
+    """
+    if concurrency is None:
+        concurrency = default_pool()
+    out = ds.map_batches(
+        HtmlExtractor,
+        fn_constructor_kwargs={"html_col": html_col, "out_col": out_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    if keep_only_valid:
+        out = out.map_batches(keep_valid, batch_format="pyarrow")
+    return out
+
+
+def drop_stats(ds_extracted: Dataset) -> dict[str, int]:
+    """Counter metrics for the validity filter (reference drops silently,
+    file_utils.rs:176-177; we count): {"", "binary", "invalid_utf8",
+    "empty"} -> row count. Small aggregate — safe to collect."""
+    from ray.data.aggregate import Count
+
+    rows = (
+        ds_extracted.groupby("drop_reason").aggregate(Count(alias_name="n")).take_all()
+    )
+    return {r["drop_reason"]: r["n"] for r in rows}
+
+
+def page_metrics(
+    ds: Dataset,
+    html_col: str = "html",
+    concurrency: int | tuple[int, int] | None = None,
+) -> Dataset:
+    """Extract + full per-doc metric suite (tokens, readability,
+    quality): the per-document half of the flagship pipeline."""
+    if concurrency is None:
+        concurrency = default_pool()
+    extracted = extract_pages(ds, html_col=html_col, concurrency=concurrency)
+    # drop the heavy binary column before scoring: prune early, the
+    # scorers only need text (ray_guide: "Prune at the read").
+    # drop_columns (not select_columns) stays lazy and works on empty
+    # datasets whose schema is not yet known.
+    extracted = extracted.drop_columns([html_col])
+    scored = extracted.map_batches(
+        ReadabilityScorer, batch_format="pyarrow", concurrency=concurrency
+    )
+    return scored.map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=concurrency
+    )
+
+
+def flagship(ds_pages: Dataset, concurrency: int | tuple[int, int] | None = None) -> Dataset:
+    """pages -> per-doc metrics dataset (consume with write_parquet or
+    feed word_histogram for the corpus aggregate)."""
+    return page_metrics(ds_pages, concurrency=concurrency)

@@ -1,0 +1,158 @@
+"""Similarity search pipelines over the ``embeddings`` table
+(vec_id, embedding: list<float>, label).
+
+- ``brute_force_topk``: exact cosine top-k. Query matrix is ray.put once;
+  each batch computes local top-k (numpy matmul); global answer = tiny
+  sort+limit over (batches x k) rows. Nothing but top-k rows shuffle.
+- ``ivf_topk``: IVF approximation — deterministic centroids from a
+  sample, assign cells (actor pool), probe the closest cells only.
+- ``embedding_near_dup_pairs``: cosine >= threshold pairs within IVF
+  cells (embedding-space near-duplicate detection).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from textalyzer_ray.stages.pools import default_pool
+from textalyzer_ray.stages.similarity import (
+    BruteForceTopK,
+    IvfAssigner,
+    _stack_embeddings,
+    deterministic_centroids,
+    normalize_rows,
+)
+
+
+def brute_force_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """-> (query_idx, vec_id, cosine) global top-k per query, sorted by
+    (query_idx, cosine desc, vec_id)."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    local = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={
+            "queries_ref": qref,
+            "id_col": id_col,
+            "emb_col": emb_col,
+            "k": k,
+        },
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+
+    def global_topk(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(g)
+            .sort(["cosine", id_col], descending=[True, False])
+            .head(k)
+        )
+        return df.to_arrow().cast(g.schema)
+
+    return (
+        local.groupby("query_idx")
+        .map_groups(global_topk, batch_format="pyarrow")
+        .sort(["query_idx", "cosine", id_col], descending=[False, True, False])
+    )
+
+
+def build_centroids(
+    ds: Dataset,
+    n_centroids: int = 16,
+    sample_limit: int = 4096,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic centroids from the first ``sample_limit`` vectors in
+    id order (stable sample => stable centroids => resumable index)."""
+    sample = ds.sort(id_col).limit(sample_limit)
+    mats = [
+        _stack_embeddings(b, emb_col)
+        for b in sample.iter_batches(batch_size=1024, batch_format="pyarrow")
+    ]
+    m = np.vstack(mats)
+    return deterministic_centroids(m, n_centroids)
+
+
+def ivf_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """Approximate top-k probing the ``n_probe`` nearest IVF cells per
+    query. Same output schema as brute_force_topk."""
+    cents = build_centroids(ds, n_centroids, emb_col=emb_col, id_col=id_col)
+    cref = ray.put(cents)
+    assigned = ds.map_batches(
+        IvfAssigner,
+        fn_constructor_kwargs={"centroids_ref": cref, "emb_col": emb_col},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+    q = normalize_rows(np.asarray(queries, dtype=np.float64))
+    probe_cells = set()
+    sims = q @ cents.T
+    for qi in range(q.shape[0]):
+        for c in np.argsort(-sims[qi])[:n_probe]:
+            probe_cells.add(int(c))
+
+    def in_probed(t: pa.Table) -> pa.Table:
+        mask = pa.array([c in probe_cells for c in t["ivf_cell"].to_pylist()])
+        return t.filter(mask)
+
+    pruned = assigned.map_batches(in_probed, batch_format="pyarrow")
+    return brute_force_topk(pruned, q, k=k, id_col=id_col, emb_col=emb_col)
+
+
+def embedding_near_dup_pairs(
+    ds: Dataset,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_cell: int = 4096,
+) -> Dataset:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold, computed
+    within IVF cells (cross-cell near-dups at the boundary are the
+    standard recall loss; multi-assignment is the scale fix)."""
+    cents = build_centroids(ds, n_centroids, emb_col=emb_col, id_col=id_col)
+    cref = ray.put(cents)
+    assigned = ds.map_batches(
+        IvfAssigner,
+        fn_constructor_kwargs={"centroids_ref": cref, "emb_col": emb_col},
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+
+    def pairs_in_cell(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col].to_pylist())
+        order = np.argsort(ids)[:max_cell]
+        ids = ids[order]
+        m = normalize_rows(_stack_embeddings(g, emb_col))[order]
+        sims = m @ m.T
+        ai, bi = np.where(np.triu(sims >= threshold, k=1))
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ai]),
+                "id_b": pa.array(ids[bi]),
+                "cosine": pa.array(sims[ai, bi], pa.float64()),
+            }
+        )
+
+    return assigned.groupby("ivf_cell").map_groups(
+        pairs_in_cell, batch_format="pyarrow"
+    )

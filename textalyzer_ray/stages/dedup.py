@@ -1,0 +1,128 @@
+"""Dedup stages: exact hash, MinHash/LSH, SimHash, winnowing.
+
+Scale design (SURVEY.md §4, ray_guide "Aggregation at scale"):
+- exact: content hash computed VECTORIZED per batch (polars xxhash-family
+  ``hash``); the shuffle key is the 64-bit hash, not the document text,
+  so the groupby moves 8 bytes per row + the kept representative. Hash
+  collisions are resolved inside the group by comparing actual text.
+- minhash: signatures per batch in an actor pool (permutation tables
+  built once per actor), exploded to (band, band_hash, doc) rows; the
+  ``groupby(band_key)`` shuffle moves fixed-width keys. Candidate pairs
+  are verified with real shingle Jaccard before linking.
+- simhash: 64-bit sketch per doc; near-dup = hamming <= t within
+  bucketed prefixes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from textalyzer_ray.core.fingerprint import (
+    lsh_band_keys,
+    minhash_params,
+    minhash_signature,
+    simhash64,
+    winnowed_fingerprints,
+)
+from textalyzer_ray.core.textmetrics import frequency_map, tokenize
+
+
+def add_content_hash(
+    batch: pa.Table, text_col: str = "text", out_col: str = "content_hash"
+) -> pa.Table:
+    """Vectorized deterministic 64-bit content hash (polars seed-0 hash;
+    stable within a run across all workers — the cluster shares one
+    polars version)."""
+    df = pl.from_arrow(batch.select([text_col]))
+    h = df.select(pl.col(text_col).hash(seed=0).alias(out_col))["" + out_col]
+    return batch.append_column(out_col, pa.array(h.to_numpy(), pa.uint64()))
+
+
+class MinHasher:
+    """Actor-pool stage: append minhash LSH band keys per document.
+
+    Emits one row per (doc x band): (id, band, band_hash) — the LSH
+    explode. ``__init__`` builds the permutation tables once per actor.
+    """
+
+    def __init__(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_perm: int = 128,
+        shingle_k: int = 3,
+        bands: int = 16,
+        seed: int = 42,
+    ):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = shingle_k
+        self.bands = bands
+        self.a, self.b = minhash_params(num_perm, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_id, out_band, out_hash = [], [], []
+        for i, t in zip(ids, texts):
+            toks = tokenize(t or "")
+            sig = minhash_signature(toks, self.k, self.a, self.b)
+            for band, bh in lsh_band_keys(sig, self.bands):
+                out_id.append(i)
+                out_band.append(band)
+                out_hash.append(bh)
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.uint64()),
+            }
+        )
+
+
+class SimHasher:
+    """Actor-pool stage: append a 64-bit simhash + a prefix bucket used
+    to co-locate near-dup candidates (hamming neighbors usually share a
+    16-bit prefix under small perturbations of low-weight tokens)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [
+            simhash64(frequency_map(t or "")) for t in batch[self.text_col].to_pylist()
+        ]
+        arr = np.array(hashes, dtype=np.uint64)
+        return (
+            batch.select([self.id_col])
+            .append_column("simhash", pa.array(arr, pa.uint64()))
+            .append_column(
+                "simhash_prefix", pa.array((arr >> np.uint64(48)).astype(np.uint16))
+            )
+        )
+
+
+class Winnower:
+    """Actor-pool stage: (id, fingerprint) rows via rolling-hash
+    winnowing — substring-level document fingerprints."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text", k: int = 8, window: int = 4):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, fps = [], []
+        for i, t in zip(
+            batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
+        ):
+            for fp in winnowed_fingerprints(t or "", self.k, self.window):
+                ids_out.append(i)
+                fps.append(fp)
+        return pa.table(
+            {self.id_col: pa.array(ids_out), "fingerprint": pa.array(fps, pa.uint64())}
+        )
