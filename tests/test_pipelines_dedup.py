@@ -1,0 +1,99 @@
+"""Dedup pipelines: exact, minhash-LSH, simhash, winnowing."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from textalyzer_ray.pipelines.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_dedup,
+    minhash_duplicate_pairs,
+    simhash_duplicate_pairs,
+)
+from textalyzer_ray.stages.dedup import Winnower
+
+pytestmark = pytest.mark.usefixtures("quiet_data_context")
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away home " * 4
+NEAR = BASE.replace("lazy", "sleepy", 1)  # one token changed
+OTHER = "ray data pipelines shuffle arrow record batches through object stores " * 4
+
+
+def corpus_ds():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2, 3, 4, 5],
+                "text": [BASE, BASE, NEAR, OTHER, OTHER, "tiny"],
+            }
+        )
+    )
+
+
+class TestExactDedup:
+    def test_keeps_min_id_and_counts(self):
+        rows = exact_dedup(corpus_ds()).take_all()
+        by_id = {r["doc_id"]: r for r in rows}
+        assert set(by_id) == {0, 2, 3, 5}
+        assert by_id[0]["n_copies"] == 2
+        assert by_id[3]["n_copies"] == 2
+        assert by_id[2]["n_copies"] == 1
+
+
+class TestMinHash:
+    def test_pairs_and_dedup(self):
+        pairs = minhash_duplicate_pairs(
+            corpus_ds(), jaccard_threshold=0.5, bands=32
+        ).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 1) in got  # exact dup
+        assert (0, 2) in got and (1, 2) in got  # near dup
+        assert (3, 4) in got
+        assert not any(5 in p for p in got)
+        kept = sorted(
+            r["doc_id"]
+            for r in minhash_dedup(
+                corpus_ds(), jaccard_threshold=0.5, bands=32
+            ).take_all()
+        )
+        assert kept == [0, 3, 5]
+
+    def test_no_dups(self):
+        ds = rd.from_arrow(
+            pa.table({"doc_id": [0, 1], "text": [BASE, OTHER]})
+        )
+        assert minhash_duplicate_pairs(ds).take_all() == []
+
+
+class TestConnectedComponents:
+    def test_chain_converges(self):
+        pairs = rd.from_arrow(
+            pa.table({"id_a": [1, 2, 3, 10], "id_b": [2, 3, 4, 11]})
+        )
+        rows = connected_components(pairs).take_all()
+        lab = {r["doc_id"]: r["cluster_id"] for r in rows}
+        assert lab[1] == lab[2] == lab[3] == lab[4] == 1
+        assert lab[10] == lab[11] == 10
+
+
+class TestSimHash:
+    def test_near_pairs(self):
+        rows = simhash_duplicate_pairs(corpus_ds(), max_hamming=6).take_all()
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+        assert got.get((0, 1)) == 0  # identical docs
+        assert (0, 2) in got  # near dup within hamming 6
+
+
+class TestWinnower:
+    def test_fingerprint_rows(self, quiet_data_context):
+        ds = rd.from_arrow(
+            pa.table({"doc_id": [0, 1], "text": [BASE, "prefix " + BASE]})
+        )
+        rows = ds.map_batches(
+            Winnower, batch_format="pyarrow", concurrency=1
+        ).take_all()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        assert by_doc[0] & by_doc[1]  # shared substring fingerprints

@@ -1,0 +1,121 @@
+"""Similarity search pipelines: brute-force top-k, IVF, near-dup pairs,
+multimodal stub plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from textalyzer_ray.pipelines.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+)
+from textalyzer_ray.stages.multimodal import AudioFeatures, DecodeImage, SampleFrames
+
+pytestmark = pytest.mark.usefixtures("quiet_data_context")
+
+
+def emb_ds(n=64, dim=16, seed=5):
+    rng = np.random.RandomState(seed)
+    m = rng.randn(n, dim).astype(np.float32)
+    m[1] = m[0] * 2.0  # same direction as vec 0 -> cosine 1
+    m[2] = m[0] + 0.01 * rng.randn(dim)  # near vec 0
+    return (
+        rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": list(range(n)),
+                    "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+                }
+            )
+        ),
+        m,
+    )
+
+
+class TestBruteForce:
+    def test_exact_topk(self):
+        ds, m = emb_ds()
+        rows = brute_force_topk(ds, m[0:1], k=3).take_all()
+        ids = [r["vec_id"] for r in rows]
+        assert len(rows) == 3
+        assert set(ids[:3]) == {0, 1, 2}
+        assert rows[0]["cosine"] == pytest.approx(1.0)
+        # oracle check against numpy
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ mn[0]
+        expected = list(np.argsort(-sims)[:3])
+        assert ids == sorted(ids, key=lambda i: -sims[i])
+        assert set(ids) == set(int(i) for i in expected)
+
+    def test_multi_query(self):
+        ds, m = emb_ds()
+        rows = brute_force_topk(ds, m[:2], k=2).take_all()
+        assert len(rows) == 4
+        assert {r["query_idx"] for r in rows} == {0, 1}
+
+
+class TestIvf:
+    def test_ivf_finds_near_neighbors(self):
+        ds, m = emb_ds(n=128)
+        rows = ivf_topk(ds, m[0:1], k=3, n_centroids=8, n_probe=4).take_all()
+        ids = {r["vec_id"] for r in rows}
+        # vec 0's clones live in its own cell -> must be found
+        assert {0, 1, 2} <= ids
+
+    def test_near_dup_pairs(self):
+        ds, m = emb_ds(n=64)
+        rows = embedding_near_dup_pairs(ds, threshold=0.98, n_centroids=4).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in rows}
+        assert (0, 1) in got
+
+
+class TestMultimodalStubs:
+    def media_ds(self):
+        rng = np.random.RandomState(0)
+        blobs = [bytes(rng.randint(0, 256, 256, dtype=np.uint8)) for _ in range(6)]
+        return rd.from_arrow(
+            pa.table({"media_id": list(range(6)), "data": pa.array(blobs, pa.binary())})
+        )
+
+    def test_decode_image_stub_raises_without_fake(self):
+        with pytest.raises(Exception):
+            self.media_ds().map_batches(
+                DecodeImage, batch_format="pyarrow", concurrency=1, batch_size=2
+            ).take_all()
+
+    def test_decode_image_fake_plumbing(self):
+        rows = self.media_ds().map_batches(
+            DecodeImage,
+            fn_constructor_kwargs={"fake": True},
+            batch_format="pyarrow",
+            concurrency=1,
+            batch_size=2,
+        ).take_all()
+        assert len(rows) == 6
+        assert all(64 <= r["img_width"] <= 320 for r in rows)
+
+    def test_sample_frames_fake(self):
+        rows = self.media_ds().map_batches(
+            SampleFrames,
+            fn_constructor_kwargs={"fake": True, "n_frames": 3},
+            batch_format="pyarrow",
+            concurrency=1,
+            batch_size=2,
+        ).take_all()
+        assert len(rows) == 18
+        assert {r["frame_index"] for r in rows} == {0, 1, 2}
+        assert all(isinstance(r["frame"], bytes) for r in rows)
+
+    def test_audio_features_fake(self):
+        rows = self.media_ds().map_batches(
+            AudioFeatures,
+            fn_constructor_kwargs={"fake": True},
+            batch_format="pyarrow",
+            concurrency=1,
+            batch_size=3,
+        ).take_all()
+        assert len(rows) == 6
+        assert all(len(r["audio_features"]) == 8 for r in rows)
+        assert all(abs(sum(r["audio_features"]) - 1.0) < 1e-5 for r in rows)

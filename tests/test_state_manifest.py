@@ -1,0 +1,93 @@
+"""Resumable partition-addressed output: atomic writes, manifests,
+resume-skip, fingerprint stability."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from textalyzer_ray.state.manifest import (
+    MANIFEST_DIR,
+    PartitionedRunner,
+    partition_documents_path,
+)
+
+pytestmark = pytest.mark.usefixtures("quiet_data_context")
+
+
+def build_counter():
+    calls = []
+
+    def build(part):
+        calls.append(part["pid"])
+        lo, hi = part["row_range"]
+        return rd.from_arrow(
+            pa.table({"x": list(range(lo, hi)), "part": [part["pid"]] * (hi - lo)})
+        )
+
+    return build, calls
+
+
+PARTS = [
+    {"pid": "00000", "inputs": ["a"], "row_range": (0, 10)},
+    {"pid": "00001", "inputs": ["b"], "row_range": (10, 20)},
+    {"pid": "00002", "inputs": ["c"], "row_range": (20, 30)},
+]
+
+
+class TestPartitionedRunner:
+    def test_fresh_run_writes_all(self, tmp_path):
+        runner = PartitionedRunner(str(tmp_path / "out"))
+        build, calls = build_counter()
+        summary = runner.run(PARTS, build)
+        assert summary["ran"] == ["00000", "00001", "00002"]
+        assert sorted(calls) == ["00000", "00001", "00002"]
+        for pid in calls:
+            assert os.path.isdir(tmp_path / "out" / f"part={pid}")
+            m = json.load(open(tmp_path / "out" / MANIFEST_DIR / f"{pid}.json"))
+            assert m["row_count"] == 10
+            assert m["schema"] == ["x", "part"]
+            assert len(m["fingerprint"]) == 16
+
+    def test_resume_skips_completed(self, tmp_path):
+        runner = PartitionedRunner(str(tmp_path / "out"))
+        build, calls = build_counter()
+        runner.run(PARTS, build)
+        # simulate a lost partition: delete manifest 1 (data may remain)
+        os.remove(tmp_path / "out" / MANIFEST_DIR / "00001.json")
+        build2, calls2 = build_counter()
+        summary = runner.run(PARTS, build2)
+        assert summary["skipped"] == ["00000", "00002"]
+        assert summary["ran"] == ["00001"]
+        assert calls2 == ["00001"]  # only the lost partition recomputed
+
+    def test_fingerprint_matches_fresh_run(self, tmp_path):
+        r1 = PartitionedRunner(str(tmp_path / "a"))
+        r2 = PartitionedRunner(str(tmp_path / "b"))
+        build, _ = build_counter()
+        r1.run(PARTS, build)
+        build2, _ = build_counter()
+        r2.run(PARTS, build2)
+        f1 = {p: m.fingerprint for p, m in r1.completed().items()}
+        f2 = {p: m.fingerprint for p, m in r2.completed().items()}
+        assert f1 == f2  # deterministic content across runs
+
+    def test_corrupt_manifest_triggers_rebuild(self, tmp_path):
+        runner = PartitionedRunner(str(tmp_path / "out"))
+        build, _ = build_counter()
+        runner.run(PARTS, build)
+        with open(tmp_path / "out" / MANIFEST_DIR / "00002.json", "w") as f:
+            f.write("{ not json")
+        build2, calls2 = build_counter()
+        summary = runner.run(PARTS, build2)
+        assert summary["ran"] == ["00002"]
+
+
+def test_partition_documents_path():
+    parts = partition_documents_path("/root/testdata/sf0.001", 4)
+    assert len(parts) == 4
+    assert parts[0]["row_range"] == (0, 125)
+    assert parts[-1]["row_range"][1] == 500
+    assert all(p["inputs"] for p in parts)
