@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself, then ``entry()`` as a smoke check,
+runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares against
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
+insensitive value-hash). No ``ray.init``/``ray.shutdown`` here or in
+the library (see textalyzer_ray).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column names AND integer types are aligned between the Ray results and
+the SQL (BIGINT everywhere an aggregate appears). Queries without an
+``oracle_sql`` entry are non-SQL-expressible (duplication with overlap
+suppression, sketch-based dedup, approximate ANN, model-style scoring)
+and get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -18,27 +18,508 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+WORDS_PER_LINE = 6  # documents.text -> derived "lines" (6-word chunks)
+TOPK = 10
+
+# English stopword list shared by the Ray quality stage and the SQL
+# oracle (textalyzer_ray.core.quality.STOPWORDS).
+_STOPWORDS_SQL = (
+    "'the','of','and','to','in','a','is','that','it','for','on','with','as',"
+    "'are','was','be','this','have','from','or','by','not','at','but','we',"
+    "'you','they','his','her','its'"
+)
+
+_TOKEN_SPLIT_SQL = "[^a-z]+"  # == Unicode split on this ASCII corpus
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _chunk_lines_table(batch, with_doc_lines: bool = False):
+    """Derived line view shared by the dup queries and their SQL oracle:
+    text -> 6-word chunks, 1-based line numbers (chunk i = words
+    [i*6, i*6+6), matching ws[i*6+1 : i*6+6] 1-based inclusive)."""
+    import pyarrow as pa
+
+    ids, lnos, contents = [], [], []
+    texts = []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        words = (t or "").split(" ")
+        n = (len(words) + WORDS_PER_LINE - 1) // WORDS_PER_LINE
+        lines = [
+            " ".join(words[i * WORDS_PER_LINE : (i + 1) * WORDS_PER_LINE])
+            for i in range(n)
+        ]
+        for i, c in enumerate(lines):
+            ids.append(d)
+            lnos.append(i + 1)
+            contents.append(c)
+        if with_doc_lines:
+            texts.append("\n".join(lines))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "line_number": pa.array(lnos, pa.int64()),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+    if with_doc_lines:
+        return tbl, texts
+    return tbl
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_word_histogram(sf_dir: str):
+    from textalyzer_ray.pipelines.frequency import word_histogram
+
+    return word_histogram(_docs(sf_dir).select_columns(["text"]))
+
+
+def _q_word_histogram_by_lang(sf_dir: str):
+    from textalyzer_ray.pipelines.frequency import word_histogram_by_lang
+
+    return word_histogram_by_lang(_docs(sf_dir).select_columns(["text", "lang"]))
+
+
+def _q_line_length_histogram(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from textalyzer_ray.pipelines.line_length import line_length_histogram
+
+    out = line_length_histogram(_docs(sf_dir).select_columns(["text"]))
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "length": pc.cast(t["length"], pa.int64()),
+                "count": pc.cast(t["count"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_doc_token_counts(sf_dir: str):
+    from textalyzer_ray.pipelines.analytics import token_counts
+
+    return token_counts(_docs(sf_dir).select_columns(["doc_id", "text"])).sort(
+        "doc_id"
+    )
+
+
+def _q_lang_rollup(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .sort("lang")
+    )
+
+
+def _q_source_rollup(sf_dir: str):
+    from textalyzer_ray.pipelines.analytics import source_rollup
+
+    return source_rollup(_docs(sf_dir).select_columns(["source", "n_chars"]))
+
+
+def _q_top_k_longest(sf_dir: str):
+    from textalyzer_ray.pipelines.analytics import top_k_longest
+
+    return top_k_longest(_docs(sf_dir).select_columns(["doc_id", "n_chars"]), k=100)
+
+
+def _q_exact_dedup(sf_dir: str):
+    from textalyzer_ray.pipelines.dedup import exact_dedup
+
+    return (
+        exact_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
+        .select_columns(["doc_id", "n_copies"])
+        .sort("doc_id")
+    )
+
+
+def _q_single_line_dups(sf_dir: str):
+    """Derived-line exact duplication groups (G2 over the chunk view):
+    (content, n_locations, first_doc)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    lines = _docs(sf_dir).map_batches(
+        lambda t: _chunk_lines_table(t), batch_format="pyarrow", zero_copy_batch=True
+    )
+    lines = lines.map_batches(
+        lambda t: t.filter(
+            pc.greater(pc.binary_length(pc.utf8_trim_whitespace(t["content"])), 5)
+        ),
+        batch_format="pyarrow",
+    )
+    grouped = (
+        lines.groupby("content")
+        .aggregate(Count(alias_name="n_locations"), Min("doc_id", alias_name="first_doc"))
+    )
+    return grouped.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_locations"], 2)),
+        batch_format="pyarrow",
+    ).sort(["n_locations", "content"], descending=[True, False])
+
+
+def _q_events_hourly(sf_dir: str):
+    import ray.data as rd
+
+    from textalyzer_ray.pipelines.analytics import events_tumbling_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    out = events_tumbling_window(ev, window_s=3600)
+    return out.select_columns(["event_type", "window_start", "n_events"])
+
+
+def _q_similarity_topk(sf_dir: str):
+    """Exact cosine top-10 for the query vector = embedding of vec_id 0.
+    Returns int-only (rank, vec_id) so the value-hash is float-free."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from textalyzer_ray.pipelines.similarity import brute_force_topk
+
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    idx = emb["vec_id"].to_pylist().index(0)
+    q = np.asarray([emb["embedding"][idx].as_py()], dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rows = brute_force_topk(ds, q, k=TOPK).take_all()
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(range(1, len(rows) + 1), dtype="int64"),
+            "vec_id": pd.Series([r["vec_id"] for r in rows], dtype="int64"),
+        }
+    )
+
+
+def _q_extract_text(sf_dir: str):
+    """Flagship conformance: synthesize pages from documents, extract,
+    return (doc_id, text) — byte-identical to the source text per doc."""
+    from textalyzer_ray.pipelines.extraction import extract_pages
+    from textalyzer_ray.sources.webgen import pages_batch
+
+    pages = _docs(sf_dir).map_batches(
+        pages_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    extracted = extract_pages(pages)
+    return extracted.select_columns(["doc_id", "text"]).sort("doc_id")
+
+
+def _q_quality_components(sf_dir: str):
+    from textalyzer_ray.stages.analyze import QualityScorer
+    from textalyzer_ray.stages.pools import default_pool
+
+    out = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=default_pool()
+    )
+    return out.select_columns(
+        ["doc_id", "n_tokens", "n_stopwords", "total_token_chars"]
+    ).sort("doc_id")
+
+
+# ---- rows-only (non-SQL-expressible) --------------------------------------
+
+
+def _augmented_docs(sf_dir: str, n_copies: int = 10):
+    """documents + near-duplicate copies of the first ``n_copies`` docs
+    (doc_id + 1_000_000, one word changed) — deterministic corpus that
+    makes the sketch-dedup pipelines produce non-trivial output."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()[:n_copies]
+    texts = t["text"].to_pylist()[:n_copies]
+    near = pa.table(
+        {
+            "doc_id": pa.array([i + 1_000_000 for i in ids], pa.int64()),
+            "text": pa.array(
+                [("xyzzy " + x.split(" ", 1)[1]) if " " in x else x for x in texts]
+            ),
+        }
+    )
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).union(
+        rd.from_arrow(near)
+    )
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from textalyzer_ray.pipelines.dedup import minhash_duplicate_pairs
+
+    return minhash_duplicate_pairs(
+        _augmented_docs(sf_dir), jaccard_threshold=0.7, bands=32
+    ).sort(["id_a", "id_b"])
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from textalyzer_ray.pipelines.dedup import minhash_dedup
+
+    return (
+        minhash_dedup(_augmented_docs(sf_dir), jaccard_threshold=0.7, bands=32)
+        .select_columns(["doc_id"])
+        .sort("doc_id")
+    )
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from textalyzer_ray.pipelines.dedup import simhash_duplicate_pairs
+
+    return simhash_duplicate_pairs(_augmented_docs(sf_dir), max_hamming=6).sort(
+        ["id_a", "id_b"]
+    )
+
+
+def _q_multi_line_dups(sf_dir: str):
+    """Multi-line duplication (G4) over the derived multi-line view with
+    a planted 4-line trailer on every 10th doc (deterministic)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from textalyzer_ray.pipelines.duplication import multi_line_duplications
+
+    TRAILER = [
+        "planted trailer alpha line",
+        "planted trailer beta line",
+        "planted trailer gamma line",
+        "planted trailer delta line",
+    ]
+
+    def to_multiline(batch: pa.Table) -> pa.Table:
+        urls, texts = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (t or "").split(" ")
+            n = (len(words) + WORDS_PER_LINE - 1) // WORDS_PER_LINE
+            lines = [
+                " ".join(words[i * WORDS_PER_LINE : (i + 1) * WORDS_PER_LINE])
+                for i in range(n)
+            ]
+            if d % 10 == 0:
+                lines.extend(TRAILER)
+            urls.append(f"doc://{d}")
+            texts.append("\n".join(lines))
+        return pa.table({"url": pa.array(urls), "text": pa.array(texts)})
+
+    ds = _docs(sf_dir).map_batches(to_multiline, batch_format="pyarrow")
+    dups = multi_line_duplications(ds, min_lines=3)
+    return pd.DataFrame(
+        {
+            "content": [c for c, _ in dups],
+            "n_locations": [len(l) for _, l in dups],
+        }
+    )
+
+
+def _q_readability(sf_dir: str):
+    from textalyzer_ray.stages.analyze import ReadabilityScorer
+    from textalyzer_ray.stages.pools import default_pool
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(ReadabilityScorer, batch_format="pyarrow", concurrency=default_pool())
+        .select_columns(
+            ["doc_id", "n_words", "n_sentences", "n_syllables", "flesch_reading_ease", "flesch_kincaid_grade"]
+        )
+        .sort("doc_id")
+    )
+
+
+def _q_langid(sf_dir: str):
+    from textalyzer_ray.stages.analyze import LanguageDetector
+    from textalyzer_ray.stages.pools import default_pool
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(LanguageDetector, batch_format="pyarrow", concurrency=default_pool())
+        .select_columns(["doc_id", "lang_pred"])
+        .sort("doc_id")
+    )
+
+
+def _q_ivf_topk(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from textalyzer_ray.pipelines.similarity import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = emb["vec_id"].to_pylist().index(0)
+    q = np.asarray([emb["embedding"][idx].as_py()], dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rows = ivf_topk(ds, q, k=TOPK, n_centroids=8, n_probe=3).take_all()
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(range(1, len(rows) + 1), dtype="int64"),
+            "vec_id": pd.Series([r["vec_id"] for r in rows], dtype="int64"),
+        }
+    )
+
+
+def _q_winnow_fingerprints(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from textalyzer_ray.stages.dedup import Winnower
+    from textalyzer_ray.stages.pools import default_pool
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(Winnower, batch_format="pyarrow", concurrency=default_pool())
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_fingerprints"))
+        .sort("doc_id")
+    )
+
+
+def _q_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    from textalyzer_ray.pipelines.analytics import user_sessionize
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    return user_sessionize(ev).sort(["user_id", "session_id"])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: documents -> synthesized pages ->
+    main-content extraction -> per-doc readability/quality metrics."""
+    from textalyzer_ray.pipelines.extraction import page_metrics
+    from textalyzer_ray.sources.webgen import pages_batch
+
+    pages = _docs("/root/testdata/sf0.001").map_batches(
+        pages_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return page_metrics(pages)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-oracled
+        "word_histogram": _q_word_histogram,
+        "word_histogram_by_lang": _q_word_histogram_by_lang,
+        "line_length_histogram": _q_line_length_histogram,
+        "doc_token_counts": _q_doc_token_counts,
+        "lang_rollup": _q_lang_rollup,
+        "source_rollup": _q_source_rollup,
+        "top_k_longest": _q_top_k_longest,
+        "exact_dedup": _q_exact_dedup,
+        "single_line_dups": _q_single_line_dups,
+        "events_hourly": _q_events_hourly,
+        "similarity_topk": _q_similarity_topk,
+        "extract_text": _q_extract_text,
+        "quality_components": _q_quality_components,
+        # rows-only (non-SQL-expressible)
+        "multi_line_dups": _q_multi_line_dups,
+        "minhash_pairs": _q_minhash_pairs,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "readability": _q_readability,
+        "langid": _q_langid,
+        "ivf_topk": _q_ivf_topk,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "sessionize": _q_sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tokens_cte = (
+        "SELECT doc_id, word FROM (SELECT doc_id, "
+        f"unnest(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}')) AS word "
+        "FROM documents) WHERE word <> ''"
+    )
+    chunk_cte = (
+        "w AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS ws FROM documents), "
+        "idx AS (SELECT doc_id, ws, unnest(generate_series(0, "
+        f"CAST(ceil(len(ws)/{WORDS_PER_LINE}.0) AS INT)-1)) AS i FROM w), "
+        "c AS (SELECT doc_id, i+1 AS line_number, "
+        f"array_to_string(ws[i*{WORDS_PER_LINE}+1 : i*{WORDS_PER_LINE}+{WORDS_PER_LINE}], ' ') AS content FROM idx)"
+    )
+    return {
+        "word_histogram": (
+            f"SELECT word, count(*) AS count FROM ({tokens_cte}) t "
+            "GROUP BY word ORDER BY count DESC, word ASC"
+        ),
+        "word_histogram_by_lang": (
+            "SELECT lang, word, count(*) AS count FROM (SELECT d.lang, t.word "
+            f"FROM ({tokens_cte}) t JOIN documents d USING (doc_id)) "
+            "GROUP BY lang, word ORDER BY lang, count DESC, word"
+        ),
+        "line_length_histogram": (
+            "SELECT CAST(length(text) AS BIGINT) AS length, count(*) AS count "
+            "FROM documents GROUP BY length ORDER BY length"
+        ),
+        "doc_token_counts": (
+            "SELECT d.doc_id, coalesce(t.n, 0) AS n_tokens FROM documents d "
+            f"LEFT JOIN (SELECT doc_id, count(*) AS n FROM ({tokens_cte}) GROUP BY doc_id) t "
+            "USING (doc_id) ORDER BY d.doc_id"
+        ),
+        "lang_rollup": (
+            "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "source_rollup": (
+            "SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars, "
+            "max(n_chars) AS max_chars FROM documents GROUP BY source ORDER BY source"
+        ),
+        "top_k_longest": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 100"
+        ),
+        "exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents "
+            "GROUP BY text ORDER BY doc_id"
+        ),
+        "single_line_dups": (
+            f"WITH {chunk_cte} "
+            "SELECT content, count(*) AS n_locations, min(doc_id) AS first_doc "
+            "FROM c WHERE strlen(trim(content)) > 5 "
+            "GROUP BY content HAVING count(*) >= 2 "
+            "ORDER BY n_locations DESC, content"
+        ),
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "count(*) AS n_events FROM events "
+            "GROUP BY event_type, window_start ORDER BY event_type, window_start"
+        ),
+        "similarity_topk": (
+            "SELECT CAST(row_number() OVER (ORDER BY "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, "
+            "e.vec_id ASC) AS BIGINT) AS rank, e.vec_id "
+            "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+            f"ORDER BY rank LIMIT {TOPK}"
+        ),
+        "extract_text": "SELECT doc_id, text FROM documents ORDER BY doc_id",
+        "quality_components": (
+            "SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, "
+            "coalesce(s.n_stopwords, 0) AS n_stopwords, "
+            "coalesce(s.total_token_chars, 0) AS total_token_chars "
+            "FROM documents d LEFT JOIN ("
+            "SELECT doc_id, count(*) AS n_tokens, "
+            f"count(*) FILTER (WHERE word IN ({_STOPWORDS_SQL})) AS n_stopwords, "
+            "CAST(sum(length(word)) AS BIGINT) AS total_token_chars "
+            f"FROM ({tokens_cte}) GROUP BY doc_id) s USING (doc_id) ORDER BY d.doc_id"
+        ),
+    }

@@ -151,6 +151,13 @@ def synth_corpus(
     )
 
 
+def pages_batch(batch: pa.Table) -> pa.Table:
+    """map_batches-friendly page synthesis: streaming version of
+    ``pages_from_documents`` (same output schema), so sf0.1+ corpora are
+    rendered block-by-block instead of materialized on the driver."""
+    return pages_from_documents(batch)
+
+
 def pages_from_documents(doc_table: pa.Table) -> pa.Table:
     """Wrap the driver testdata ``documents`` table (doc_id, text, lang,
     ...) into the F1 page schema.
