@@ -32,10 +32,10 @@ _STOPWORDS_SQL = (
 _TOKEN_SPLIT_SQL = "[^a-z]+"  # == Unicode split on this ASCII corpus
 
 
-def _docs(sf_dir: str):
-    import ray.data as rd
+def _docs(sf_dir: str, columns: list | None = None):
+    from textalyzer_ray.sources.tables import read_table
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return read_table(sf_dir, "documents", columns=columns)
 
 
 def _chunk_lines_table(batch, with_doc_lines: bool = False):
@@ -150,9 +150,12 @@ def _q_exact_dedup(sf_dir: str):
 
 def _q_single_line_dups(sf_dir: str):
     """Derived-line exact duplication groups (G2 over the chunk view):
-    (content, n_locations, first_doc)."""
+    (content, n_locations, first_doc). Vectorized grouped count+min
+    (stages.groups.key_counts) — no per-group Python."""
+    import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Min
+
+    from textalyzer_ray.stages.groups import key_counts
 
     lines = _docs(sf_dir).map_batches(
         lambda t: _chunk_lines_table(t), batch_format="pyarrow", zero_copy_batch=True
@@ -163,22 +166,24 @@ def _q_single_line_dups(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    grouped = (
-        lines.groupby("content")
-        .aggregate(Count(alias_name="n_locations"), Min("doc_id", alias_name="first_doc"))
-    )
-    return grouped.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["n_locations"], 2)),
+    counts = key_counts(lines, ["content"], min_cols=["doc_id"])
+    return counts.map_batches(
+        lambda t: pa.table(
+            {
+                "content": t["content"],
+                "n_locations": t["count"],
+                "first_doc": t["min_doc_id"],
+            }
+        ).filter(pc.greater_equal(t["count"], 2)),
         batch_format="pyarrow",
     ).sort(["n_locations", "content"], descending=[True, False])
 
 
 def _q_events_hourly(sf_dir: str):
-    import ray.data as rd
-
     from textalyzer_ray.pipelines.analytics import events_tumbling_window
+    from textalyzer_ray.sources.tables import read_table
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
     out = events_tumbling_window(ev, window_s=3600)
     return out.select_columns(["event_type", "window_start", "n_events"])
 
@@ -198,7 +203,9 @@ def _q_similarity_topk(sf_dir: str):
     )
     idx = emb["vec_id"].to_pylist().index(0)
     q = np.asarray([emb["embedding"][idx].as_py()], dtype=np.float64)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from textalyzer_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     rows = brute_force_topk(ds, q, k=TOPK).take_all()
     return pd.DataFrame(
         {
@@ -256,7 +263,9 @@ def _augmented_docs(sf_dir: str, n_copies: int = 10):
             ),
         }
     )
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).union(
+    from textalyzer_ray.sources.tables import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).union(
         rd.from_arrow(near)
     )
 
@@ -366,7 +375,9 @@ def _q_ivf_topk(sf_dir: str):
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     idx = emb["vec_id"].to_pylist().index(0)
     q = np.asarray([emb["embedding"][idx].as_py()], dtype=np.float64)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from textalyzer_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     rows = ivf_topk(ds, q, k=TOPK, n_centroids=8, n_probe=3).take_all()
     return pd.DataFrame(
         {
@@ -393,13 +404,10 @@ def _q_winnow_fingerprints(sf_dir: str):
 
 
 def _q_sessionize(sf_dir: str):
-    import ray.data as rd
-
     from textalyzer_ray.pipelines.analytics import user_sessionize
+    from textalyzer_ray.sources.tables import read_table
 
-    ev = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
-    )
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
     return user_sessionize(ev).sort(["user_id", "session_id"])
 
 

@@ -33,13 +33,9 @@ def quality_components(text: str) -> dict[str, int]:
     }
 
 
-def quality_score(text: str) -> float:
-    """Composite [0,1] quality score, higher = more natural-language-like.
-
-    Deterministic combination of: token count band, stopword ratio band,
-    mean token length band, alpha ratio.
-    """
-    toks = tokenize(text)
+def quality_score_from(toks: list[str], text: str) -> float:
+    """Composite score from pre-computed tokens (single source of truth
+    for both the oracle and the combined DocScorer stage)."""
     n = len(toks)
     if n == 0:
         return 0.0
@@ -58,3 +54,12 @@ def quality_score(text: str) -> float:
     # mostly letters
     score += 0.25 * min(alpha_ratio / 0.6, 1.0)
     return round(score, 6)
+
+
+def quality_score(text: str) -> float:
+    """Composite [0,1] quality score, higher = more natural-language-like.
+
+    Deterministic combination of: token count band, stopword ratio band,
+    mean token length band, alpha ratio.
+    """
+    return quality_score_from(tokenize(text), text)

@@ -105,8 +105,34 @@ def minhash_duplicate_pairs(
             return t
 
     bands_ds = ds.map_batches(
-        BandWithText, batch_format="pyarrow", concurrency=default_pool()
+        BandWithText,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=default_pool(),
     )
+
+    # Vectorized collision detection (stages.groups): count band keys
+    # without Ray's per-group overhead, then filter the band rows down to
+    # the colliding keys before the (now tiny) verification groupby.
+    import ray
+    import ray.data as rd
+
+    from textalyzer_ray.stages.groups import duplicate_keys, filter_to_keys
+
+    bands_ds = bands_ds.materialize()
+    dup = duplicate_keys(bands_ds, ["band", "band_hash"])
+    if dup.num_rows == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    keyset = set(zip(dup["band"].to_pylist(), dup["band_hash"].to_pylist()))
+    bands_ds = filter_to_keys(bands_ds, ["band", "band_hash"], ray.put(keyset))
 
     def verify_group(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_pylist()
@@ -287,6 +313,7 @@ def simhash_duplicate_pairs(
         SimHasher,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
         batch_format="pyarrow",
+        batch_size=256,
         concurrency=default_pool(),
     )
 

@@ -93,7 +93,18 @@ def find_duplicate_lines(
         h = _hash_strs(t["content"].to_pylist())
         return t.append_column("content_hash", pa.array(h, pa.uint64()))
 
-    lines = lines.map_batches(keep_gt5, batch_format="pyarrow")
+    lines = lines.map_batches(keep_gt5, batch_format="pyarrow").materialize()
+
+    # filter to duplicated hashes BEFORE the groupby: Ray group
+    # finalization costs ~0.1 ms/group in Python, so only the actual
+    # candidate groups may reach it (stages.groups pattern).
+    import ray
+
+    from textalyzer_ray.stages.groups import duplicate_keys, filter_to_keys
+
+    dup = duplicate_keys(lines, ["content_hash"])
+    keyset = {(h,) for h in dup["content_hash"].to_pylist()}
+    lines = filter_to_keys(lines, ["content_hash"], ray.put(keyset))
 
     def collect_group(g: pa.Table) -> pa.Table:
         # one hash group; split by actual content to be collision-proof
@@ -150,41 +161,29 @@ def duplicate_line_hashes(
     ds: Dataset, id_col: str, text_col: str, hot_line_cap: int = 1 << 20
 ) -> tuple[set[int], int]:
     """Shuffle #1: the duplicate-line set as u64 hashes of trimmed
-    content. Partial per-batch counts -> groupby(hash).sum -> filter
-    count >= 2. Returns (hash set, n_capped) where n_capped counts lines
-    whose occurrence count exceeded ``hot_line_cap`` (they are KEPT but
-    logged — at 10^12 scale you would drop or sample them)."""
-    from ray.data.aggregate import Sum
+    content. Vectorized partial counts + tree merge (stages.groups; no
+    per-group Python). Returns (hash set, n_capped) where n_capped
+    counts lines whose occurrence count exceeded ``hot_line_cap`` (they
+    are KEPT but logged — at 10^12 scale you would drop or sample
+    them)."""
+    from textalyzer_ray.stages.groups import duplicate_keys
 
-    def partial(t: pa.Table) -> pa.Table:
+    def explode_hashes(t: pa.Table) -> pa.Table:
         from textalyzer_ray.stages.lines import explode_lines
 
         lines = explode_lines(t, id_col, text_col, trim=True, drop_empty=True)
         h = _hash_strs(lines["content"].to_pylist())
-        df = pl.DataFrame({"line_hash": h}).group_by("line_hash").len()
-        return pa.table(
-            {
-                "line_hash": pa.array(df["line_hash"].to_numpy(), pa.uint64()),
-                "count": pa.array(df["len"].to_numpy().astype(np.int64)),
-            }
-        )
+        return pa.table({"line_hash": pa.array(h, pa.uint64())})
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("line_hash")
-        .aggregate(Sum("count", alias_name="count"))
+    hashes = ds.map_batches(
+        explode_hashes, batch_format="pyarrow", zero_copy_batch=True
     )
-
-    def dup_only(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.filter(pc.greater_equal(t["count"], 2))
-
-    rows = counts.map_batches(dup_only, batch_format="pyarrow").take_all()
-    n_capped = sum(1 for r in rows if r["count"] > hot_line_cap)
+    dup = duplicate_keys(hashes, ["line_hash"])
+    counts = dup["count"].to_pylist()
+    n_capped = sum(1 for c in counts if c > hot_line_cap)
     if n_capped:
         logger.warning("%d duplicate lines exceed hot_line_cap", n_capped)
-    return {int(r["line_hash"]) for r in rows}, n_capped
+    return {int(h) for h in dup["line_hash"].to_pylist()}, n_capped
 
 
 def _member_records(

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyarrow as pa
 from ray.data import Dataset
 
-from textalyzer_ray.stages.analyze import QualityScorer, ReadabilityScorer
+from textalyzer_ray.stages.analyze import DocScorer
 from textalyzer_ray.stages.extract import HtmlExtractor, keep_valid
 from textalyzer_ray.stages.pools import default_pool
 
@@ -71,11 +71,11 @@ def page_metrics(
     # drop_columns (not select_columns) stays lazy and works on empty
     # datasets whose schema is not yet known.
     extracted = extracted.drop_columns([html_col])
-    scored = extracted.map_batches(
-        ReadabilityScorer, batch_format="pyarrow", concurrency=concurrency
-    )
-    return scored.map_batches(
-        QualityScorer, batch_format="pyarrow", concurrency=concurrency
+    return extracted.map_batches(
+        DocScorer,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=concurrency,
     )
 
 

@@ -1,0 +1,54 @@
+"""Size-aware parquet readers.
+
+Ray Data's default block-splitting aims at large inputs; on a small
+file it can fan a few MB out into dozens of blocks, and every
+downstream stage and shuffle then pays per-block overhead (measured:
+64 blocks for a 1.5 MB table made the word-histogram 17x slower than 8
+blocks). ``read_table`` picks ``override_num_blocks`` from the FILE
+SIZE so the same code is efficient at every scale:
+
+  block_size = clamp(bytes / cpus, 4 MiB, 128 MiB)
+  blocks     = ceil(bytes / block_size)
+
+- small file (< 4 MiB x cpus): few blocks, no per-block overhead storm;
+  CPU-heavy actor stages still parallelize because batch_size slices
+  blocks into batches.
+- large input: converges to Ray's own ~128 MiB target, blocks scale
+  linearly with data (100 TB -> ~800k blocks across the cluster).
+
+Always pass ``columns=`` — prune at the read (ray_guide).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import ray
+from ray.data import Dataset
+
+_MIN_BLOCK = 4 << 20
+_MAX_BLOCK = 128 << 20
+
+
+def _num_blocks_for(total_bytes: int) -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    block = min(max(total_bytes // max(cpus, 1), _MIN_BLOCK), _MAX_BLOCK)
+    return max(1, math.ceil(total_bytes / block))
+
+
+def read_table(
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+    num_blocks: int | None = None,
+) -> Dataset:
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if num_blocks is None:
+        num_blocks = _num_blocks_for(os.path.getsize(path))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=num_blocks)

@@ -17,6 +17,64 @@ from textalyzer_ray.core.quality import quality_components, quality_score
 from textalyzer_ray.core.readability import text_stats
 
 
+class DocScorer:
+    """Combined readability + quality scorer (one actor pool, one
+    tokenization pass per document — two chained pools would pay pool
+    spin-up and tokenize twice)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from textalyzer_ray.core.quality import STOPWORDS, quality_score_from
+        from textalyzer_ray.core.readability import (
+            count_sentences,
+            count_syllables_word,
+        )
+        from textalyzer_ray.core.textmetrics import split_lines, tokenize
+
+        texts = batch[self.text_col].to_pylist()
+        n = len(texts)
+        cols = {
+            "n_words": np.zeros(n, np.int64),
+            "n_sentences": np.zeros(n, np.int64),
+            "n_syllables": np.zeros(n, np.int64),
+            "flesch_reading_ease": np.zeros(n, np.float64),
+            "flesch_kincaid_grade": np.zeros(n, np.float64),
+            "n_tokens": np.zeros(n, np.int64),
+            "n_stopwords": np.zeros(n, np.int64),
+            "total_token_chars": np.zeros(n, np.int64),
+            "n_lines": np.zeros(n, np.int64),
+            "quality_score": np.zeros(n, np.float64),
+        }
+        for i, t in enumerate(texts):
+            t = t or ""
+            toks = tokenize(t)
+            w = len(toks)
+            s = count_sentences(t)
+            y = sum(count_syllables_word(x) for x in toks)
+            cols["n_words"][i] = cols["n_tokens"][i] = w
+            cols["n_sentences"][i] = s
+            cols["n_syllables"][i] = y
+            if w and s:
+                cols["flesch_reading_ease"][i] = (
+                    206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+                )
+                cols["flesch_kincaid_grade"][i] = (
+                    0.39 * (w / s) + 11.8 * (y / w) - 15.59
+                )
+            n_stop = sum(1 for x in toks if x in STOPWORDS)
+            total_chars = sum(len(x) for x in toks)
+            cols["n_stopwords"][i] = n_stop
+            cols["total_token_chars"][i] = total_chars
+            cols["n_lines"][i] = len(split_lines(t))
+            cols["quality_score"][i] = quality_score_from(toks, t)
+        out = batch
+        for name, arr in cols.items():
+            out = out.append_column(name, pa.array(arr))
+        return out
+
+
 class ReadabilityScorer:
     """Append n_words, n_sentences, n_syllables, flesch_reading_ease,
     flesch_kincaid_grade (formulas in core.readability)."""
