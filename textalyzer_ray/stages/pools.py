@@ -11,8 +11,14 @@ from __future__ import annotations
 import ray
 
 
-def default_pool(cap: int | None = None) -> tuple[int, int]:
-    """(1, n) autoscaling pool; n = cluster CPUs - 2, bounded to [1, cap]."""
+def default_pool(cap: int | None = None) -> int:
+    """Fixed pool size n = cluster CPUs - 2, bounded to [1, cap].
+
+    Fixed (int), not autoscaling (1, n): an autoscaling pool ramps from
+    one actor and with a moderate task count the work finishes before
+    the pool is wide (measured 4x wall time on the flagship). A fixed
+    pool starts all actors in parallel; two spare CPUs keep readers and
+    shuffle tasks breathing."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
@@ -20,4 +26,4 @@ def default_pool(cap: int | None = None) -> tuple[int, int]:
     n = max(cpus - 2, 1)
     if cap is not None:
         n = min(n, cap)
-    return (1, n)
+    return n
