@@ -403,6 +403,29 @@ def _q_winnow_fingerprints(sf_dir: str):
     )
 
 
+def _q_resumable_extract(sf_dir: str):
+    """Partitioned flagship with checkpoint resume (rows-only): returns
+    per-partition (pid, row_count, fingerprint) from the lineage
+    manifests. Output lands under /tmp; a second driver run resumes and
+    returns identical rows (deterministic fingerprints)."""
+    import hashlib
+    import pandas as pd
+
+    from textalyzer_ray.pipelines.resumable import resumable_flagship
+
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest()
+    out_dir = f"/tmp/textalyzer_ray_resume_{tag}"
+    summary = resumable_flagship(sf_dir, out_dir, n_partitions=8)
+    rows = sorted(summary["manifests"].items())
+    return pd.DataFrame(
+        {
+            "pid": [p for p, _ in rows],
+            "row_count": pd.Series([m["row_count"] for _, m in rows], dtype="int64"),
+            "fingerprint": [m["fingerprint"] for _, m in rows],
+        }
+    )
+
+
 def _q_sessionize(sf_dir: str):
     from textalyzer_ray.pipelines.analytics import user_sessionize
     from textalyzer_ray.sources.tables import read_table
@@ -449,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "sessionize": _q_sessionize,
+        "resumable_extract": _q_resumable_extract,
     }
 
 

@@ -38,6 +38,19 @@ def word_histogram(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if not salted:
+        # vectorized merge (stages.groups): Ray's groupby finalizes in
+        # Python per group (~0.1 ms/group), which dominates for a real
+        # vocabulary; the polars tree merge has no per-group cost.
+        from textalyzer_ray.stages.groups import key_counts
+
+        out = key_counts(partials, ["word"], sum_cols=["count"]).map_batches(
+            lambda t: pa.table({"word": t["word"], "count": t["sum_count"]}),
+            batch_format="pyarrow",
+        )
+        if sort:
+            out = out.sort(["count", "word"], descending=[True, False])
+        return out
     if salted:
         def add_salt(t: pa.Table) -> pa.Table:
             # salt must vary WITHIN a key to spread a hot word across
@@ -56,8 +69,6 @@ def word_histogram(
             .aggregate(Sum("count", alias_name="count"))
         )
         out = stage1.groupby("word").aggregate(Sum("count", alias_name="count"))
-    else:
-        out = partials.groupby("word").aggregate(Sum("count", alias_name="count"))
     if sort:
         out = out.sort(["count", "word"], descending=[True, False])
     return out
@@ -96,9 +107,16 @@ def word_histogram_by_lang(
             )
         )
 
+    from textalyzer_ray.stages.groups import key_counts
+
+    p = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
     return (
-        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["lang", "word"])
-        .aggregate(Sum("count", alias_name="count"))
+        key_counts(p, ["lang", "word"], sum_cols=["count"])
+        .map_batches(
+            lambda t: pa.table(
+                {"lang": t["lang"], "word": t["word"], "count": t["sum_count"]}
+            ),
+            batch_format="pyarrow",
+        )
         .sort(["lang", "count", "word"], descending=[False, True, False])
     )

@@ -29,8 +29,12 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
-def _to_arrow_counts(df: pl.DataFrame, keys: list[str], min_cols: list[str]) -> pa.Table:
-    cols = keys + ["count"] + [f"min_{c}" for c in min_cols]
+def _to_arrow_counts(
+    df: pl.DataFrame, keys: list[str], min_cols: list[str], sum_cols: list[str]
+) -> pa.Table:
+    cols = keys + ["count"] + [f"min_{c}" for c in min_cols] + [
+        f"sum_{c}" for c in sum_cols
+    ]
     return df.select(cols).to_arrow()
 
 
@@ -38,27 +42,37 @@ def key_counts(
     ds: Dataset,
     keys: list[str],
     min_cols: list[str] | None = None,
+    sum_cols: list[str] | None = None,
     fanout: int = 8,
     levels: int = 2,
 ) -> Dataset:
-    """-> Dataset[keys..., count:int64 (+ min_<c> per min_col)], one row
+    """-> Dataset[keys..., count:int64 (+ min_<c> / sum_<c>)], one row
     per distinct key combination. All merging is polars; the final
     result is a single block."""
     min_cols = list(min_cols or [])
+    sum_cols = list(sum_cols or [])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = pl.from_arrow(t.select(keys + min_cols))
-        aggs = [pl.len().cast(pl.Int64).alias("count")] + [
-            pl.col(c).min().alias(f"min_{c}") for c in min_cols
-        ]
-        return _to_arrow_counts(df.group_by(keys).agg(aggs), keys, min_cols)
+        df = pl.from_arrow(t.select(keys + min_cols + sum_cols))
+        aggs = (
+            [pl.len().cast(pl.Int64).alias("count")]
+            + [pl.col(c).min().alias(f"min_{c}") for c in min_cols]
+            + [pl.col(c).sum().cast(pl.Int64).alias(f"sum_{c}") for c in sum_cols]
+        )
+        return _to_arrow_counts(
+            df.group_by(keys).agg(aggs), keys, min_cols, sum_cols
+        )
 
     def merge(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
-        aggs = [pl.col("count").sum().alias("count")] + [
-            pl.col(f"min_{c}").min().alias(f"min_{c}") for c in min_cols
-        ]
-        return _to_arrow_counts(df.group_by(keys).agg(aggs), keys, min_cols)
+        aggs = (
+            [pl.col("count").sum().alias("count")]
+            + [pl.col(f"min_{c}").min().alias(f"min_{c}") for c in min_cols]
+            + [pl.col(f"sum_{c}").sum().alias(f"sum_{c}") for c in sum_cols]
+        )
+        return _to_arrow_counts(
+            df.group_by(keys).agg(aggs), keys, min_cols, sum_cols
+        )
 
     cur = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     # tree merge: each level coalesces blocks by `fanout` and merges
