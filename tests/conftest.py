@@ -21,9 +21,6 @@ def ray_session():
 
 @pytest.fixture(scope="session")
 def quiet_data_context(ray_session):
-    from ray.data import DataContext
+    from textalyzer_ray.context import tune_data_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    ctx.execution_options.verbose_progress = False
-    return ctx
+    return tune_data_context()
