@@ -240,6 +240,82 @@ def _q_quality_components(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_word_doc_frequency(sf_dir: str):
+    from textalyzer_ray.pipelines.frequency import word_doc_frequency
+
+    return word_doc_frequency(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def _q_bigram_histogram(sf_dir: str):
+    from textalyzer_ray.pipelines.frequency import bigram_histogram
+
+    return bigram_histogram(_docs(sf_dir).select_columns(["text"]))
+
+
+def _q_distinct_word_count(sf_dir: str):
+    from textalyzer_ray.pipelines.frequency import distinct_word_count
+
+    return distinct_word_count(_docs(sf_dir).select_columns(["text"]))
+
+
+def _q_top_words_per_lang(sf_dir: str):
+    from textalyzer_ray.pipelines.frequency import top_words_per_group
+
+    return top_words_per_group(
+        _docs(sf_dir).select_columns(["text", "lang"]), group_col="lang", k=3
+    )
+
+
+def _q_cust_orders_by_segment(sf_dir: str):
+    """Broadcast join: orders (large) x customer (small, ray.put once) ->
+    per-segment order and customer counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textalyzer_ray.pipelines.joins import broadcast_join
+    from textalyzer_ray.sources.tables import read_table
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).rename_columns(["o_custkey", "c_mktsegment"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = broadcast_join(orders, cust, key="o_custkey")
+
+    def per_segment(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(g)
+        out = df.group_by("c_mktsegment").agg(
+            pl.len().cast(pl.Int64).alias("n_orders"),
+            pl.col("o_custkey").n_unique().cast(pl.Int64).alias("n_customers"),
+        )
+        return out.to_arrow()
+
+    return (
+        joined.groupby("c_mktsegment")
+        .map_groups(per_segment, batch_format="pyarrow")
+        .sort("c_mktsegment")
+    )
+
+
+def _q_lineitem_priority_join(sf_dir: str):
+    """Partitioned hash join (native Dataset.join): lineitem x orders ->
+    line counts per order priority."""
+    from ray.data.aggregate import Count
+
+    from textalyzer_ray.pipelines.joins import bucketed_join
+    from textalyzer_ray.sources.tables import read_table
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    od = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = bucketed_join(li, od, "l_orderkey", "o_orderkey", num_partitions=16)
+    return (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_lines"))
+        .sort("o_orderpriority")
+    )
+
+
 # ---- rows-only (non-SQL-expressible) --------------------------------------
 
 
@@ -462,6 +538,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": _q_similarity_topk,
         "extract_text": _q_extract_text,
         "quality_components": _q_quality_components,
+        "word_doc_frequency": _q_word_doc_frequency,
+        "bigram_histogram": _q_bigram_histogram,
+        "distinct_word_count": _q_distinct_word_count,
+        "top_words_per_lang": _q_top_words_per_lang,
+        "cust_orders_by_segment": _q_cust_orders_by_segment,
+        "lineitem_priority_join": _q_lineitem_priority_join,
         # rows-only (non-SQL-expressible)
         "multi_line_dups": _q_multi_line_dups,
         "minhash_pairs": _q_minhash_pairs,
@@ -544,6 +626,41 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY rank LIMIT {TOPK}"
         ),
         "extract_text": "SELECT doc_id, text FROM documents ORDER BY doc_id",
+        "word_doc_frequency": (
+            f"SELECT word, count(DISTINCT doc_id) AS df FROM ({tokens_cte}) "
+            "GROUP BY word ORDER BY df DESC, word"
+        ),
+        "bigram_histogram": (
+            "WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text), "
+            f"'{_TOKEN_SPLIT_SQL}'), x -> x <> '') AS ws FROM documents), "
+            "idx AS (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i FROM w "
+            "WHERE len(ws) >= 2) "
+            "SELECT ws[i] || ' ' || ws[i+1] AS bigram, count(*) AS count "
+            "FROM idx GROUP BY bigram ORDER BY count DESC, bigram"
+        ),
+        "distinct_word_count": (
+            f"SELECT count(DISTINCT word) AS n_distinct_words FROM ({tokens_cte})"
+        ),
+        "top_words_per_lang": (
+            "WITH h AS (SELECT d.lang, t.word, count(*) AS count "
+            f"FROM ({tokens_cte}) t JOIN documents d USING (doc_id) "
+            "GROUP BY d.lang, t.word), "
+            "r AS (SELECT lang, word, count, CAST(row_number() OVER ("
+            "PARTITION BY lang ORDER BY count DESC, word) AS BIGINT) AS rank FROM h) "
+            "SELECT lang, word, count, rank FROM r WHERE rank <= 3 "
+            "ORDER BY lang, rank"
+        ),
+        "cust_orders_by_segment": (
+            "SELECT c.c_mktsegment, count(*) AS n_orders, "
+            "count(DISTINCT o.o_custkey) AS n_customers "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
+        ),
+        "lineitem_priority_join": (
+            "SELECT o.o_orderpriority, count(*) AS n_lines "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"
+        ),
         "quality_components": (
             "SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, "
             "coalesce(s.n_stopwords, 0) AS n_stopwords, "

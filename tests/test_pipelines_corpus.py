@@ -1,0 +1,119 @@
+"""Corpus operators: doc frequency, bigrams, distinct counts (exact +
+HLL), top-k per group, joins."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from textalyzer_ray.pipelines.frequency import (
+    approx_distinct_words,
+    bigram_histogram,
+    distinct_word_count,
+    top_words_per_group,
+    word_doc_frequency,
+)
+from textalyzer_ray.pipelines.joins import broadcast_join, bucketed_join
+from textalyzer_ray.stages.sketch import HyperLogLog
+
+pytestmark = pytest.mark.usefixtures("quiet_data_context")
+
+
+def docs():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["a b a c", "b c d", "a a a"],
+                "lang": ["en", "en", "de"],
+            }
+        )
+    )
+
+
+class TestCorpusOps:
+    def test_word_doc_frequency(self):
+        rows = word_doc_frequency(docs()).take_all()
+        got = {r["word"]: r["df"] for r in rows}
+        assert got == {"a": 2, "b": 2, "c": 2, "d": 1}
+        dfs = [r["df"] for r in rows]
+        assert dfs == sorted(dfs, reverse=True)
+
+    def test_bigram_histogram(self):
+        rows = bigram_histogram(docs()).take_all()
+        got = {r["bigram"]: r["count"] for r in rows}
+        assert got == {
+            "a b": 1, "b a": 1, "a c": 1,  # doc 0
+            "b c": 1, "c d": 1,            # doc 1
+            "a a": 2,                      # doc 2
+        }
+
+    def test_distinct_word_count(self):
+        rows = distinct_word_count(docs()).take_all()
+        assert rows == [{"n_distinct_words": 4}]
+
+    def test_top_words_per_group(self):
+        rows = top_words_per_group(docs(), k=2).take_all()
+        en = [(r["word"], r["count"], r["rank"]) for r in rows if r["lang"] == "en"]
+        de = [(r["word"], r["count"], r["rank"]) for r in rows if r["lang"] == "de"]
+        assert en == [("a", 2, 1), ("b", 2, 2)]  # count desc, word asc
+        assert de == [("a", 3, 1)]
+
+
+class TestHll:
+    def test_estimate_accuracy(self):
+        import numpy as np
+
+        hll = HyperLogLog(p=12)
+        rng = np.random.RandomState(0)
+        hashes = rng.randint(0, 2**64, size=50_000, dtype=np.uint64)
+        est = hll.estimate(hll.registers_for(hashes))
+        n_true = len(np.unique(hashes))
+        assert abs(est - n_true) / n_true < 0.05
+
+    def test_merge_equals_union(self):
+        import numpy as np
+
+        hll = HyperLogLog(p=12)
+        rng = np.random.RandomState(1)
+        a = rng.randint(0, 2**64, 10_000, dtype=np.uint64)
+        b = rng.randint(0, 2**64, 10_000, dtype=np.uint64)
+        merged = HyperLogLog.merge(
+            [hll.registers_for(a), hll.registers_for(b)]
+        )
+        both = hll.registers_for(np.concatenate([a, b]))
+        assert (merged == both).all()
+
+    def test_approx_distinct_pipeline(self):
+        # alphabetic-only words (digits split tokens per frequency.rs:36)
+        import itertools
+        import string
+
+        words = [
+            "".join(c)
+            for c in itertools.islice(
+                itertools.product(string.ascii_lowercase, repeat=3), 2000
+            )
+        ]
+        ds = rd.from_arrow(
+            pa.table({"text": [" ".join(words[i : i + 50]) for i in range(0, 2000, 50)]})
+        )
+        est = approx_distinct_words(ds)
+        assert abs(est - 2000) / 2000 < 0.06
+
+
+class TestJoins:
+    def test_broadcast_join(self):
+        big = rd.from_arrow(
+            pa.table({"k": [1, 2, 3, 2], "v": ["a", "b", "c", "d"]})
+        )
+        small = pa.table({"k": [1, 2], "name": ["one", "two"]})
+        rows = broadcast_join(big, small, key="k").take_all()
+        got = sorted((r["k"], r["v"], r["name"]) for r in rows)
+        assert got == [(1, "a", "one"), (2, "b", "two"), (2, "d", "two")]
+
+    def test_bucketed_join(self):
+        left = rd.from_arrow(pa.table({"lk": [1, 2, 2, 3], "lv": [10, 20, 21, 30]}))
+        right = rd.from_arrow(pa.table({"rk": [2, 3, 4], "rv": ["x", "y", "z"]}))
+        rows = bucketed_join(left, right, "lk", "rk", num_partitions=4).take_all()
+        got = sorted((r["lk"], r["lv"], r["rv"]) for r in rows)
+        assert got == [(2, 20, "x"), (2, 21, "x"), (3, 30, "y")]

@@ -120,3 +120,147 @@ def word_histogram_by_lang(
         )
         .sort(["lang", "count", "word"], descending=[False, True, False])
     )
+
+
+def word_doc_frequency(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """(word, df) — number of documents containing each word (the IDF
+    numerator for TF-IDF). Partial stage emits per-batch DISTINCT
+    (doc, word) pairs collapsed to per-word doc counts (documents never
+    span batches, so batch-local distinct is globally correct); merge is
+    the vectorized tree (stages.groups)."""
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import key_counts
+    from textalyzer_ray.stages.tokenize import exploded_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        pairs = exploded_tokens(t, id_col, text_col)
+        df = (
+            pl.from_arrow(pairs)
+            .unique([id_col, "word"])
+            .group_by("word")
+            .len()
+            .rename({"len": "df"})
+            .with_columns(pl.col("df").cast(pl.Int64))
+        )
+        return df.select(["word", "df"]).to_arrow().cast(
+            pa.schema([pa.field("word", pa.string()), pa.field("df", pa.int64())])
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        key_counts(partials, ["word"], sum_cols=["df"])
+        .map_batches(
+            lambda t: pa.table({"word": t["word"], "df": t["sum_df"]}),
+            batch_format="pyarrow",
+        )
+        .sort(["df", "word"], descending=[True, False])
+    )
+
+
+def bigram_histogram(ds: Dataset, text_col: str = "text") -> Dataset:
+    """(bigram, count) over consecutive token pairs within each document
+    (reference tokenization; pairs never cross documents)."""
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import key_counts
+    from textalyzer_ray.stages.tokenize import _flat_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        tokens, parents = _flat_tokens(t, text_col)
+        df = pl.from_arrow(pa.table({"doc": parents, "word": tokens}))
+        df = df.with_columns(
+            pl.col("word").shift(-1).over("doc").alias("next")
+        ).drop_nulls("next")
+        df = (
+            df.with_columns(
+                (pl.col("word") + pl.lit(" ") + pl.col("next")).alias("bigram")
+            )
+            .group_by("bigram")
+            .len()
+            .rename({"len": "count"})
+            .with_columns(pl.col("count").cast(pl.Int64))
+        )
+        return df.select(["bigram", "count"]).to_arrow().cast(
+            pa.schema(
+                [pa.field("bigram", pa.string()), pa.field("count", pa.int64())]
+            )
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        key_counts(partials, ["bigram"], sum_cols=["count"])
+        .map_batches(
+            lambda t: pa.table({"bigram": t["bigram"], "count": t["sum_count"]}),
+            batch_format="pyarrow",
+        )
+        .sort(["count", "bigram"], descending=[True, False])
+    )
+
+
+def distinct_word_count(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Exact global distinct-token count -> one row (n_distinct_words)."""
+    out = word_histogram(ds, text_col=text_col, sort=False)
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"n_distinct_words": pa.array([t.num_rows], pa.int64())})
+
+    # word_histogram's merged result is a single block -> one row out
+    return out.map_batches(count_rows, batch_format="pyarrow", batch_size=None)
+
+
+def approx_distinct_words(ds: Dataset, text_col: str = "text", p: int = 12) -> int:
+    """HLL approximate distinct tokens: one sketch per batch, merged on
+    the driver (blocks x 4 KiB — the mergeable-sketch pattern)."""
+    import numpy as np
+
+    from textalyzer_ray.stages.sketch import HyperLogLog, hll_partial_batch
+
+    partials = ds.map_batches(
+        lambda t: hll_partial_batch(t, text_col, p),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    regs = [
+        np.frombuffer(r["registers"], dtype=np.uint8)
+        for r in partials.take_all()
+    ]
+    hll = HyperLogLog(p)
+    if not regs:
+        return 0
+    return hll.estimate(HyperLogLog.merge(regs))
+
+
+def top_words_per_group(
+    ds: Dataset, group_col: str = "lang", text_col: str = "text", k: int = 3
+) -> Dataset:
+    """Top-k words per group by (count desc, word asc) with rank —
+    window-function analogue (few groups -> per-group head is cheap)."""
+    import polars as pl
+
+    hist = word_histogram_by_lang(ds, text_col=text_col, lang_col=group_col)
+
+    def topk(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .sort([group_col, "count", "word"], descending=[False, True, False])
+            .with_columns(
+                (pl.col("word").cum_count().over(group_col)).cast(pl.Int64).alias("rank")
+            )
+            .filter(pl.col("rank") <= k)
+        )
+        return df.select([group_col, "word", "count", "rank"]).to_arrow().cast(
+            pa.schema(
+                [
+                    pa.field(group_col, pa.string()),
+                    pa.field("word", pa.string()),
+                    pa.field("count", pa.int64()),
+                    pa.field("rank", pa.int64()),
+                ]
+            )
+        )
+
+    # histogram result is small (vocab x groups after merge, one block)
+    return hist.repartition(1).map_batches(
+        topk, batch_format="pyarrow", batch_size=None
+    ).sort([group_col, "rank"])
