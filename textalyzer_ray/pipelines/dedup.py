@@ -90,25 +90,21 @@ def minhash_duplicate_pairs(
         bands=bands,
     )
 
-    class BandWithText(MinHasher):
-        def __init__(self):
-            super().__init__(**hasher_kwargs)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rows = super().__call__(batch)
-            texts = dict(
-                zip(batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist())
-            )
-            t = rows.append_column(
-                "text", pa.array([texts[i] for i in rows[self.id_col].to_pylist()])
-            )
-            return t
+    def band_with_text(batch: pa.Table) -> pa.Table:
+        # task pool, not actors: the only state (permutation tables) is
+        # microseconds to rebuild, and task scheduling avoids pool
+        # spin-up latency (see stages/pools.py rationale)
+        hasher = MinHasher(**hasher_kwargs)
+        rows = hasher(batch)
+        texts = dict(
+            zip(batch[id_col].to_pylist(), batch[text_col].to_pylist())
+        )
+        return rows.append_column(
+            "text", pa.array([texts[i] for i in rows[id_col].to_pylist()])
+        )
 
     bands_ds = ds.map_batches(
-        BandWithText,
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=default_pool(),
+        band_with_text, batch_format="pyarrow", batch_size=256
     )
 
     # Vectorized collision detection (stages.groups): count band keys

@@ -62,6 +62,12 @@ def read_table(
         num_blocks = _num_blocks_for(os.path.getsize(path))
     if min_blocks is not None:
         num_blocks = max(num_blocks, min_blocks)
+        # never shatter a small table into <128-row blocks — per-block
+        # overhead would dominate whatever min_blocks was buying
+        import pyarrow.parquet as pq
+
+        n_rows = pq.read_metadata(path).num_rows
+        num_blocks = min(num_blocks, max(1, n_rows // 128))
     return rd.read_parquet(path, columns=columns, override_num_blocks=num_blocks)
 
 
