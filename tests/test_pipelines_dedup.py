@@ -97,3 +97,21 @@ class TestWinnower:
         for r in rows:
             by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
         assert by_doc[0] & by_doc[1]  # shared substring fingerprints
+
+
+class TestNgramJaccardPairs:
+    def test_verifies_explicit_pairs(self, quiet_data_context):
+        import ray.data as rd
+        import pyarrow as pa
+
+        from textalyzer_ray.pipelines.dedup import ngram_jaccard_pairs
+
+        ds = corpus_ds()
+        cands = rd.from_arrow(
+            pa.table({"id_a": [0, 0, 3], "id_b": [1, 3, 5]})
+        )
+        rows = ngram_jaccard_pairs(ds, cands, threshold=0.0).take_all()
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+        assert got[(0, 1)] == 1.0       # identical docs
+        assert got[(0, 3)] < 0.1        # unrelated
+        assert got[(3, 5)] == 0.0

@@ -337,3 +337,68 @@ def simhash_duplicate_pairs(
     return sim.groupby("simhash_prefix").map_groups(
         pairs_in_bucket, batch_format="pyarrow"
     )
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset,
+    candidate_pairs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> Dataset:
+    """Exact n-gram Jaccard for an explicit candidate pair list
+    (id_a, id_b) — the verification kernel exposed standalone so any
+    candidate generator (LSH, simhash, embeddings) can reuse it.
+
+    The texts for candidate ids are broadcast via ray.put (candidate
+    sets are the near-duplicate fraction — small by construction; a cap
+    would go here if a pathological generator emitted the cross
+    product)."""
+    import ray
+
+    ids_needed = set()
+    pair_rows = candidate_pairs.select_columns(["id_a", "id_b"]).take_all()
+    for r in pair_rows:
+        ids_needed.add(r["id_a"])
+        ids_needed.add(r["id_b"])
+    needed_ref = ray.put(ids_needed)
+
+    class CollectTexts:
+        def __init__(self, ref):
+            self.needed = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([i in self.needed for i in t[id_col].to_pylist()])
+            return t.select([id_col, text_col]).filter(mask)
+
+    texts = {}
+    filtered = ds.map_batches(
+        CollectTexts,
+        fn_constructor_args=(needed_ref,),
+        batch_format="pyarrow",
+        concurrency=default_pool(),
+    )
+    for r in filtered.take_all():
+        texts[r[id_col]] = r[text_col]
+
+    out_a, out_b, out_j = [], [], []
+    for r in pair_rows:
+        ta = tokenize(texts.get(r["id_a"], "") or "")
+        tb = tokenize(texts.get(r["id_b"], "") or "")
+        j = jaccard(ta, tb, shingle_k)
+        if j >= threshold:
+            out_a.append(r["id_a"])
+            out_b.append(r["id_b"])
+            out_j.append(j)
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(out_a),
+                "id_b": pa.array(out_b),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+    )
