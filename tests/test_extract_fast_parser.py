@@ -1,0 +1,86 @@
+"""Fast regex-scanner DOM vs stdlib html.parser: the two engines must
+produce identical extractions (the fast path is the production one; the
+stdlib path is the reference implementation kept as the oracle)."""
+
+import pyarrow.parquet as pq
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from textalyzer_ray.core.extract import (
+    _annotate_lengths,
+    _collect_text,
+    _emit_blocks,
+    _iter_candidates,
+    _normalize_ws,
+    parse_dom,
+    score_candidate,
+)
+from textalyzer_ray.sources.webgen import pages_batch, synth_corpus
+
+
+def _extract_with(html: bytes, engine: str) -> str:
+    root = parse_dom(html.decode("utf-8", errors="replace"), engine=engine)
+    _annotate_lengths(root)
+    best, best_score = None, 0.0
+    for cand in _iter_candidates(root):
+        s = score_candidate(cand)
+        if s > best_score:
+            best, best_score = cand, s
+    if best is None:
+        return _normalize_ws(_collect_text(root))
+    lines: list[str] = []
+    _emit_blocks(best, lines)
+    return "\n".join(lines)
+
+
+def test_engines_agree_on_corpus():
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    htmls = pages_batch(t)["html"].to_pylist()
+    htmls += synth_corpus(100, seed=21)["html"].to_pylist()
+    for h in htmls:
+        assert _extract_with(h, "fast") == _extract_with(h, "slow")
+
+
+EDGE_CASES = [
+    b"<html><body><div><p>a &amp; b &lt;c&gt;</p><!-- x --><p>d</p></div></body>",
+    b"<div><script>var a = '<p>not content</p>';</script><p>real stuff</p></div>",
+    b"<DIV><P>upper case tags</P></DIV>",
+    b"<div><p>unclosed<p>another</div>",
+    b"<div>less than < sign and <br/> void<img src='x'></div>",
+    b"<div><pre>  keep   spacing\n  line2  </pre><p>after</p></div>",
+    b"just bare text no tags",
+    b"<div data-x='a>b'><p>attr with gt</p></div>",
+    b"<div>a </ b> c</div>",
+    b"<div>a </> c</div>",
+    b"<div>x<3 and y<4 <p>real</p></div>",
+    b"<!DOCTYPE html><div><![CDATA[raw]]><p>p</p></div>",
+    b"<style>p { color: red }</style><div><p>styled</p></div>",
+    b"<textarea><p>not parsed</p></textarea><div><p>yes</p></div>",
+    b"<div><script>never closed <p>hidden",
+]
+
+# Documented divergence: an UNTERMINATED comment at EOF is swallowed by
+# the fast parser (HTML5 behavior) but flushed as text by html.parser's
+# EOF handling. The fast behavior is the browser-correct one; asserted
+# here so a change is noticed.
+
+
+def test_unterminated_comment_swallowed_html5_style():
+    html = b"<div><p>truncated <!-- unclosed comment"
+    assert _extract_with(html, "fast") == "truncated"
+    assert _extract_with(html, "slow") == "truncated <!-- unclosed comment"
+
+
+def test_engines_agree_on_edge_cases():
+    for c in EDGE_CASES:
+        assert _extract_with(c, "fast") == _extract_with(c, "slow"), c
+
+
+_html_alphabet = "abcdef <>&/!\"'=-pdivsricptnl\n\t;#"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=_html_alphabet, max_size=120))
+def test_engines_agree_on_fuzzed_markup(s):
+    html = s.encode("utf-8")
+    assert _extract_with(html, "fast") == _extract_with(html, "slow")
