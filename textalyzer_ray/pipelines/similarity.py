@@ -37,17 +37,13 @@ def brute_force_topk(
     """-> (query_idx, vec_id, cosine) global top-k per query, sorted by
     (query_idx, cosine desc, vec_id)."""
     qref = ray.put(np.asarray(queries, dtype=np.float64))
-    local = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={
-            "queries_ref": qref,
-            "id_col": id_col,
-            "emb_col": emb_col,
-            "k": k,
-        },
-        batch_format="pyarrow",
-        concurrency=default_pool(),
-    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # task pool: the broadcast matrix is a zero-copy object-store
+        # read per task; no actor spin-up (stages/pools.py rationale)
+        return BruteForceTopK(qref, id_col=id_col, emb_col=emb_col, k=k)(batch)
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow")
 
     def global_topk(g: pa.Table) -> pa.Table:
         import polars as pl
@@ -98,10 +94,7 @@ def ivf_topk(
     cents = build_centroids(ds, n_centroids, emb_col=emb_col, id_col=id_col)
     cref = ray.put(cents)
     assigned = ds.map_batches(
-        IvfAssigner,
-        fn_constructor_kwargs={"centroids_ref": cref, "emb_col": emb_col},
-        batch_format="pyarrow",
-        concurrency=default_pool(),
+        lambda t: IvfAssigner(cref, emb_col=emb_col)(t), batch_format="pyarrow"
     )
     q = normalize_rows(np.asarray(queries, dtype=np.float64))
     probe_cells = set()
@@ -132,10 +125,7 @@ def embedding_near_dup_pairs(
     cents = build_centroids(ds, n_centroids, emb_col=emb_col, id_col=id_col)
     cref = ray.put(cents)
     assigned = ds.map_batches(
-        IvfAssigner,
-        fn_constructor_kwargs={"centroids_ref": cref, "emb_col": emb_col},
-        batch_format="pyarrow",
-        concurrency=default_pool(),
+        lambda t: IvfAssigner(cref, emb_col=emb_col)(t), batch_format="pyarrow"
     )
 
     def pairs_in_cell(g: pa.Table) -> pa.Table:

@@ -113,26 +113,30 @@ def filter_to_keys(
     ds: Dataset, keys: list[str], keyset_ref, concurrency=None
 ) -> Dataset:
     """Keep only rows whose key tuple is in the broadcast keyset
-    (``ray.put`` of a python set of tuples — fetched once per actor)."""
+    (``ray.put`` of a python set of tuples). Runs as tasks; the set is
+    unpickled once per WORKER PROCESS via a small cache (workers are
+    reused across tasks), so this keeps task-pool elasticity without
+    per-task deserialization of a large set."""
     import ray
 
-    from textalyzer_ray.stages.pools import default_pool
+    def key_filter(t: pa.Table) -> pa.Table:
+        cache = _worker_object_cache()
+        ck = keyset_ref.hex() if hasattr(keyset_ref, "hex") else str(keyset_ref)
+        keyset = cache.get(ck)
+        if keyset is None:
+            keyset = cache[ck] = ray.get(keyset_ref)
+        cols = [t[k].to_pylist() for k in keys]
+        mask = pa.array([tup in keyset for tup in zip(*cols)], pa.bool_())
+        return t.filter(mask)
 
-    if concurrency is None:
-        concurrency = default_pool()
+    return ds.map_batches(key_filter, batch_format="pyarrow")
 
-    class KeyFilter:
-        def __init__(self, ref):
-            self.keyset = ray.get(ref)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            cols = [t[k].to_pylist() for k in keys]
-            mask = pa.array([tup in self.keyset for tup in zip(*cols)], pa.bool_())
-            return t.filter(mask)
+_WORKER_CACHE: dict = {}
 
-    return ds.map_batches(
-        KeyFilter,
-        fn_constructor_args=(keyset_ref,),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+
+def _worker_object_cache(max_entries: int = 4) -> dict:
+    """Per-worker-process cache for broadcast objects."""
+    while len(_WORKER_CACHE) > max_entries:
+        _WORKER_CACHE.pop(next(iter(_WORKER_CACHE)))
+    return _WORKER_CACHE
