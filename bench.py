@@ -149,7 +149,7 @@ def run_scaling_worker() -> dict:
     CPUs."""
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    repl = int(os.environ.get("GRAFT_SCALING_REPL", "96"))
+    repl = int(os.environ.get("GRAFT_SCALING_REPL", "192"))
 
     import ray
 
