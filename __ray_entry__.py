@@ -240,6 +240,32 @@ def _q_quality_components(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_purchase_asof_view(sf_dir: str):
+    """As-of join: for each purchase event, the latest prior view by the
+    same user. (event_id, view_event_id), matched rows only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from textalyzer_ray.pipelines.joins import asof_join_by_key
+    from textalyzer_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    views = ev.filter(expr="event_type == 'view'").drop_columns(["event_type"])
+    joined = asof_join_by_key(purchases, views, key="user_id", ts_col="ts")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["event_id_right"]))
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "view_event_id": pc.cast(t["event_id_right"], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("event_id")
+
+
 def _q_word_doc_frequency(sf_dir: str):
     from textalyzer_ray.pipelines.frequency import word_doc_frequency
 
@@ -544,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words_per_lang": _q_top_words_per_lang,
         "cust_orders_by_segment": _q_cust_orders_by_segment,
         "lineitem_priority_join": _q_lineitem_priority_join,
+        "purchase_asof_view": _q_purchase_asof_view,
         # rows-only (non-SQL-expressible)
         "multi_line_dups": _q_multi_line_dups,
         "minhash_pairs": _q_minhash_pairs,
@@ -660,6 +687,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.o_orderpriority, count(*) AS n_lines "
             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"
+        ),
+        "purchase_asof_view": (
+            "SELECT p.event_id, v.event_id AS view_event_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+            "ON p.user_id = v.user_id AND p.ts >= v.ts "
+            "ORDER BY p.event_id"
         ),
         "quality_components": (
             "SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, "

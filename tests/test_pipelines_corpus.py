@@ -117,3 +117,33 @@ class TestJoins:
         rows = bucketed_join(left, right, "lk", "rk", num_partitions=4).take_all()
         got = sorted((r["lk"], r["lv"], r["rv"]) for r in rows)
         assert got == [(2, 20, "x"), (2, 21, "x"), (3, 30, "y")]
+
+
+class TestAsofJoin:
+    def test_latest_right_per_left(self, quiet_data_context):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.joins import asof_join_by_key
+
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "user": [1, 1, 2, 3],
+                    "ts": [100, 200, 150, 50],
+                    "purchase": ["p1", "p2", "p3", "p4"],
+                }
+            )
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "user": [1, 1, 1, 2],
+                    "ts": [90, 150, 250, 100],
+                    "view": ["v1", "v2", "v3", "v4"],
+                }
+            )
+        )
+        rows = asof_join_by_key(left, right, key="user").take_all()
+        got = {r["purchase"]: r["view_right"] for r in rows}
+        assert got == {"p1": "v1", "p2": "v2", "p3": "v4", "p4": None}

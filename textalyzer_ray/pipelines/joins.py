@@ -77,3 +77,79 @@ def bucketed_join(
         on=(left_key,),
         right_on=(right_key,),
     )
+
+
+def asof_join_by_key(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    ts_col: str = "ts",
+    suffix: str = "_right",
+) -> Dataset:
+    """As-of join: for each left row, the LATEST right row with the same
+    ``key`` and ``right.ts <= left.ts`` (ray_guide "As-of / range
+    join"): rename the right side's columns up front (so the aligned
+    union is unambiguous), co-group both sides by key, ``pd.merge_asof``
+    per group.
+
+    Partitioning assumption: one key's rows fit one group (true for
+    per-user event streams; a hot key would need time-bucketed
+    sub-splits).
+    """
+    import pandas as pd
+    import pyarrow as pa_
+
+    r_ts = ts_col + suffix
+
+    def rename_right(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [c if c == key else c + suffix for c in t.column_names]
+        )
+
+    right_r = right.map_batches(rename_right, batch_format="pyarrow")
+
+    l_schema = left.schema().base_schema
+    r_schema = [
+        pa_.field(f.name if f.name == key else f.name + suffix, f.type)
+        for f in right.schema().base_schema
+    ]
+    all_fields = list(l_schema) + [f for f in r_schema if f.name != key]
+    names = [f.name for f in all_fields]
+    if len(set(names)) != len(names):
+        raise ValueError(f"column collision after suffixing: {names}")
+
+    def tag_and_pad(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            for f in all_fields:
+                if f.name not in t.column_names:
+                    t = t.append_column(f.name, pa_.nulls(t.num_rows, f.type))
+            t = t.select(names)
+            return t.append_column("__side", pa_.array([side] * t.num_rows))
+
+        return fn
+
+    both = left.map_batches(tag_and_pad("l"), batch_format="pyarrow").union(
+        right_r.map_batches(tag_and_pad("r"), batch_format="pyarrow")
+    )
+
+    l_names = [f.name for f in l_schema]
+    r_names = [f.name for f in r_schema if f.name != key] + [key]
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"][l_names].sort_values(ts_col)
+        r = g[g["__side"] == "r"][r_names].sort_values(r_ts)
+        if r.empty:
+            for c in r_names:
+                if c != key:
+                    l[c] = None
+            return l
+        return pd.merge_asof(
+            l,
+            r,
+            left_on=ts_col,
+            right_on=r_ts,
+            by=key,
+            direction="backward",
+        )
+
+    return both.groupby(key).map_groups(merge_group, batch_format="pandas")
