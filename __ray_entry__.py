@@ -528,6 +528,12 @@ def _q_resumable_extract(sf_dir: str):
     )
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    from textalyzer_ray.pipelines.frequency import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir).select_columns(["doc_id", "text"]), k=3)
+
+
 def _q_sessionize(sf_dir: str):
     from textalyzer_ray.pipelines.analytics import user_sessionize
     from textalyzer_ray.sources.tables import read_table
@@ -582,6 +588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "sessionize": _q_sessionize,
         "resumable_extract": _q_resumable_extract,
+        "tfidf_top_terms": _q_tfidf_top_terms,
     }
 
 

@@ -147,3 +147,21 @@ class TestAsofJoin:
         rows = asof_join_by_key(left, right, key="user").take_all()
         got = {r["purchase"]: r["view_right"] for r in rows}
         assert got == {"p1": "v1", "p2": "v2", "p3": "v4", "p4": None}
+
+
+class TestTfidf:
+    def test_top_terms(self, quiet_data_context):
+        from textalyzer_ray.pipelines.frequency import tfidf_top_terms
+
+        rows = tfidf_top_terms(docs(), k=2).take_all()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tfidf"]))
+        # doc 2 = "a a a": 'a' appears in 2 docs -> tfidf = 3*ln(3/2) > 0
+        assert by_doc[2][0][1] == "a"
+        assert by_doc[2][0][2] > 0
+        # every doc has <= k rows with ranks 1..k
+        for d, lst in by_doc.items():
+            assert [x[0] for x in sorted(lst)] == list(range(1, len(lst) + 1))
+        # doc 1 = "b c d": 'd' (df=1) must outrank 'b'/'c' (df=2)
+        assert by_doc[1][0][1] == "d"

@@ -35,7 +35,14 @@ def exact_dedup(
 ) -> Dataset:
     """Keep the minimum-id row per distinct text. Returns (doc_id, text,
     n_copies). Shuffles 8-byte hashes; collisions are resolved by
-    comparing the actual text inside the group."""
+    comparing the actual text inside the group.
+
+    Scale note: group count == number of distinct texts, so Ray's
+    ~0.1 ms/group finalization applies to the whole corpus — at 10^12
+    docs swap the groupby for sort(content_hash) + per-block polars
+    dedup with block-boundary reconciliation, or key-aligned
+    repartition once HASH_SHUFFLE can be scoped per-stage
+    (textalyzer_ray/context.py)."""
 
     def hash_stage(t: pa.Table) -> pa.Table:
         return add_content_hash(t.select([id_col, text_col]), text_col)

@@ -264,3 +264,60 @@ def top_words_per_group(
     return hist.repartition(1).map_batches(
         topk, batch_format="pyarrow", batch_size=None
     ).sort([group_col, "rank"])
+
+
+def tfidf_top_terms(
+    ds: Dataset,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Per-document top-k TF-IDF terms -> (doc_id, term, tfidf, rank).
+
+    Two-phase: (1) corpus df table via ``word_doc_frequency`` (vocab-
+    bounded, collected once and broadcast with ray.put — a computed
+    aggregate fed back into a map stage, no join shuffle); (2) per-doc
+    tf * ln(N/df) scoring inside map_batches. Ties break on term asc.
+    """
+    import math
+
+    import ray
+
+    n_docs = ds.count()
+    df_rows = word_doc_frequency(ds, text_col=text_col, id_col=id_col).take_all()
+    df_ref = ray.put({r["word"]: r["df"] for r in df_rows})
+
+    from textalyzer_ray.stages.groups import _worker_object_cache
+
+    def score(t: pa.Table) -> pa.Table:
+        from textalyzer_ray.core.textmetrics import frequency_map
+
+        cache = _worker_object_cache()
+        ck = df_ref.hex() if hasattr(df_ref, "hex") else str(df_ref)
+        df_map = cache.get(ck)
+        if df_map is None:
+            df_map = cache[ck] = ray.get(df_ref)
+        out_id, out_term, out_score, out_rank = [], [], [], []
+        for d, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            fm = frequency_map(txt or "")
+            scored = sorted(
+                (
+                    (-cnt * math.log(n_docs / df_map.get(w, 1)), w)
+                    for w, cnt in fm.items()
+                ),
+            )[:k]
+            for rank, (neg, w) in enumerate(scored, 1):
+                out_id.append(d)
+                out_term.append(w)
+                out_score.append(-neg)
+                out_rank.append(rank)
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "term": pa.array(out_term, pa.string()),
+                "tfidf": pa.array(out_score, pa.float64()),
+                "rank": pa.array(out_rank, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort([id_col, "rank"])
