@@ -172,12 +172,22 @@ def minhash_duplicate_pairs(
         verify_group, batch_format="pyarrow"
     )
 
-    # distinct pairs (same pair can surface from several bands)
-    def dedup_pairs(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    # distinct pairs (the same pair surfaces from several bands): the
+    # verified pair set is small by construction, so coalesce and take
+    # polars-unique in one vectorized pass instead of a pair-keyed
+    # Ray groupby shuffle.
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        import polars as pl
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        dedup_pairs, batch_format="pyarrow"
+        return (
+            pl.from_arrow(t)
+            .unique(["id_a", "id_b"], keep="first", maintain_order=True)
+            .to_arrow()
+            .cast(t.schema)
+        )
+
+    return pairs.repartition(1).map_batches(
+        distinct_pairs, batch_format="pyarrow", batch_size=None
     )
 
 
