@@ -17,7 +17,6 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from textalyzer_ray.stages.pools import default_pool
 from textalyzer_ray.stages.similarity import (
     BruteForceTopK,
     IvfAssigner,
