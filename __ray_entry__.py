@@ -148,6 +148,19 @@ def _q_exact_dedup(sf_dir: str):
     )
 
 
+def _q_exact_dedup_distributed(sf_dir: str):
+    """Scale-path exact dedup: key-aligned hash partition + one
+    vectorized polars pass per block (no per-group Python, no
+    single-block merge). Same oracle as exact_dedup."""
+    from textalyzer_ray.pipelines.dedup import exact_dedup_distributed
+
+    return (
+        exact_dedup_distributed(_docs(sf_dir).select_columns(["doc_id", "text"]))
+        .select_columns(["doc_id", "n_copies"])
+        .sort("doc_id")
+    )
+
+
 def _q_single_line_dups(sf_dir: str):
     """Derived-line exact duplication groups (G2 over the chunk view):
     (content, n_locations, first_doc). Vectorized grouped count+min
@@ -565,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_rollup": _q_source_rollup,
         "top_k_longest": _q_top_k_longest,
         "exact_dedup": _q_exact_dedup,
+        "exact_dedup_distributed": _q_exact_dedup_distributed,
         "single_line_dups": _q_single_line_dups,
         "events_hourly": _q_events_hourly,
         "similarity_topk": _q_similarity_topk,
@@ -637,6 +651,10 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n_chars DESC, doc_id LIMIT 100"
         ),
         "exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents "
+            "GROUP BY text ORDER BY doc_id"
+        ),
+        "exact_dedup_distributed": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents "
             "GROUP BY text ORDER BY doc_id"
         ),

@@ -115,3 +115,57 @@ class TestNgramJaccardPairs:
         assert got[(0, 1)] == 1.0       # identical docs
         assert got[(0, 3)] < 0.1        # unrelated
         assert got[(3, 5)] == 0.0
+
+
+class TestGroupedApply:
+    def test_exact_dedup_distributed_matches(self, quiet_data_context):
+        from textalyzer_ray.pipelines.dedup import exact_dedup, exact_dedup_distributed
+
+        a = sorted(
+            (r["doc_id"], r["text"], r["n_copies"])
+            for r in exact_dedup(corpus_ds()).take_all()
+        )
+        b = sorted(
+            (r["doc_id"], r["text"], r["n_copies"])
+            for r in exact_dedup_distributed(corpus_ds()).take_all()
+        )
+        assert a == b
+
+    def test_grouped_apply_key_alignment(self, quiet_data_context):
+        import numpy as np
+        import polars as pl
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.stages.groups import grouped_apply
+
+        rng = np.random.RandomState(3)
+        t = pa.table({"k": rng.randint(0, 5000, 40_000), "v": np.arange(40_000)})
+        ds = rd.from_arrow(t).repartition(8)
+
+        def per_block(b: pa.Table) -> pa.Table:
+            return (
+                pl.from_arrow(b)
+                .group_by("k")
+                .agg(pl.len().cast(pl.Int64).alias("n"))
+                .to_arrow()
+            )
+
+        rows = grouped_apply(ds, ["k"], per_block, num_partitions=8).take_all()
+        got = {r["k"]: r["n"] for r in rows}
+        # one output row per key proves key alignment (no split groups)
+        assert len(rows) == len(got)
+        import collections
+
+        expected = collections.Counter(t["k"].to_pylist())
+        assert got == dict(expected)
+
+    def test_followed_by_sort_on_default_strategy(self, quiet_data_context):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.stages.groups import grouped_apply
+
+        ds = rd.from_arrow(pa.table({"k": [1, 2, 1, 3], "v": [1, 2, 3, 4]}))
+        out = grouped_apply(ds, ["k"], lambda b: b, num_partitions=2).sort("v")
+        assert [r["v"] for r in out.take_all()] == [1, 2, 3, 4]

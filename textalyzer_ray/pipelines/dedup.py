@@ -71,6 +71,48 @@ def exact_dedup(
     )
 
 
+def exact_dedup_distributed(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Scale path for exact dedup: key-aligned hash partition on the
+    content hash (stages.groups.grouped_apply) + ONE vectorized polars
+    group_by per block — zero per-group Python, fully distributed (no
+    single-block merge), correct because every content hash lands
+    entirely in one block. Same output as ``exact_dedup``."""
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    def hash_stage(t: pa.Table) -> pa.Table:
+        return add_content_hash(t.select([id_col, text_col]), text_col)
+
+    def keep_first_block(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t)
+            .group_by(text_col)  # by text, not hash: collision-proof
+            .agg(
+                pl.col(id_col).min().alias(id_col),
+                pl.len().cast(pl.Int64).alias("n_copies"),
+            )
+            .select([id_col, text_col, "n_copies"])
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    pa.field(id_col, t.schema.field(id_col).type),
+                    pa.field(text_col, pa.string()),
+                    pa.field("n_copies", pa.int64()),
+                ]
+            )
+        )
+
+    hashed = ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_apply(
+        hashed, ["content_hash"], keep_first_block, num_partitions=num_partitions
+    )
+
+
 def minhash_duplicate_pairs(
     ds: Dataset,
     id_col: str = "doc_id",

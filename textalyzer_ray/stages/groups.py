@@ -140,3 +140,34 @@ def _worker_object_cache(max_entries: int = 4) -> dict:
     while len(_WORKER_CACHE) > max_entries:
         _WORKER_CACHE.pop(next(iter(_WORKER_CACHE)))
     return _WORKER_CACHE
+
+
+def grouped_apply(
+    ds: Dataset,
+    keys: list[str],
+    fn,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Key-aligned grouped apply: hash-partition by ``keys`` so each key
+    lands entirely in ONE block, then run ``fn`` once per block
+    (pyarrow in/out, whole-block batches). ``fn`` sees every row of each
+    of its keys — per-block polars group_by is therefore globally
+    correct, with zero per-group Python.
+
+    The HASH_SHUFFLE strategy requirement is scoped to THIS pipeline's
+    lineage via the dataset's own captured DataContext (setting it
+    globally deadlocks small-cpu sessions — textalyzer_ray/context.py).
+    NOTE the context object is shared along the lineage, so the INPUT
+    dataset and any downstream ops of the result also carry the hash
+    strategy; sorts and groupbys still work under it (asserted in
+    tests), but callers should treat the input dataset as consumed.
+    """
+    from ray.data.context import ShuffleStrategy
+
+    if num_partitions is None:
+        from textalyzer_ray.sources.tables import cluster_cpus
+
+        num_partitions = max(cluster_cpus(), 2)
+    pipe = ds.repartition(num_partitions, keys=list(keys))
+    pipe.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return pipe.map_batches(fn, batch_format="pyarrow", batch_size=None)
