@@ -45,10 +45,16 @@ def key_counts(
     sum_cols: list[str] | None = None,
     fanout: int = 8,
     levels: int = 2,
+    distributed: bool = False,
 ) -> Dataset:
     """-> Dataset[keys..., count:int64 (+ min_<c> / sum_<c>)], one row
-    per distinct key combination. All merging is polars; the final
-    result is a single block."""
+    per distinct key combination. All merging is polars.
+
+    ``distributed=False`` (default): tree merge ending in ONE block —
+    right when the result is collected anyway (dup-key sets) and fine to
+    ~10^8 distinct keys per node. ``distributed=True``: final merge via
+    key-aligned ``grouped_apply`` — no single-node bottleneck, the
+    10^12-scale path (result stays partitioned)."""
     min_cols = list(min_cols or [])
     sum_cols = list(sum_cols or [])
 
@@ -75,6 +81,8 @@ def key_counts(
         )
 
     cur = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if distributed:
+        return grouped_apply(cur, keys, merge)
     # tree merge: each level coalesces blocks by `fanout` and merges
     # whole blocks (batch_size=None = one batch per block)
     for level in range(levels - 1):
