@@ -206,17 +206,32 @@ def _member_records(
     """
     ids = batch[id_col].to_pylist()
     texts = batch[text_col].to_pylist()
+    # hash every line of the batch in ONE vectorized pass (a polars
+    # frame per document was the stage's hot spot — measured)
+    doc_lines = [split_lines(t or "") for t in texts]
+    all_trimmed: list[str] = []
+    offsets = [0]
+    for lines in doc_lines:
+        all_trimmed.extend(l.strip() for l in lines)
+        offsets.append(len(all_trimmed))
+    all_h = _hash_strs(all_trimmed)
+    dup_arr = np.fromiter(dup_hashes, dtype=np.uint64, count=len(dup_hashes))
+    dup_arr.sort()
+    all_dup = np.zeros(len(all_trimmed), dtype=bool)
+    if len(all_trimmed) and len(dup_arr):
+        idx = np.searchsorted(dup_arr, all_h)
+        idx[idx >= len(dup_arr)] = 0
+        all_dup = dup_arr[idx] == all_h
     out_key, out_id, out_line, out_suffix, out_anchor = [], [], [], [], []
-    for doc_id, text in zip(ids, texts):
-        lines = split_lines(text or "")
+    for d, (doc_id, lines) in enumerate(zip(ids, doc_lines)):
         n = len(lines)
         if n == 0:
             continue
-        trimmed = [l.strip() for l in lines]
-        h = _hash_strs(trimmed)
-        is_dup = np.array(
-            [bool(t) and int(hh) in dup_hashes for t, hh in zip(trimmed, h)],
-            dtype=bool,
+        lo = offsets[d]
+        trimmed = all_trimmed[lo : offsets[d + 1]]
+        h = all_h[lo : offsets[d + 1]]
+        is_dup = all_dup[lo : offsets[d + 1]] & np.array(
+            [bool(t) for t in trimmed], dtype=bool
         )
         in_run = is_dup | np.array([not t for t in trimmed], dtype=bool)
         i = 0
