@@ -1,0 +1,39 @@
+"""bench.py contract smoke: one JSON line with the required fields
+(the driver parses this output verbatim each round)."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_single_json_line():
+    env = dict(
+        os.environ,
+        GRAFT_SF_DIR="/root/testdata/sf0.001",
+        RAY_GRAFT_CPUS="4",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    data = json.loads(line)
+    for field in ("metric", "value", "unit", "queries", "sf", "num_cpus"):
+        assert field in data, field
+    assert data["unit"] == "sec"
+    assert data["value"] > 0
+    assert set(data["queries"]) == {
+        "flagship",
+        "word_hist",
+        "line_length",
+        "single_dups",
+        "minhash",
+        "topk",
+    }
+    assert data["n_docs"] == 500
