@@ -62,6 +62,11 @@ def run_bench() -> dict:
     docs_path = f"{sf_dir}/documents.parquet"
     # warm the OS page cache so we measure compute+shuffle, not first I/O
     pq.read_table(docs_path)
+    # warm the Ray worker pool (cold python worker spawn otherwise lands
+    # inside the first timed query)
+    rd.range(num_cpus * 8, override_num_blocks=num_cpus * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
     meta = pq.read_table(docs_path, columns=["n_chars"])
     n_docs = meta.num_rows
     total_chars = int(np.sum(meta["n_chars"].to_numpy()))

@@ -179,29 +179,40 @@ def minhash_duplicate_pairs(
     keyset = set(zip(dup["band"].to_pylist(), dup["band_hash"].to_pylist()))
     bands_ds = filter_to_keys(bands_ds, ["band", "band_hash"], ray.put(keyset))
 
-    def verify_group(g: pa.Table) -> pa.Table:
-        ids = g[id_col].to_pylist()
-        texts = g["text"].to_pylist()
-        uniq: dict = {}
-        for i, t in zip(ids, texts):
-            uniq[i] = t
-        members = sorted(uniq)
-        if len(members) > max_group:
-            logger.warning(
-                "LSH bucket truncated: %d members > max_group=%d",
-                len(members),
-                max_group,
-            )
-            members = members[:max_group]
-        toks = {i: tokenize(uniq[i] or "") for i in members}
+    def verify_block(block: pa.Table) -> pa.Table:
+        """One key-aligned block holding MANY whole LSH buckets
+        (stages.groups.grouped_apply): iterate buckets in-process — no
+        Ray per-group machinery — with a per-block token cache so a doc
+        surfacing in several buckets tokenizes once."""
+        import polars as pl
+
         a_out, b_out, j_out = [], [], []
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                ja = jaccard(toks[members[x]], toks[members[y]], shingle_k)
-                if ja >= jaccard_threshold:
-                    a_out.append(members[x])
-                    b_out.append(members[y])
-                    j_out.append(ja)
+        tok_cache: dict = {}
+        df = pl.from_arrow(block)
+        for _, bucket in df.group_by(["band", "band_hash"]):
+            uniq = dict(zip(bucket[id_col].to_list(), bucket["text"].to_list()))
+            members = sorted(uniq)
+            if len(members) < 2:
+                continue
+            if len(members) > max_group:
+                logger.warning(
+                    "LSH bucket truncated: %d members > max_group=%d",
+                    len(members),
+                    max_group,
+                )
+                members = members[:max_group]
+            for i in members:
+                if i not in tok_cache:
+                    tok_cache[i] = tokenize(uniq[i] or "")
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    ja = jaccard(
+                        tok_cache[members[x]], tok_cache[members[y]], shingle_k
+                    )
+                    if ja >= jaccard_threshold:
+                        a_out.append(members[x])
+                        b_out.append(members[y])
+                        j_out.append(ja)
         return pa.table(
             {
                 "id_a": pa.array(a_out),
@@ -210,9 +221,9 @@ def minhash_duplicate_pairs(
             }
         )
 
-    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
-        verify_group, batch_format="pyarrow"
-    )
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    pairs = grouped_apply(bands_ds, ["band", "band_hash"], verify_block)
 
     # distinct pairs (the same pair surfaces from several bands): the
     # verified pair set is small by construction, so coalesce and take
