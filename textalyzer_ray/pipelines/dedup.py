@@ -252,9 +252,16 @@ def connected_components(pairs: Dataset, max_rounds: int = 10) -> Dataset:
     Distributed-safe: only groupby-min shuffles, no driver union-find.
     """
     import pyarrow.compute as pc
+    from ray.data import DataContext
     from ray.data.aggregate import Min
 
     edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    # the pairs lineage may carry a scoped HASH_SHUFFLE context
+    # (grouped_apply); the label-propagation loop below runs many small
+    # groupbys, and hash-shuffle aggregator-actor startup per round is
+    # pure overhead — flip the (already-materialized) dataset back to
+    # the session default strategy.
+    edges.context.shuffle_strategy = DataContext.get_current().shuffle_strategy
 
     def expand(t: pa.Table) -> pa.Table:
         # undirected: emit both directions plus self-labels
