@@ -278,10 +278,11 @@ _MARKUP = _re.compile(
     r"|</[^a-zA-Z>][^>]*>|</>"   # bogus end tag -> dropped (html.parser)
     # tag name must follow '<' / '</' immediately (html.parser
     # semantics: '< sign' is text, not a tag)
-    # attrs: quoted segments may contain '>', a trailing unterminated
-    # quote is tolerated like html.parser's lenient attrfind
+    # attrs: quoted values protect '>' only when they FOLLOW '=' (an
+    # attribute value, html.parser attrfind semantics); bare quotes are
+    # junk and a '>' inside them ends the tag
     r"|<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)"
-    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*(?:\"[^\">]*|'[^'>]*)?)(/?)>",
+    r"((?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*?)(/?)>",
     _re.DOTALL,
 )
 
@@ -292,8 +293,12 @@ _RAW_TEXT_TAGS = ("script", "style", "textarea", "title")
 def _fast_parse(html_text: str) -> _Node:
     """Regex-scanner DOM build ~5x faster than html.parser for the same
     tree shape (attributes are not parsed — no heuristic reads them).
-    Equivalence with the html.parser path is asserted by tests; malformed
-    markup falls back to treating stray '<' as text, like browsers."""
+    Equivalence with the html.parser path is asserted by tests (corpus,
+    16 edge cases, markup fuzz); malformed markup falls back to treating
+    stray '<' as text, like browsers. Junk-tag corner cases (quotes or
+    '/' inside a broken tag, e.g. ``<b'>``) follow HTML5-style recovery
+    rather than html.parser's tolerant-tag quirks — real pages do not
+    contain them and extraction only needs self-consistency."""
     root = _Node(tag="")
     stack = [root]
     order = 0
