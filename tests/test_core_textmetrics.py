@@ -111,3 +111,14 @@ class TestByteLengths:
         assert leading_indent_bytes("    x") == 4
         assert leading_indent_bytes("x") == 0
         assert leading_indent_bytes("\t x") == 2
+
+
+def test_rust_trim_excludes_separator_controls():
+    """ADVICE r1 (low): \x1c-\x1f are Python-isspace but NOT Unicode
+    White_Space; Rust trim() and polars strip_chars keep them."""
+    from textalyzer_ray.core.textmetrics import rust_trim, trimmed_byte_len
+
+    s = "\x1cabc\x1f"
+    assert rust_trim(s) == s
+    assert trimmed_byte_len(" \x1ca　") == 2  # \x1c + 'a'
+    assert rust_trim("  x  ") == "x"

@@ -30,6 +30,11 @@ _ALPHABET = (
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
     "0123456789 \t\n\r.,;:!?_-()[]{}'\"<>/\\|@#$%^&*+=~`"
     "äöüßéèêàçñ你好世界漢字καλημέραпривет"
+    # Full-vs-simple case-mapping divergence set: U+0130 İ (the only
+    # unconditional multi-char lowercase in SpecialCasing.txt), dotless
+    # ı, and uppercase Greek incl. Σ (contextual Final_Sigma) — exactly
+    # where pc.utf8_lower diverges from str.lower().
+    "İıΟΔΥΣΕΑΒΓΩ"
     "🚀😀🎉  "
 )
 texts = st.text(alphabet=_ALPHABET, max_size=200)
@@ -96,3 +101,20 @@ def test_null_text_handling():
         1: 0,
         2: 1,
     }
+
+
+def test_full_casefold_divergence_cases():
+    """ADVICE r1 (high): stage must match split-then-str.lower() on the
+    full-mapping divergence chars — İ (U+0130 -> i + combining dot) and
+    contextual final sigma."""
+    docs = ["İstanbul İ", "ΟΔΥΣΣΕΥΣ", "ΣΣ Σ", "İΣ mixed ΒΑΣΙΣ"]
+    t = pa.table({"text": docs})
+    out = partial_word_counts(t)
+    got = dict(zip(out["word"].to_pylist(), out["count"].to_pylist()))
+    expected = {}
+    for d in docs:
+        for w, c in frequency_map(d).items():
+            expected[w] = expected.get(w, 0) + c
+    assert got == expected
+    assert "i̇stanbul" in got  # full mapping, not simple 'istanbul'
+    assert "οδυσσευς" in got  # final sigma

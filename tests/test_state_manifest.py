@@ -91,3 +91,36 @@ def test_partition_documents_path():
     assert parts[0]["row_range"] == (0, 125)
     assert parts[-1]["row_range"][1] == 500
     assert all(p["inputs"] for p in parts)
+
+
+class TestResumeSafety:
+    def test_changed_inputs_force_rebuild(self, tmp_path):
+        """ADVICE r1: a pid whose manifest inputs differ from the current
+        plan (e.g. different n_partitions over regenerated input) must be
+        rebuilt, not silently reused."""
+        runner = PartitionedRunner(str(tmp_path / "out"))
+        build, _ = build_counter()
+        runner.run(PARTS, build)
+        changed = [dict(PARTS[0], inputs=["a-v2"]), PARTS[1], PARTS[2]]
+        build2, calls2 = build_counter()
+        summary = runner.run(changed, build2)
+        assert summary["ran"] == ["00000"]
+        assert calls2 == ["00000"]
+        m = json.load(open(tmp_path / "out" / MANIFEST_DIR / "00000.json"))
+        assert m["inputs"] == ["a-v2"]
+
+    def test_leaked_tmp_dirs_swept(self, tmp_path):
+        """ADVICE r1: part=<pid>.tmp-<uuid> dirs from a crashed run must
+        not survive into the next run's output tree (they'd match part=*
+        globs and double-count rows)."""
+        out = tmp_path / "out"
+        runner = PartitionedRunner(str(out))
+        leak = out / "part=00001.tmp-deadbeef"
+        leak.mkdir()
+        (leak / "junk.parquet").write_bytes(b"")
+        build, _ = build_counter()
+        runner.run(PARTS, build)
+        assert not leak.exists()
+        assert sorted(
+            n for n in os.listdir(out) if n.startswith("part=")
+        ) == ["part=00000", "part=00001", "part=00002"]

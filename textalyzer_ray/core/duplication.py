@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from textalyzer_ray.core.textmetrics import (
     leading_indent_bytes,
+    rust_trim,
     split_lines,
     trimmed_byte_len,
 )
@@ -45,7 +46,7 @@ def find_duplicate_lines(docs: list[Doc]) -> DupResult:
     line_map: dict[str, list[Location]] = {}
     for name, text in docs:
         for i, line in enumerate(split_lines(text)):
-            trimmed = line.strip()
+            trimmed = rust_trim(line)
             if not trimmed or trimmed_byte_len(line) <= 5:
                 continue
             line_map.setdefault(trimmed, []).append((name, i + 1))
@@ -69,14 +70,14 @@ def _strip_indent_bytes(line: str, n_bytes: int) -> str:
 
 
 def nonempty_line_count(content: str) -> int:
-    return sum(1 for line in content.split("\n") if line.strip())
+    return sum(1 for line in content.split("\n") if rust_trim(line))
 
 
 def form_block(block_lines: list[str]) -> str:
     """Indent-normalize a matched slice of raw lines
     (duplication.rs:190-218): strip the common minimum leading-whitespace
     byte count across non-blank lines, join with newline."""
-    indents = [leading_indent_bytes(l) for l in block_lines if l.strip()]
+    indents = [leading_indent_bytes(l) for l in block_lines if rust_trim(l)]
     min_indent = min(indents) if indents else 0
     return "\n".join(_strip_indent_bytes(l, min_indent) for l in block_lines)
 
@@ -121,7 +122,7 @@ def find_multi_line_duplications(docs: list[Doc]) -> DupResult:
     line_index: dict[str, list[Location]] = {}
     for name, _ in docs:
         for i, line in enumerate(file_lines[name]):
-            trimmed = line.strip()
+            trimmed = rust_trim(line)
             if trimmed:
                 line_index.setdefault(trimmed, []).append((name, i + 1))
 
@@ -136,7 +137,7 @@ def find_multi_line_duplications(docs: list[Doc]) -> DupResult:
         for start in range(len(lines)):
             first = lines[start]
             # RAW-line membership in the trimmed-key set: the asymmetry.
-            if first not in dup_set or not first.strip():
+            if first not in dup_set or not rust_trim(first):
                 continue
             for other_name, other_line in duplicate_lines[first]:
                 if other_name == name and other_line == start + 1:
@@ -147,8 +148,8 @@ def find_multi_line_duplications(docs: list[Doc]) -> DupResult:
                 match_len = 0
                 for off in range(max_len):
                     if (
-                        lines[start + off].strip()
-                        == other_lines[other_start + off].strip()
+                        rust_trim(lines[start + off])
+                        == rust_trim(other_lines[other_start + off])
                     ):
                         match_len += 1
                     else:

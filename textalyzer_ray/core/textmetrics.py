@@ -75,13 +75,34 @@ def display_width(line: str) -> int:
     return sum(max(_wcwidth(ch), 0) for ch in line)
 
 
+# Rust char::is_whitespace == the Unicode White_Space property exactly.
+# Python str.strip()/isspace() ADDITIONALLY strips \x1c-\x1f (file/group/
+# record/unit separators), so the oracle must strip an explicit charset
+# to stay bit-equal with Rust trim() and polars strip_chars (ADVICE r1).
+RUST_WHITESPACE = (
+    "\t\n\x0b\x0c\r \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+
+
+def rust_trim(s: str) -> str:
+    """Rust ``str::trim()`` — strip White_Space, not Python isspace."""
+    return s.strip(RUST_WHITESPACE)
+
+
+def rust_trim_start(s: str) -> str:
+    """Rust ``str::trim_start()``."""
+    return s.lstrip(RUST_WHITESPACE)
+
+
 def trimmed_byte_len(s: str) -> int:
     """Byte length of the Unicode-whitespace-trimmed string
     (duplication.rs:14: ``line.trim().len()`` — Rust len() is bytes)."""
-    return len(s.strip().encode("utf-8"))
+    return len(rust_trim(s).encode("utf-8"))
 
 
 def leading_indent_bytes(line: str) -> int:
     """Leading-whitespace byte count (duplication.rs:197-204:
     ``l.len() - l.trim_start().len()`` in bytes)."""
-    return len(line.encode("utf-8")) - len(line.lstrip().encode("utf-8"))
+    return len(line.encode("utf-8")) - len(rust_trim_start(line).encode("utf-8"))

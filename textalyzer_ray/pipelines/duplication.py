@@ -50,7 +50,11 @@ import ray
 from ray.data import Dataset
 
 from textalyzer_ray.core.duplication import form_block, suppress_overlaps
-from textalyzer_ray.core.textmetrics import split_lines, trimmed_byte_len
+from textalyzer_ray.core.textmetrics import (
+    rust_trim,
+    split_lines,
+    trimmed_byte_len,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -212,7 +216,7 @@ def _member_records(
     all_trimmed: list[str] = []
     offsets = [0]
     for lines in doc_lines:
-        all_trimmed.extend(l.strip() for l in lines)
+        all_trimmed.extend(rust_trim(l) for l in lines)
         offsets.append(len(all_trimmed))
     all_h = _hash_strs(all_trimmed)
     dup_arr = np.fromiter(dup_hashes, dtype=np.uint64, count=len(dup_hashes))
@@ -279,14 +283,14 @@ def _extend_group(g: pa.Table) -> pa.Table:
         if not anchors[a]:
             continue
         sa = suffixes[a]
-        ta = [l.strip() for l in sa]
+        ta = [rust_trim(l) for l in sa]
         for b in range(m):
             if b == a:
                 continue
             if paths[b] == paths[a] and lns[b] == lns[a]:
                 continue
             sb = suffixes[b]
-            tb = [l.strip() for l in sb]
+            tb = [rust_trim(l) for l in sb]
             max_len = min(len(sa), len(sb))
             match_len = 0
             for off in range(max_len):
@@ -364,7 +368,7 @@ def multi_line_duplications(
     def finalize_block(g: pa.Table) -> pa.Table:
         block = g["block"][0].as_py()
         locs = sorted(set(zip(g["path"].to_pylist(), g["line"].to_pylist())))
-        non_empty = sum(1 for l in block.split("\n") if l.strip())
+        non_empty = sum(1 for l in block.split("\n") if rust_trim(l))
         if non_empty < 1 or len(locs) < 2:
             return pa.table(
                 {
@@ -406,5 +410,5 @@ def multi_line_duplications(
     return [
         (content, locs)
         for content, locs in result
-        if sum(1 for l in content.split("\n") if l.strip()) >= min_lines
+        if sum(1 for l in content.split("\n") if rust_trim(l)) >= min_lines
     ]

@@ -15,25 +15,53 @@ occurrences.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 # RE2 class \pL == regex module \p{L}; see core.textmetrics.
 TOKEN_SPLIT_RE2 = r"[^\pL]+"
 
+# pc.utf8_lower is utf8proc's SIMPLE 1:1 case mapping; Python str.lower()
+# (== Rust to_lowercase(), frequency.rs:40) applies the FULL mapping. The
+# non-locale divergence set is exactly: U+0130 İ -> "i̇" (the only
+# unconditional multi-char lowercase in SpecialCasing.txt) and the
+# contextual Final_Sigma rule for U+03A3 Σ. Tokens containing either get
+# a Python .lower() fix-up; everything else stays on the Arrow kernel.
+_FULL_LOWER_DIVERGENT = ["İ", "Σ"]
+
+
+def _lower_tokens(flat: pa.Array) -> pa.Array:
+    """Lowercase a token array with str.lower() semantics, vectorized
+    except for the rare İ/Σ-bearing tokens."""
+    lowered = pc.utf8_lower(flat)
+    if len(flat) == 0:
+        return lowered
+    need = pc.match_substring(flat, _FULL_LOWER_DIVERGENT[0])
+    for ch in _FULL_LOWER_DIVERGENT[1:]:
+        need = pc.or_(need, pc.match_substring(flat, ch))
+    if not pc.any(need).as_py():
+        return lowered
+    mask = need.to_numpy(zero_copy_only=False)
+    idxs = np.flatnonzero(mask)
+    fixed = pa.array([flat[int(i)].as_py().lower() for i in idxs], pa.string())
+    return pc.replace_with_mask(lowered, need, fixed)
+
 
 def _flat_tokens(table: pa.Table, text_col: str) -> tuple[pa.Array, pa.Array]:
     """Return (tokens, parent_doc_indices) for all non-empty lowercase
-    tokens in the batch, fully vectorized (no Python per row)."""
+    tokens in the batch. Split FIRST on the raw text, then lowercase each
+    token — the reference order (frequency.rs:34-45); lowering first would
+    both change token boundaries (İ -> i+combining mark under the full
+    mapping) and miss contextual mappings."""
     col = table[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    lowered = pc.utf8_lower(col)
-    lists = pc.split_pattern_regex(lowered, TOKEN_SPLIT_RE2)
+    lists = pc.split_pattern_regex(col, TOKEN_SPLIT_RE2)
     flat = pc.list_flatten(lists)
     parents = pc.list_parent_indices(lists)
     mask = pc.not_equal(flat, "")
-    return flat.filter(mask), parents.filter(mask)
+    return _lower_tokens(flat.filter(mask)), parents.filter(mask)
 
 
 def partial_word_counts(table: pa.Table, text_col: str = "text") -> pa.Table:

@@ -94,6 +94,15 @@ class PartitionedRunner:
     def _part_dir(self, pid: str) -> str:
         return os.path.join(self.out_dir, f"part={pid}")
 
+    def _sweep_tmp_dirs(self) -> None:
+        """Delete ``part=*.tmp-*`` dirs leaked by a crash between
+        write_parquet and the atomic rename — they match ``part=*`` globs
+        and recursive reads of out_dir, so a consumer could double-count
+        rows from a dead run (ADVICE r1)."""
+        for name in os.listdir(self.out_dir):
+            if name.startswith("part=") and ".tmp-" in name:
+                shutil.rmtree(os.path.join(self.out_dir, name), ignore_errors=True)
+
     def completed(self) -> dict[str, PartitionManifest]:
         out = {}
         mdir = os.path.join(self.out_dir, MANIFEST_DIR)
@@ -114,11 +123,17 @@ class PartitionedRunner:
 
         Returns summary {"completed": [...], "skipped": [...], "ran": [...]}.
         """
+        self._sweep_tmp_dirs()
         done = self.completed() if resume else {}
         skipped, ran = [], []
         for part in partitions:
             pid = str(part["pid"])
-            if pid in done:
+            # Skip only if the manifest's recorded inputs equal this
+            # plan's inputs for the pid — a rerun with different
+            # n_partitions or regenerated input must NOT silently reuse a
+            # colliding pid that covers different rows (ADVICE r1).
+            cur_inputs = [str(x) for x in part.get("inputs", [])]
+            if pid in done and done[pid].inputs == cur_inputs:
                 skipped.append(pid)
                 continue
             t0 = time.monotonic()

@@ -102,6 +102,14 @@ def main() -> int:
             problems.append(f"rowcount {len(a)} != {len(b)}")
         if list(a.columns) != list(b.columns):
             problems.append(f"schema {list(a.columns)} != {list(b.columns)}")
+        elif [str(t) for t in a.dtypes] != [str(t) for t in b.dtypes]:
+            # Integer width/type must match the oracle exactly (the
+            # driver gate requires BIGINT everywhere — CLAUDE.md); the
+            # astype(str) hash below would mask e.g. int32 vs int64.
+            problems.append(
+                "dtype " + str([f"{c}:{a[c].dtype}!={b[c].dtype}"
+                                for c in a.columns if a[c].dtype != b[c].dtype])
+            )
         elif len(a) == len(b) and value_hash(a) != value_hash(b):
             problems.append("value-hash mismatch")
             diff = (a.astype(str) != b.astype(str)).any(axis=1)
