@@ -380,9 +380,14 @@ def _augmented_docs(sf_dir: str, n_copies: int = 10):
     )
     from textalyzer_ray.sources.tables import read_table
 
-    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).union(
-        rd.from_arrow(near)
-    )
+    from textalyzer_ray.sources.tables import cpu_heavy_min_blocks
+
+    return read_table(
+        sf_dir,
+        "documents",
+        columns=["doc_id", "text"],
+        min_blocks=cpu_heavy_min_blocks(),
+    ).union(rd.from_arrow(near))
 
 
 def _q_minhash_pairs(sf_dir: str):

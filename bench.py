@@ -118,7 +118,7 @@ def run_bench() -> dict:
     timed(
         "minhash",
         lambda: minhash_duplicate_pairs(
-            docs().select_columns(["doc_id", "text"]), bands=32
+            docs(cpu_heavy=True).select_columns(["doc_id", "text"]), bands=32
         ).count(),
     )
 

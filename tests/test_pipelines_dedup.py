@@ -169,3 +169,47 @@ class TestGroupedApply:
         ds = rd.from_arrow(pa.table({"k": [1, 2, 1, 3], "v": [1, 2, 3, 4]}))
         out = grouped_apply(ds, ["k"], lambda b: b, num_partitions=2).sort("v")
         assert [r["v"] for r in out.take_all()] == [1, 2, 3, 4]
+
+
+class TestScaleShape:
+    def test_no_string_column_in_lsh_features(self):
+        """VERDICT r1 #1: nothing shuffled by the LSH path may carry
+        text. The feature stage's output schema is ints/lists only."""
+        from textalyzer_ray.stages.dedup import MinHashFeatures
+
+        t = pa.table({"doc_id": [1, 2], "text": [BASE, NEAR]})
+        out = MinHashFeatures()(t)
+        assert set(out.column_names) == {"doc_id", "shingle_hashes", "band_hash"}
+        for f in out.schema:
+            assert not pa.types.is_string(f.type) and not pa.types.is_large_string(
+                f.type
+            ), f"string column {f.name} would ride the shuffle"
+        assert pa.types.is_list(out.schema.field("shingle_hashes").type)
+        assert out.schema.field("shingle_hashes").type.value_type == pa.uint64()
+
+    def test_hash_jaccard_matches_string_jaccard(self):
+        from textalyzer_ray.core.fingerprint import (
+            jaccard,
+            jaccard_from_hashes,
+            shingle_hash_set,
+        )
+        from textalyzer_ray.core.textmetrics import tokenize
+
+        for a, b in [(BASE, NEAR), (BASE, OTHER), ("", ""), (BASE, "")]:
+            ta, tb = tokenize(a), tokenize(b)
+            assert jaccard_from_hashes(
+                shingle_hash_set(ta, 3), shingle_hash_set(tb, 3)
+            ) == pytest.approx(jaccard(ta, tb, 3))
+
+    def test_long_path_graph_converges_distributed(self):
+        """VERDICT r1 #2: a path of >= 4 hops must converge through the
+        dataset-join propagation (no driver label dict)."""
+        n = 9  # path 0-1-2-...-9: diameter 9, several propagation rounds
+        pairs = rd.from_arrow(
+            pa.table(
+                {"id_a": list(range(n)), "id_b": [i + 1 for i in range(n)]}
+            )
+        )
+        rows = connected_components(pairs).take_all()
+        lab = {r["doc_id"]: r["cluster_id"] for r in rows}
+        assert lab == {i: 0 for i in range(n + 1)}

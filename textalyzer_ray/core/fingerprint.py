@@ -63,18 +63,26 @@ def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
-def minhash_signature(
-    tokens: list[str], k: int, a: np.ndarray, b: np.ndarray
+def minhash_signature_from_hashes(
+    base: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
-    """MinHash signature (uint64[num_perm]); empty docs -> all MAXU64."""
-    sh = shingles(tokens, k)
-    if not sh:
+    """MinHash signature (uint64[num_perm]) from pre-hashed shingles;
+    empty docs -> all MAXU64. Split out so a pipeline can hash shingles
+    ONCE and reuse the u64 array for both the signature and exact
+    hash-set Jaccard verification (no text through the shuffle)."""
+    if len(base) == 0:
         return np.full(len(a), _MAXU64, dtype=np.uint64)
-    base = _shingle_hashes(sh)  # (S,)
     # (P, S) universal hash in uint64 modular arithmetic (wraparound is
     # fine for min-selection as long as it is deterministic).
     vals = (a[:, None] * base[None, :] + b[:, None]) % np.uint64(_MERSENNE)
     return vals.min(axis=1)
+
+
+def minhash_signature(
+    tokens: list[str], k: int, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]); empty docs -> all MAXU64."""
+    return minhash_signature_from_hashes(_shingle_hashes(shingles(tokens, k)), a, b)
 
 
 def lsh_band_keys(signature: np.ndarray, bands: int) -> list[tuple[int, int]]:
@@ -86,6 +94,24 @@ def lsh_band_keys(signature: np.ndarray, bands: int) -> list[tuple[int, int]]:
         chunk = signature[band * rows : (band + 1) * rows]
         keys.append((band, stable_hash_u64(chunk.tobytes())))
     return keys
+
+
+def jaccard_from_hashes(ha: np.ndarray, hb: np.ndarray) -> float:
+    """Exact Jaccard over unique-sorted shingle-hash arrays — equals the
+    string-shingle ``jaccard`` modulo 64-bit hash collisions. This is the
+    verification kernel for the no-text-through-the-shuffle LSH path."""
+    if len(ha) == 0 and len(hb) == 0:
+        return 1.0
+    if len(ha) == 0 or len(hb) == 0:
+        return 0.0
+    inter = np.intersect1d(ha, hb, assume_unique=True).size
+    return inter / (len(ha) + len(hb) - inter)
+
+
+def shingle_hash_set(tokens: list[str], k: int) -> np.ndarray:
+    """Unique-sorted u64 shingle hashes for a token list — the document
+    feature carried (ONCE per doc) into LSH verification."""
+    return np.unique(_shingle_hashes(shingles(tokens, k)))
 
 
 def jaccard(tokens_a: list[str], tokens_b: list[str], k: int) -> float:

@@ -107,8 +107,9 @@ def find_duplicate_lines(
     from textalyzer_ray.stages.groups import duplicate_keys, filter_to_keys
 
     dup = duplicate_keys(lines, ["content_hash"])
-    keyset = {(h,) for h in dup["content_hash"].to_pylist()}
-    lines = filter_to_keys(lines, ["content_hash"], ray.put(keyset))
+    lines = filter_to_keys(
+        lines, ["content_hash"], ray.put(dup.select(["content_hash"]))
+    )
 
     def collect_group(g: pa.Table) -> pa.Table:
         # one hash group; split by actual content to be collision-proof
