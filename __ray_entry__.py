@@ -547,9 +547,16 @@ def _q_resumable_extract(sf_dir: str):
 
 
 def _q_tfidf_top_terms(sf_dir: str):
+    """Distributed TF-IDF (tf ⋈ df hash join, no driver vocabulary).
+    The driver-gated projection drops the float score column — rank and
+    term are fully determined by it, and the driver contract hashes
+    integers/strings exactly (CLAUDE.md: floats only in rows-only
+    queries)."""
     from textalyzer_ray.pipelines.frequency import tfidf_top_terms
 
-    return tfidf_top_terms(_docs(sf_dir).select_columns(["doc_id", "text"]), k=3)
+    return tfidf_top_terms(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), k=3
+    ).select_columns(["doc_id", "term", "rank"])
 
 
 def _q_sessionize(sf_dir: str):
@@ -734,5 +741,20 @@ def oracle_sql() -> dict[str, str]:
             f"count(*) FILTER (WHERE word IN ({_STOPWORDS_SQL})) AS n_stopwords, "
             "CAST(sum(length(word)) AS BIGINT) AS total_token_chars "
             f"FROM ({tokens_cte}) GROUP BY doc_id) s USING (doc_id) ORDER BY d.doc_id"
+        ),
+        "tfidf_top_terms": (
+            f"WITH tok AS ({tokens_cte}), "
+            "tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok GROUP BY doc_id, word), "
+            "df AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+            "FROM tok GROUP BY word), "
+            "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.word AS term, "
+            "tf.tf * ln(n.n / df.df) AS s FROM tf JOIN df USING (word) CROSS JOIN n), "
+            "ranked AS (SELECT doc_id, term, CAST(row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY s DESC, term ASC) AS BIGINT) AS rank "
+            "FROM scored) "
+            "SELECT doc_id, term, rank FROM ranked WHERE rank <= 3 "
+            "ORDER BY doc_id, rank"
         ),
     }

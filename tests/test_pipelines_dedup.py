@@ -213,3 +213,47 @@ class TestScaleShape:
         rows = connected_components(pairs).take_all()
         lab = {r["doc_id"]: r["cluster_id"] for r in rows}
         assert lab == {i: 0 for i in range(n + 1)}
+
+
+class TestSimHashMultiTable:
+    def test_pigeonhole_recall_within_chunks(self):
+        """4 disjoint 16-bit chunk tables: any pair with hamming <= 3
+        shares at least one untouched chunk (pigeonhole), so it MUST
+        collide in some table — including pairs differing ONLY in the
+        top 16 bits (the old single-prefix table's blind spot)."""
+        import numpy as np
+
+        h1 = np.uint64(0xDEADBEEF12345678)
+        for flipped_bits in [
+            [63],              # top chunk only — old design missed this
+            [63, 62, 61],      # 3 bits, all in the top chunk
+            [0, 21, 47],       # spread over 3 different chunks
+        ]:
+            h2 = h1
+            for b in flipped_bits:
+                h2 = np.uint64(int(h2) ^ (1 << b))
+            chunks1 = [(int(h1) >> (64 - 16 * (j + 1))) & 0xFFFF for j in range(4)]
+            chunks2 = [(int(h2) >> (64 - 16 * (j + 1))) & 0xFFFF for j in range(4)]
+            assert any(a == b for a, b in zip(chunks1, chunks2)), flipped_bits
+
+    def test_planted_prefix_divergent_pair_found(self):
+        """End-to-end: a pair whose simhash diff (hamming=2) includes a
+        TOP-16-bit flip — invisible to the old single-prefix table — is
+        found by the multi-table pipeline."""
+        from textalyzer_ray.core.fingerprint import hamming64, simhash64
+        from textalyzer_ray.core.textmetrics import frequency_map
+        from textalyzer_ray.pipelines.dedup import simhash_duplicate_pairs
+
+        base = (
+            "him bus bel des dan cur cat bun gom bos ham fol ben bem bot "
+            "cum cut ger has hur got con hor fit cun ful hal det bam ces "
+            "hol dur han cer hin dun hos hir fem bul"
+        )
+        near = base.replace("hor", "fam")
+        h0 = simhash64(frequency_map(base))
+        h2 = simhash64(frequency_map(near))
+        assert 0 < hamming64(h0, h2) <= 3
+        assert (h0 >> 48) != (h2 >> 48)  # top chunk differs
+        ds = rd.from_arrow(pa.table({"doc_id": [1, 2], "text": [base, near]}))
+        rows = simhash_duplicate_pairs(ds, max_hamming=3).take_all()
+        assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in rows), rows

@@ -495,45 +495,115 @@ def simhash_duplicate_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_group: int = 2000,
+    n_tables: int = 4,
 ) -> Dataset:
-    """(id_a, id_b, hamming) candidate near-dups: simhash per doc (actor
-    pool), bucket by 16-bit prefix, pairwise hamming within bucket.
-    (Prefix bucketing misses pairs differing inside the prefix — the
-    standard multi-table permutation fix is noted in the docstring for
-    the scale path; one table suffices for the fixtures.)"""
-    from textalyzer_ray.core.fingerprint import hamming64
+    """(id_a, id_b, hamming) near-dup pairs: simhash per doc, bucketed by
+    each of ``n_tables`` disjoint 16-bit chunks of the 64-bit sketch
+    (multi-table LSH, VERDICT r1 #9). Pigeonhole guarantee: a pair with
+    hamming <= n_tables-1 differs in at most n_tables-1 chunks, so it
+    collides in at least one table — EXACT recall for max_hamming <= 3
+    at the default 4 tables (the old single-prefix table missed pairs
+    differing inside the prefix). In-bucket pairwise hamming inside
+    key-aligned blocks; distinct across tables via a pair-keyed pass.
+    Shuffled rows are (id, table:int32, bucket:int32, simhash:u64)."""
+    import numpy as np
+    import polars as pl
 
-    sim = ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=default_pool(),
+    from textalyzer_ray.core.fingerprint import hamming64
+    from textalyzer_ray.sources.tables import cluster_cpus
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    pair_schema = pa.schema(
+        [
+            pa.field("id_a", id_type),
+            pa.field("id_b", id_type),
+            pa.field("hamming", pa.int32()),
+        ]
     )
 
-    def pairs_in_bucket(g: pa.Table) -> pa.Table:
-        ids = g[id_col].to_pylist()
-        hs = g["simhash"].to_pylist()
-        order = sorted(range(len(ids)), key=lambda i: ids[i])[:max_group]
+    def sim_and_explode(batch: pa.Table) -> pa.Table:
+        sim = SimHasher(id_col=id_col, text_col=text_col)(batch)
+        h = sim["simhash"].to_numpy(zero_copy_only=False)
+        n = len(h)
+        ids = sim[id_col].combine_chunks() if isinstance(sim[id_col], pa.ChunkedArray) else sim[id_col]
+        parts = []
+        for j in range(n_tables):
+            chunk = ((h >> np.uint64(64 - 16 * (j + 1))) & np.uint64(0xFFFF)).astype(
+                np.int32
+            )
+            parts.append(
+                pa.table(
+                    {
+                        id_col: ids,
+                        "table": pa.array(np.full(n, j, dtype=np.int32)),
+                        "bucket": pa.array(chunk),
+                        "simhash": sim["simhash"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    exploded = ds.map_batches(
+        sim_and_explode, batch_format="pyarrow", batch_size=256
+    )
+
+    def pairs_in_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pair_schema.empty_table()
+        ids_list = block[id_col].to_pylist()
+        hs = block["simhash"].to_numpy(zero_copy_only=False)
+        df = pl.DataFrame(
+            {
+                "table": block["table"].to_numpy(zero_copy_only=False),
+                "bucket": block["bucket"].to_numpy(zero_copy_only=False),
+                "row": np.arange(block.num_rows, dtype=np.int64),
+            }
+        )
         a_out, b_out, d_out = [], [], []
-        for xi in range(len(order)):
-            for yi in range(xi + 1, len(order)):
-                x, y = order[xi], order[yi]
-                d = hamming64(int(hs[x]), int(hs[y]))
-                if d <= max_hamming:
-                    a_out.append(ids[x])
-                    b_out.append(ids[y])
-                    d_out.append(d)
+        for _, bucket in df.group_by(["table", "bucket"]):
+            rows = bucket["row"].to_list()
+            if len(rows) < 2:
+                continue
+            order = sorted(rows, key=ids_list.__getitem__)
+            if len(order) > max_group:
+                logger.warning(
+                    "simhash bucket truncated: %d members > max_group=%d",
+                    len(order),
+                    max_group,
+                )
+                order = order[:max_group]
+            for xi in range(len(order)):
+                for yi in range(xi + 1, len(order)):
+                    x, y = order[xi], order[yi]
+                    d = hamming64(int(hs[x]), int(hs[y]))
+                    if d <= max_hamming:
+                        a_out.append(ids_list[x])
+                        b_out.append(ids_list[y])
+                        d_out.append(d)
         return pa.table(
             {
-                "id_a": pa.array(a_out),
-                "id_b": pa.array(b_out),
+                "id_a": pa.array(a_out, id_type),
+                "id_b": pa.array(b_out, id_type),
                 "hamming": pa.array(d_out, pa.int32()),
             }
         )
 
-    return sim.groupby("simhash_prefix").map_groups(
-        pairs_in_bucket, batch_format="pyarrow"
+    n_parts = max(2, cluster_cpus() // 4)
+    pairs = grouped_apply(
+        exploded, ["table", "bucket"], pairs_in_block, num_partitions=n_parts
+    )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .unique(["id_a", "id_b"], keep="first", maintain_order=True)
+            .to_arrow()
+            .cast(pair_schema)
+        )
+
+    return grouped_apply(
+        pairs, ["id_a", "id_b"], distinct_pairs, num_partitions=n_parts
     )
 
 
@@ -549,54 +619,112 @@ def ngram_jaccard_pairs(
     (id_a, id_b) — the verification kernel exposed standalone so any
     candidate generator (LSH, simhash, embeddings) can reuse it.
 
-    The texts for candidate ids are broadcast via ray.put (candidate
-    sets are the near-duplicate fraction — small by construction; a cap
-    would go here if a pathological generator emitted the cross
-    product)."""
+    Distributed kernel (VERDICT r1 #6 — no driver text loop): per-doc
+    shingle-hash sets are computed ONCE for the ids appearing in any
+    pair (vectorized semi-join filter), then meet the pair rows through
+    two hash-partitioned joins; verification reads u64 arrays only.
+    Only the pair LIST touches the driver (it is the candidate set —
+    small by contract); text reaches neither the driver nor a shuffle.
+    An id absent from ``ds`` verifies as an empty shingle set (old
+    semantics: missing text == '')."""
+    import numpy as np
     import ray
-
-    ids_needed = set()
-    pair_rows = candidate_pairs.select_columns(["id_a", "id_b"]).take_all()
-    for r in pair_rows:
-        ids_needed.add(r["id_a"])
-        ids_needed.add(r["id_b"])
-    needed_ref = ray.put(ids_needed)
-
-    class CollectTexts:
-        def __init__(self, ref):
-            self.needed = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([i in self.needed for i in t[id_col].to_pylist()])
-            return t.select([id_col, text_col]).filter(mask)
-
-    texts = {}
-    filtered = ds.map_batches(
-        CollectTexts,
-        fn_constructor_args=(needed_ref,),
-        batch_format="pyarrow",
-        concurrency=default_pool(),
-    )
-    for r in filtered.take_all():
-        texts[r[id_col]] = r[text_col]
-
-    out_a, out_b, out_j = [], [], []
-    for r in pair_rows:
-        ta = tokenize(texts.get(r["id_a"], "") or "")
-        tb = tokenize(texts.get(r["id_b"], "") or "")
-        j = jaccard(ta, tb, shingle_k)
-        if j >= threshold:
-            out_a.append(r["id_a"])
-            out_b.append(r["id_b"])
-            out_j.append(j)
     import ray.data as rd
 
-    return rd.from_arrow(
-        pa.table(
-            {
-                "id_a": pa.array(out_a),
-                "id_b": pa.array(out_b),
-                "jaccard": pa.array(out_j, pa.float64()),
-            }
+    from textalyzer_ray.core.fingerprint import jaccard_from_hashes, shingle_hash_set
+    from textalyzer_ray.pipelines.joins import bucketed_join
+    from textalyzer_ray.sources.tables import cluster_cpus
+    from textalyzer_ray.stages.groups import filter_to_keys
+
+    pair_tbl = pa.concat_tables(
+        list(
+            candidate_pairs.select_columns(["id_a", "id_b"]).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
         )
     )
+    id_type = pair_tbl.schema.field("id_a").type
+    pair_schema = pa.schema(
+        [
+            pa.field("id_a", id_type),
+            pa.field("id_b", id_type),
+            pa.field("jaccard", pa.float64()),
+        ]
+    )
+    if pair_tbl.num_rows == 0:
+        return rd.from_arrow(pair_schema.empty_table())
+
+    needed = pa.table(
+        {
+            id_col: pa.concat_arrays(
+                [
+                    pair_tbl["id_a"].combine_chunks(),
+                    pair_tbl["id_b"].combine_chunks(),
+                ]
+            )
+        }
+    )
+
+    def featurize(t: pa.Table) -> pa.Table:
+        # hash sets ride as BINARY blobs (8-byte LE per element): Arrow's
+        # acero hash join rejects list<> payload columns, binary it takes
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "hashes": pa.array(
+                    [
+                        shingle_hash_set(tokenize(txt or ""), shingle_k).tobytes()
+                        for txt in t[text_col].to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    feats = filter_to_keys(
+        ds.select_columns([id_col, text_col]), [id_col], ray.put(needed)
+    ).map_batches(featurize, batch_format="pyarrow")
+
+    n_parts = max(2, min(cluster_cpus() // 2, pair_tbl.num_rows // 10_000 + 1))
+    pairs_ds = rd.from_arrow(pair_tbl)
+    j1 = bucketed_join(
+        pairs_ds,
+        feats.map_batches(
+            lambda t: pa.table({"id_a": t[id_col], "ha": t["hashes"]}),
+            batch_format="pyarrow",
+        ),
+        left_key="id_a",
+        num_partitions=n_parts,
+        how="left_outer",
+    )
+    j2 = bucketed_join(
+        j1,
+        feats.map_batches(
+            lambda t: pa.table({"id_b": t[id_col], "hb": t["hashes"]}),
+            batch_format="pyarrow",
+        ),
+        left_key="id_b",
+        num_partitions=n_parts,
+        how="left_outer",
+    )
+
+    empty_u64 = np.empty(0, dtype=np.uint64)
+
+    def verify(t: pa.Table) -> pa.Table:
+        ha = t["ha"].to_pylist()
+        hb = t["hb"].to_pylist()
+        out_j = np.empty(t.num_rows, dtype=np.float64)
+        for i in range(t.num_rows):
+            va = np.frombuffer(ha[i], dtype=np.uint64) if ha[i] else empty_u64
+            vb = np.frombuffer(hb[i], dtype=np.uint64) if hb[i] else empty_u64
+            out_j[i] = jaccard_from_hashes(va, vb)
+        keep = out_j >= threshold
+        return pa.table(
+            {
+                "id_a": t["id_a"].filter(pa.array(keep)),
+                "id_b": t["id_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(out_j[keep], pa.float64()),
+            }
+        ).cast(pair_schema)
+
+    return j2.map_batches(verify, batch_format="pyarrow")

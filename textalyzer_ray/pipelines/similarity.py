@@ -68,14 +68,32 @@ def build_centroids(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Deterministic centroids from the first ``sample_limit`` vectors in
-    id order (stable sample => stable centroids => resumable index)."""
-    sample = ds.sort(id_col).limit(sample_limit)
-    mats = [
-        _stack_embeddings(b, emb_col)
-        for b in sample.iter_batches(batch_size=1024, batch_format="pyarrow")
-    ]
-    m = np.vstack(mats)
+    """Deterministic centroids from the ``sample_limit`` smallest-id
+    vectors (stable sample => stable centroids => resumable index).
+
+    No global sort (VERDICT r1 #10): the global smallest-id head is
+    contained in the union of per-block heads, so each block contributes
+    its local head (vectorized argpartition) and only blocks x <=
+    sample_limit candidate rows leave the dataset; the final reduce is a
+    driver-side argsort of that small candidate set."""
+    import pyarrow.compute as pc
+
+    def local_head(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, emb_col])
+        if t.num_rows <= sample_limit:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        take = np.argpartition(ids, sample_limit - 1)[:sample_limit]
+        return t.take(pa.array(np.sort(take)))
+
+    cand = pa.concat_tables(
+        ds.map_batches(
+            local_head, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    ids = cand[id_col].to_numpy(zero_copy_only=False)
+    take = np.argsort(ids, kind="stable")[:sample_limit]  # id-ascending
+    m = _stack_embeddings(cand.take(pa.array(take)), emb_col)
     return deterministic_centroids(m, n_centroids)
 
 
@@ -102,9 +120,14 @@ def ivf_topk(
         for c in np.argsort(-sims[qi])[:n_probe]:
             probe_cells.add(int(c))
 
+    cell_set = pa.array(sorted(probe_cells))
+
     def in_probed(t: pa.Table) -> pa.Table:
-        mask = pa.array([c in probe_cells for c in t["ivf_cell"].to_pylist()])
-        return t.filter(mask)
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.is_in(t["ivf_cell"], value_set=cell_set.cast(t["ivf_cell"].type))
+        )
 
     pruned = assigned.map_batches(in_probed, batch_format="pyarrow")
     return brute_force_topk(pruned, q, k=k, id_col=id_col, emb_col=emb_col)

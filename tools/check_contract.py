@@ -102,10 +102,19 @@ def main() -> int:
             problems.append(f"rowcount {len(a)} != {len(b)}")
         if list(a.columns) != list(b.columns):
             problems.append(f"schema {list(a.columns)} != {list(b.columns)}")
-        elif [str(t) for t in a.dtypes] != [str(t) for t in b.dtypes]:
+        elif any(
+            a[c].dtype != b[c].dtype
+            and (
+                pd.api.types.is_integer_dtype(a[c].dtype)
+                or pd.api.types.is_integer_dtype(b[c].dtype)
+            )
+            for c in a.columns
+        ):
             # Integer width/type must match the oracle exactly (the
             # driver gate requires BIGINT everywhere — CLAUDE.md); the
             # astype(str) hash below would mask e.g. int32 vs int64.
+            # Non-integer repr differences (timestamp s vs us) stringify
+            # identically, so only integer mismatches fail here.
             problems.append(
                 "dtype " + str([f"{c}:{a[c].dtype}!={b[c].dtype}"
                                 for c in a.columns if a[c].dtype != b[c].dtype])
