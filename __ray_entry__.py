@@ -355,6 +355,39 @@ def _q_lineitem_priority_join(sf_dir: str):
     )
 
 
+
+def _q_orders_by_region_nation(sf_dir: str):
+    """4-table join exercising both join shapes at once (VERDICT r1
+    missing #6): orders ⋈ customer via the partitioned hash join (two
+    fact-sized sides), then nation and region as broadcast lookups
+    (ray.put once, vectorized polars join per batch — the dimension
+    pattern). -> (r_name, n_name, n_orders)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    from textalyzer_ray.pipelines.joins import broadcast_join, bucketed_join
+    from textalyzer_ray.sources.tables import read_table
+
+    od = read_table(sf_dir, "orders", columns=["o_custkey"])
+    cu = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = bucketed_join(od, cu, "o_custkey", "c_custkey", num_partitions=16)
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).rename_columns(["c_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).rename_columns(["n_regionkey", "r_name"])
+    with_nation = broadcast_join(joined, nation, "c_nationkey")
+    with_region = broadcast_join(with_nation, region, "n_regionkey")
+    return (
+        with_region.groupby(["r_name", "n_name"])
+        .aggregate(Count(alias_name="n_orders"))
+        .sort(["r_name", "n_name"])
+    )
+
+
+
 # ---- rows-only (non-SQL-expressible) --------------------------------------
 
 
@@ -675,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words_per_lang": _q_top_words_per_lang,
         "cust_orders_by_segment": _q_cust_orders_by_segment,
         "lineitem_priority_join": _q_lineitem_priority_join,
+        "orders_by_region_nation": _q_orders_by_region_nation,
         "purchase_asof_view": _q_purchase_asof_view,
         "readability_components": _q_readability_components,
         "extract_fixtures": _q_extract_fixtures,
@@ -800,6 +834,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.o_orderpriority, count(*) AS n_lines "
             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"
+        ),
+        "orders_by_region_nation": (
+            "SELECT r.r_name, n.n_name, count(*) AS n_orders "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name"
         ),
         "purchase_asof_view": (
             "SELECT p.event_id, v.event_id AS view_event_id "

@@ -33,17 +33,36 @@ import os
 import sys
 
 
-def find_all_files(root: str) -> list[str]:
-    """Recursive walk skipping .git and hidden entries
-    (file_utils.rs:60-97 minus gitignore support)."""
+def find_all_files(root: str, respect_ignores: bool = True) -> list[str]:
+    """Recursive walk matching the reference's ignore-crate WalkBuilder
+    (file_utils.rs:60-97): skips .git and hidden entries and honors
+    .gitignore / .ignore / .git/info/exclude patterns (minimal matcher,
+    core/ignore.py; ignored directories are pruned, so negations cannot
+    re-include inside an excluded dir — git semantics)."""
+    from textalyzer_ray.core.ignore import IgnoreStack
+
+    stack = IgnoreStack(root) if respect_ignores else None
     out = []
     for dirpath, dirnames, filenames in os.walk(root):
-        dirnames[:] = sorted(
-            d for d in dirnames if d != ".git" and not d.startswith(".")
-        )
+        if stack is not None:
+            stack.enter_dir(dirpath)
+        keep = []
+        for d in sorted(dirnames):
+            if d == ".git" or d.startswith("."):
+                continue
+            if stack is not None and stack.is_ignored(
+                os.path.join(dirpath, d), True
+            ):
+                continue
+            keep.append(d)
+        dirnames[:] = keep
         for f in sorted(filenames):
-            if not f.startswith("."):
-                out.append(os.path.join(dirpath, f))
+            if f.startswith("."):
+                continue
+            p = os.path.join(dirpath, f)
+            if stack is not None and stack.is_ignored(p, False):
+                continue
+            out.append(p)
     return out
 
 

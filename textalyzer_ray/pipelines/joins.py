@@ -28,27 +28,27 @@ def broadcast_join(
     key: str,
     how: str = "inner",
 ) -> Dataset:
-    """Join a large Dataset against a small Arrow table (broadcast)."""
+    """Join a large Dataset against a small Arrow table (broadcast).
+
+    Runs as a TASK pool with the per-worker-process object cache (the
+    stages.groups pattern): an actor pool here can deadlock against a
+    hash-shuffle operator elsewhere in the same plan (both reserve CPUs;
+    the join aggregators never start at small num_cpus), and tasks avoid
+    pool spin-up anyway — the broadcast table is deserialized once per
+    worker process, not per task."""
     small_ref = ray.put(small)
 
-    class JoinBatch:
-        def __init__(self, ref, key: str, how: str):
-            self.small = pl.from_arrow(ray.get(ref))  # fetched once per actor
-            self.key = key
-            self.how = how
+    def join_batch(batch: pa.Table) -> pa.Table:
+        from textalyzer_ray.stages.groups import _worker_object_cache
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out = pl.from_arrow(batch).join(self.small, on=self.key, how=self.how)
-            return out.to_arrow()
+        cache = _worker_object_cache()
+        ck = small_ref.hex()
+        sm = cache.get(ck)
+        if sm is None:
+            sm = cache[ck] = pl.from_arrow(ray.get(small_ref))
+        return pl.from_arrow(batch).join(sm, on=key, how=how).to_arrow()
 
-    from textalyzer_ray.stages.pools import default_pool
-
-    return big.map_batches(
-        JoinBatch,
-        fn_constructor_args=(small_ref, key, how),
-        batch_format="pyarrow",
-        concurrency=default_pool(),
-    )
+    return big.map_batches(join_batch, batch_format="pyarrow")
 
 
 def bucketed_join(
