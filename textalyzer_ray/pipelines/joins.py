@@ -89,14 +89,15 @@ def asof_join_by_key(
     """As-of join: for each left row, the LATEST right row with the same
     ``key`` and ``right.ts <= left.ts`` (ray_guide "As-of / range
     join"): rename the right side's columns up front (so the aligned
-    union is unambiguous), co-group both sides by key, ``pd.merge_asof``
-    per group.
+    union is unambiguous), hash-partition both sides by key into the
+    same blocks, then ONE vectorized ``polars.join_asof`` per block
+    handles every key in it at once (VERDICT r1 #8 — no per-group
+    Python, no Ray per-group finalization).
 
-    Partitioning assumption: one key's rows fit one group (true for
-    per-user event streams; a hot key would need time-bucketed
-    sub-splits).
+    Partitioning assumption: one key's rows fit one block partition
+    (true for per-user event streams; a hot key would need
+    time-bucketed sub-splits).
     """
-    import pandas as pd
     import pyarrow as pa_
 
     r_ts = ts_col + suffix
@@ -134,22 +135,26 @@ def asof_join_by_key(
 
     l_names = [f.name for f in l_schema]
     r_names = [f.name for f in r_schema if f.name != key] + [key]
+    out_schema = pa_.schema(all_fields)
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "l"][l_names].sort_values(ts_col)
-        r = g[g["__side"] == "r"][r_names].sort_values(r_ts)
-        if r.empty:
-            for c in r_names:
-                if c != key:
-                    l[c] = None
-            return l
-        return pd.merge_asof(
-            l,
-            r,
-            left_on=ts_col,
-            right_on=r_ts,
-            by=key,
-            direction="backward",
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    def merge_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t)
+        l = df.filter(pl.col("__side") == "l").select(l_names).sort(ts_col)
+        r = (
+            df.filter(pl.col("__side") == "r")
+            .select(r_names)
+            # join_asof consumes right_on; duplicate it so the right ts
+            # stays a payload column like pandas merge_asof keeps it
+            .with_columns(pl.col(r_ts).alias("__on"))
+            .sort("__on")
         )
+        out = l.join_asof(
+            r, left_on=ts_col, right_on="__on", by=key, strategy="backward"
+        )
+        return out.select(names).to_arrow().cast(out_schema)
 
-    return both.groupby(key).map_groups(merge_group, batch_format="pandas")
+    return grouped_apply(both, [key], merge_block)
