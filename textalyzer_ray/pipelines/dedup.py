@@ -137,8 +137,9 @@ def minhash_duplicate_pairs(
        shingle arrays ship once per *colliding* band of *candidate*
        docs, not bands x corpus.
     4. Exact hash-set Jaccard per bucket inside key-aligned blocks
-       (grouped_apply); distinct pairs via a second key-aligned pass
-       (no repartition(1) funnel).
+       (grouped_apply); pairs are distinct BY CONSTRUCTION — each pair
+       is emitted only from its first common band — so no dedup shuffle
+       (and no repartition(1) funnel) exists at all.
     Signature numerics match round 1 bit-for-bit, so the candidate
     buckets — and the verified pair set (modulo 64-bit shingle-hash
     collisions) — are unchanged.
@@ -248,12 +249,16 @@ def minhash_duplicate_pairs(
         sh = t["shingle_hashes"]
         if isinstance(sh, pa.ChunkedArray):
             sh = sh.combine_chunks()
+        # all_bands rides along (bands x 8 B/row) so verification can
+        # assign each pair to its FIRST common band — the shuffle-free
+        # distinct (see verify_block).
         return pa.table(
             {
                 "band": pa.array(hit["band"].to_numpy(), pa.int32()),
                 "band_hash": pa.array(hit["band_hash"].to_numpy(), pa.uint64()),
                 id_col: ids.take(parent_idx),
                 "shingle_hashes": sh.take(parent_idx),
+                "all_bands": lists.take(parent_idx),
             }
         )
 
@@ -263,13 +268,23 @@ def minhash_duplicate_pairs(
         """One key-aligned block holding MANY whole LSH buckets
         (stages.groups.grouped_apply): iterate buckets in-process — no
         Ray per-group machinery. Jaccard runs on the pre-hashed shingle
-        sets (zero tokenization here)."""
+        sets (zero tokenization here).
+
+        SHUFFLE-FREE DISTINCT: a pair colliding in several bands would
+        otherwise need a pair-keyed dedup shuffle; instead each pair is
+        emitted ONLY from its first common band (argmax over the carried
+        all_bands arrays) — every bucket the pair shares computes the
+        same first-common-band, so exactly one bucket emits it. (Under
+        max_group truncation a pair can be lost if its owning bucket is
+        the truncated one — same logged-truncation caveat as before.)"""
         if block.num_rows == 0:
             return pair_schema.empty_table()
         ids_list = block[id_col].to_pylist()
         sh = block["shingle_hashes"].combine_chunks()
         offs = sh.offsets.to_numpy(zero_copy_only=False)
         vals = sh.values.to_numpy(zero_copy_only=False)
+        ab = block["all_bands"].combine_chunks()
+        ab_vals = ab.values.to_numpy(zero_copy_only=False)
         df = pl.DataFrame(
             {
                 "band": block["band"].to_numpy(zero_copy_only=False),
@@ -278,7 +293,8 @@ def minhash_duplicate_pairs(
             }
         )
         a_out, b_out, j_out = [], [], []
-        for _, bucket in df.group_by(["band", "band_hash"]):
+        for key_vals, bucket in df.group_by(["band", "band_hash"]):
+            cur_band = int(key_vals[0])
             rows = bucket["row"].to_list()
             if len(rows) < 2:
                 continue
@@ -291,8 +307,12 @@ def minhash_duplicate_pairs(
                 )
                 order = order[:max_group]
             arrs = [vals[offs[r] : offs[r + 1]] for r in order]
+            bnds = [ab_vals[r * bands : (r + 1) * bands] for r in order]
             for x in range(len(order)):
                 for y in range(x + 1, len(order)):
+                    # first common band owns the pair (distinct-by-design)
+                    if int(np.argmax(bnds[x] == bnds[y])) != cur_band:
+                        continue
                     ja = jaccard_from_hashes(arrs[x], arrs[y])
                     if ja >= jaccard_threshold:
                         a_out.append(ids_list[order[x]])
@@ -306,21 +326,9 @@ def minhash_duplicate_pairs(
             }
         )
 
-    pairs = grouped_apply(cand, ["band", "band_hash"], verify_block, num_partitions=n_parts)
-
-    # distinct pairs (the same pair surfaces from several bands):
-    # key-aligned on the pair itself — each (id_a, id_b) lands wholly in
-    # one block, polars-unique per block is globally correct. No
-    # single-block funnel.
-    def distinct_pairs(t: pa.Table) -> pa.Table:
-        return (
-            pl.from_arrow(t)
-            .unique(["id_a", "id_b"], keep="first", maintain_order=True)
-            .to_arrow()
-            .cast(pair_schema)
-        )
-
-    return grouped_apply(pairs, ["id_a", "id_b"], distinct_pairs, num_partitions=n_parts)
+    return grouped_apply(
+        cand, ["band", "band_hash"], verify_block, num_partitions=n_parts
+    )
 
 
 def connected_components(pairs: Dataset, max_rounds: int = 50) -> Dataset:

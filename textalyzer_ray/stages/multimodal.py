@@ -1,13 +1,14 @@
-"""Multimodal (image/audio/video) column stages — Ray-side plumbing.
+"""Multimodal (image/audio/video) column stages.
 
 Media payloads are opaque ``binary`` columns with typed metadata columns
-(``media_type``, ``width``/``height``/``duration_ms``). The decode /
-feature-extract kernels need codec libraries that are NOT in this
-container, so the actual decoding is STUBBED: ``DecodeImage`` raises
-``NotImplementedError`` unless constructed with ``fake=True``, in which
-case a deterministic fake decoder (bytes -> shape/checksum features)
-stands in so the Ray plumbing — actor signature, batch sizing, schema,
-output layout — is real and tested.
+(``media_type``, ``width``/``height``/``duration_ms``). Decoding is REAL
+for formats needing no codec libraries (core/media.py): PPM/PGM and
+uncompressed BMP images, PCM WAV audio. Compressed formats (JPEG/PNG/
+MP4) need codecs absent from this container — those raise
+``UnsupportedMediaError`` unless the stage was built with ``fake=True``,
+whose deterministic stub keeps the Ray plumbing (actor signature, batch
+sizing, schema, output layout) exercised end-to-end. Video decode is
+fully stubbed (no container parser worth hand-rolling).
 
 At scale: media rows are large, so run these stages with SMALL
 ``batch_size`` (tens of rows) and let block size, not row count, drive
@@ -21,30 +22,53 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from textalyzer_ray.core.media import (
+    UnsupportedMediaError,
+    audio_features,
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    image_features,
+    resize_nearest,
+)
 
 class DecodeImage:
-    """binary image -> feature columns (stubbed decode).
+    """binary image -> (img_width, img_height, img_mean) feature columns.
 
-    Real implementation would decode via PIL/opencv in ``__init__``-loaded
-    codecs; ``fake=True`` derives deterministic pseudo-features from the
-    bytes so pipelines and tests can exercise the stage end-to-end.
+    REAL decode for netpbm (P5/P6) and uncompressed BMP via numpy
+    (core/media.py); an optional ``resize_to=(w, h)`` applies a
+    nearest-neighbor resize before feature extraction (exercises the
+    decoded-array path). Compressed formats raise unless ``fake=True``
+    (deterministic stub preserving schema/plumbing).
     """
 
-    def __init__(self, data_col: str = "data", fake: bool = False):
+    def __init__(
+        self,
+        data_col: str = "data",
+        fake: bool = False,
+        resize_to: tuple[int, int] | None = None,
+    ):
         self.data_col = data_col
         self.fake = fake
+        self.resize_to = resize_to
 
     def _decode(self, raw: bytes) -> tuple[int, int, float]:
-        if not self.fake:
-            raise NotImplementedError(
-                "image codecs are not available in this environment; "
-                "construct DecodeImage(fake=True) for the deterministic stub"
+        if raw[:2] in (b"P6", b"P5"):
+            img = decode_ppm(raw)
+        elif raw[:2] == b"BM":
+            img = decode_bmp(raw)
+        elif self.fake:
+            digest = hashlib.blake2b(raw, digest_size=8).digest()
+            return 64 + digest[0], 64 + digest[1], digest[2] / 255.0
+        else:
+            raise UnsupportedMediaError(
+                "compressed image codecs are not available in this "
+                "environment; supported raw formats: PPM/PGM, BMP "
+                "(or construct DecodeImage(fake=True) for the stub)"
             )
-        digest = hashlib.blake2b(raw, digest_size=8).digest()
-        w = 64 + digest[0]
-        h = 64 + digest[1]
-        mean_px = digest[2] / 255.0
-        return w, h, mean_px
+        if self.resize_to is not None:
+            img = resize_nearest(img, *self.resize_to)
+        return image_features(img)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ws, hs, means = [], [], []
@@ -61,7 +85,9 @@ class DecodeImage:
 
 
 class SampleFrames:
-    """video binary -> (id, frame_index, frame:binary) rows (stubbed).
+    """video binary -> (id, frame_index, frame:binary) rows (STUBBED —
+    the one remaining fake-only stage: container/codec parsing for video
+    is out of scope without ffmpeg).
 
     The fake mode slices the payload deterministically into ``n_frames``
     chunks, which preserves the real output layout: one row per sampled
@@ -76,7 +102,7 @@ class SampleFrames:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
-            raise NotImplementedError(
+            raise UnsupportedMediaError(
                 "video codecs are not available; use SampleFrames(fake=True)"
             )
         ids, idxs, frames = [], [], []
@@ -99,24 +125,35 @@ class SampleFrames:
 
 
 class AudioFeatures:
-    """audio binary -> fixed-size feature vector (stubbed): fake mode
-    emits a deterministic 8-dim byte-histogram embedding."""
+    """audio binary -> fixed-size feature vector.
+
+    REAL decode for PCM WAV (stdlib wave + numpy): 8-bin normalized
+    magnitude spectrum of the mono mix (core/media.py). Non-WAV payloads
+    raise unless ``fake=True`` (deterministic byte-histogram stub with
+    the same schema)."""
 
     def __init__(self, data_col: str = "data", fake: bool = False):
         self.data_col = data_col
         self.fake = fake
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "audio codecs are not available; use AudioFeatures(fake=True)"
-            )
-        feats = []
-        for raw in batch[self.data_col].to_pylist():
+    def _features(self, raw: bytes) -> np.ndarray:
+        if raw[:4] == b"RIFF":
+            samples, rate = decode_wav(raw)
+            return audio_features(samples, rate)
+        if self.fake:
             arr = np.frombuffer(raw or b"\x00", dtype=np.uint8)
             hist, _ = np.histogram(arr, bins=8, range=(0, 256))
             total = hist.sum() or 1
-            feats.append((hist / total).astype(np.float32))
+            return (hist / total).astype(np.float32)
+        raise UnsupportedMediaError(
+            "compressed audio codecs are not available; supported raw "
+            "format: PCM WAV (or AudioFeatures(fake=True) for the stub)"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [
+            self._features(raw or b"") for raw in batch[self.data_col].to_pylist()
+        ]
         return batch.append_column(
             "audio_features", pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
         )
