@@ -556,6 +556,17 @@ def _q_winnow_fingerprints(sf_dir: str):
     )
 
 
+
+def _q_winnow_pairs(sf_dir: str):
+    """Substring-level near-dup candidates over the augmented corpus
+    (rows-only: winnowing is a rolling-hash sketch, not SQL)."""
+    from textalyzer_ray.pipelines.dedup import winnow_duplicate_pairs
+
+    return winnow_duplicate_pairs(
+        _augmented_docs(sf_dir), min_shared=3, min_fraction=0.5
+    ).sort(["id_a", "id_b"])
+
+
 def _q_resumable_extract(sf_dir: str):
     """Partitioned flagship with checkpoint resume (rows-only): returns
     per-partition (pid, row_count, fingerprint) from the lineage
@@ -723,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "ivf_topk": _q_ivf_topk,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
         "resumable_extract": _q_resumable_extract,
         "tfidf_top_terms": _q_tfidf_top_terms,
     }

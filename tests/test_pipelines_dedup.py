@@ -257,3 +257,42 @@ class TestSimHashMultiTable:
         ds = rd.from_arrow(pa.table({"doc_id": [1, 2], "text": [base, near]}))
         rows = simhash_duplicate_pairs(ds, max_hamming=3).take_all()
         assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in rows), rows
+
+
+class TestWinnowPairs:
+    def test_shared_substring_detected_across_reorder(self):
+        from textalyzer_ray.pipelines.dedup import winnow_duplicate_pairs
+
+        shared = "the quick brown fox jumps over the lazy dog again and again"
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "PREFIX one " + shared + " SUFFIX one",
+                        "totally different opener " + shared + " other tail",
+                        "no overlap here at all zzz qqq www eee rrr ttt yyy",
+                    ],
+                }
+            )
+        )
+        rows = winnow_duplicate_pairs(docs, min_shared=2).take_all()
+        got = {(r["id_a"], r["id_b"]): r["n_shared"] for r in rows}
+        assert (1, 2) in got and got[(1, 2)] >= 2
+        assert not any(3 in k for k in got)
+
+    def test_no_dups_empty(self):
+        from textalyzer_ray.pipelines.dedup import winnow_duplicate_pairs
+
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1, 2],
+                    "text": [
+                        "alpha beta gamma delta epsilon zeta",
+                        "one two three four five six seven",
+                    ],
+                }
+            )
+        )
+        assert winnow_duplicate_pairs(docs, min_shared=2).take_all() == []

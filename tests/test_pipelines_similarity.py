@@ -119,3 +119,36 @@ class TestMultimodalStubs:
         assert len(rows) == 6
         assert all(len(r["audio_features"]) == 8 for r in rows)
         assert all(abs(sum(r["audio_features"]) - 1.0) < 1e-5 for r in rows)
+
+
+class TestMultiAssignRecall:
+    def test_multi_assignment_superset_and_distinct(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.similarity import embedding_near_dup_pairs
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(40, 16)
+        # plant near-dup pairs as tiny perturbations (may straddle cells)
+        near = base[:10] + rng.randn(10, 16) * 0.01
+        vecs = np.vstack([base, near])
+        t = pa.table(
+            {
+                "vec_id": list(range(len(vecs))),
+                "embedding": [list(map(float, v)) for v in vecs],
+            }
+        )
+
+        def run(n_assign):
+            rows = embedding_near_dup_pairs(
+                rd.from_arrow(t), threshold=0.98, n_centroids=8, n_assign=n_assign
+            ).take_all()
+            return [(r["id_a"], r["id_b"]) for r in rows]
+
+        p1, p2 = run(1), run(2)
+        assert len(p2) == len(set(p2)), "first-common-cell dedup violated"
+        assert set(p1) <= set(p2), "multi-assignment lost pairs"
+        planted = {(i, 40 + i) for i in range(10)}
+        assert planted <= set(p2), sorted(planted - set(p2))

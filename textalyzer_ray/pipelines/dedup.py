@@ -9,6 +9,8 @@
   buckets.
 - ``ngram_jaccard_pairs``: exact n-gram Jaccard verification for a
   candidate pair list (the verification kernel used by minhash).
+- ``winnow_duplicate_pairs``: substring-level near-dup candidates via
+  shared winnowing fingerprints (MOSS-style).
 
 Shuffle keys are always fixed-width hashes. Candidate groups are capped
 (``max_group``) with logged truncation — an LSH bucket holding the whole
@@ -736,3 +738,166 @@ def ngram_jaccard_pairs(
         ).cast(pair_schema)
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def winnow_duplicate_pairs(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    min_fraction: float = 0.0,
+    max_group: int = 1000,
+) -> Dataset:
+    """(id_a, id_b, n_shared) substring-level near-dup candidates: doc
+    pairs sharing >= ``min_shared`` winnowing fingerprints (Schleimer et
+    al. '03 — the MOSS design: shared fingerprints witness shared
+    SUBSTRINGS even across reordered/interleaved content, which
+    shingle-Jaccard underweights).
+
+    Scale shape mirrors minhash: only (id, fp:u64) rows shuffle; the
+    colliding fingerprints come from the vectorized count + broadcast
+    semi-join; per-fp pair emission runs in key-aligned blocks; the
+    per-pair shared-fingerprint COUNT aggregates through the vectorized
+    key_counts tree (a count is why minhash's first-common-band distinct
+    trick does not apply here — every witness must be summed).
+
+    ``min_fraction`` > 0 additionally filters on the NORMALIZED
+    containment n_shared / min(|fp_a|, |fp_b|) (the MOSS-style score —
+    absolute counts cannot separate near-dups from boilerplate overlap
+    on templated corpora); the per-doc fingerprint counts reach the pair
+    rows through two hash-partitioned joins, fully distributed."""
+    import numpy as np
+    import polars as pl
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from textalyzer_ray.sources.tables import cluster_cpus
+    from textalyzer_ray.stages.dedup import Winnower
+    from textalyzer_ray.stages.groups import (
+        duplicate_keys,
+        filter_to_keys,
+        grouped_apply,
+        key_counts,
+    )
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    pair_schema = pa.schema(
+        [
+            pa.field("id_a", id_type),
+            pa.field("id_b", id_type),
+            pa.field("n_shared", pa.int64()),
+        ]
+    )
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        out = Winnower(id_col=id_col, text_col=text_col, k=k, window=window)(batch)
+        # one row per DISTINCT (doc, fp): shared-count semantics
+        return (
+            pl.from_arrow(out)
+            .unique([id_col, "fingerprint"])
+            .to_arrow()
+            .cast(out.schema)
+        )
+
+    fps = ds.map_batches(fingerprint, batch_format="pyarrow", batch_size=256)
+    dup = duplicate_keys(fps, ["fingerprint"])
+    if dup.num_rows == 0:
+        return rd.from_arrow(pair_schema.empty_table())
+    cand = filter_to_keys(
+        fps, ["fingerprint"], ray.put(dup.select(["fingerprint"]))
+    )
+    n_parts = int(min(max(cluster_cpus(), 2), max(2, dup.num_rows // 20_000 + 1)))
+
+    emit_schema = pa.schema(
+        [pa.field("id_a", id_type), pa.field("id_b", id_type)]
+    )
+
+    def pairs_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return emit_schema.empty_table()
+        ids_list = block[id_col].to_pylist()
+        df = pl.DataFrame(
+            {
+                "fp": block["fingerprint"].to_numpy(zero_copy_only=False),
+                "row": np.arange(block.num_rows, dtype=np.int64),
+            }
+        )
+        a_out, b_out = [], []
+        for _, bucket in df.group_by(["fp"]):
+            members = sorted({ids_list[r] for r in bucket["row"].to_list()})
+            if len(members) < 2:
+                continue
+            if len(members) > max_group:
+                logger.warning(
+                    "winnow bucket truncated: %d members > max_group=%d",
+                    len(members),
+                    max_group,
+                )
+                members = members[:max_group]
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a_out.append(members[x])
+                    b_out.append(members[y])
+        return pa.table(
+            {"id_a": pa.array(a_out, id_type), "id_b": pa.array(b_out, id_type)}
+        )
+
+    witness = grouped_apply(cand, ["fingerprint"], pairs_block, num_partitions=n_parts)
+    counted = key_counts(witness, ["id_a", "id_b"])
+    pairs = counted.map_batches(
+        lambda t: pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "n_shared": t["count"],
+            }
+        )
+        .filter(pc.greater_equal(t["count"], min_shared))
+        .cast(pair_schema),
+        batch_format="pyarrow",
+    )
+    if min_fraction <= 0.0:
+        return pairs
+
+    from textalyzer_ray.pipelines.joins import bucketed_join
+
+    doc_counts = key_counts(fps, [id_col]).map_batches(
+        lambda t: pa.table({id_col: t[id_col], "n_fp": t["count"]}).cast(
+            pa.schema([pa.field(id_col, id_type), pa.field("n_fp", pa.int64())])
+        ),
+        batch_format="pyarrow",
+    )
+    ja = bucketed_join(
+        pairs,
+        doc_counts.map_batches(
+            lambda t: pa.table({"id_a": t[id_col], "n_fp_a": t["n_fp"]}),
+            batch_format="pyarrow",
+        ),
+        left_key="id_a",
+        num_partitions=n_parts,
+    )
+    jb = bucketed_join(
+        ja,
+        doc_counts.map_batches(
+            lambda t: pa.table({"id_b": t[id_col], "n_fp_b": t["n_fp"]}),
+            batch_format="pyarrow",
+        ),
+        left_key="id_b",
+        num_partitions=n_parts,
+    )
+
+    def frac_filter(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        shared = t["n_shared"].to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = np.minimum(
+            t["n_fp_a"].to_numpy(zero_copy_only=False),
+            t["n_fp_b"].to_numpy(zero_copy_only=False),
+        ).astype(np.float64)
+        keep = pa.array(shared >= min_fraction * np.maximum(denom, 1.0))
+        return t.filter(keep).select(["id_a", "id_b", "n_shared"]).cast(pair_schema)
+
+    return jb.map_batches(frac_filter, batch_format="pyarrow")

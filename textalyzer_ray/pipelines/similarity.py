@@ -140,31 +140,84 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     max_cell: int = 4096,
+    n_assign: int = 2,
 ) -> Dataset:
     """(id_a, id_b, cosine) pairs with cosine >= threshold, computed
-    within IVF cells (cross-cell near-dups at the boundary are the
-    standard recall loss; multi-assignment is the scale fix)."""
+    within IVF cells. ``n_assign`` > 1 replicates each vector into its
+    n nearest cells (multi-assignment — the standard fix for the
+    cell-boundary recall loss); a pair sharing several cells is emitted
+    ONLY from its first common cell (the same distinct-by-construction
+    trick as minhash), so multi-assignment adds no dedup shuffle."""
+    import polars as pl
+
+    from textalyzer_ray.sources.tables import cluster_cpus
+    from textalyzer_ray.stages.groups import grouped_apply
+
     cents = build_centroids(ds, n_centroids, emb_col=emb_col, id_col=id_col)
     cref = ray.put(cents)
     assigned = ds.map_batches(
-        lambda t: IvfAssigner(cref, emb_col=emb_col)(t), batch_format="pyarrow"
+        lambda t: IvfAssigner(cref, emb_col=emb_col, n_assign=n_assign)(t),
+        batch_format="pyarrow",
     )
+    id_type = ds.schema().base_schema.field(id_col).type
+    pair_schema = pa.schema(
+        [
+            pa.field("id_a", id_type),
+            pa.field("id_b", id_type),
+            pa.field("cosine", pa.float64()),
+        ]
+    )
+    multi = n_assign > 1
 
-    def pairs_in_cell(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g[id_col].to_pylist())
-        order = np.argsort(ids)[:max_cell]
-        ids = ids[order]
-        m = normalize_rows(_stack_embeddings(g, emb_col))[order]
-        sims = m @ m.T
-        ai, bi = np.where(np.triu(sims >= threshold, k=1))
-        return pa.table(
+    def pairs_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pair_schema.empty_table()
+        ids_np = np.asarray(block[id_col].to_pylist())
+        m_all = normalize_rows(_stack_embeddings(block, emb_col))
+        if multi:
+            cl = block["ivf_cells"].combine_chunks()
+            offs = cl.offsets.to_numpy(zero_copy_only=False)
+            cvals = cl.values.to_numpy(zero_copy_only=False)
+        df = pl.DataFrame(
             {
-                "id_a": pa.array(ids[ai]),
-                "id_b": pa.array(ids[bi]),
-                "cosine": pa.array(sims[ai, bi], pa.float64()),
+                "cell": block["ivf_cell"].to_numpy(zero_copy_only=False),
+                "row": np.arange(block.num_rows, dtype=np.int64),
             }
         )
+        parts = []
+        for key_vals, bucket in df.group_by(["cell"]):
+            cur = int(key_vals[0])
+            rows = np.asarray(bucket["row"].to_list())
+            if len(rows) < 2:
+                continue
+            order = rows[np.argsort(ids_np[rows], kind="stable")][:max_cell]
+            m = m_all[order]
+            sims = m @ m.T
+            ai, bi = np.where(np.triu(sims >= threshold, k=1))
+            if multi and len(ai):
+                keep = np.ones(len(ai), dtype=bool)
+                for i, (x, y) in enumerate(zip(order[ai], order[bi])):
+                    common = np.intersect1d(
+                        cvals[offs[x] : offs[x + 1]],
+                        cvals[offs[y] : offs[y + 1]],
+                        assume_unique=True,
+                    )
+                    keep[i] = len(common) > 0 and int(common[0]) == cur
+                ai, bi = ai[keep], bi[keep]
+            parts.append(
+                pa.table(
+                    {
+                        "id_a": pa.array(ids_np[order][ai], id_type),
+                        "id_b": pa.array(ids_np[order][bi], id_type),
+                        "cosine": pa.array(sims[ai, bi], pa.float64()),
+                    }
+                )
+            )
+        if not parts:
+            return pair_schema.empty_table()
+        return pa.concat_tables(parts).cast(pair_schema)
 
-    return assigned.groupby("ivf_cell").map_groups(
-        pairs_in_cell, batch_format="pyarrow"
+    return grouped_apply(
+        assigned, ["ivf_cell"], pairs_block,
+        num_partitions=max(2, cluster_cpus() // 4),
     )

@@ -101,15 +101,37 @@ def deterministic_centroids(sample: np.ndarray, n_centroids: int, iters: int = 5
 
 
 class IvfAssigner:
-    """Append ``ivf_cell:int32`` — nearest centroid id. Centroids are
-    broadcast once via ray.put and fetched per actor."""
+    """Append ``ivf_cell:int32`` — nearest centroid id. With
+    ``n_assign > 1``, ROWS ARE REPLICATED once per assigned cell
+    (multi-assignment: the standard fix for boundary recall loss in
+    cell-local pair mining) and ``ivf_cells:list<int32>`` carries the
+    full sorted assignment so downstream stages can dedupe pairs by
+    first-common-cell. Centroids are broadcast once via ray.put and
+    fetched per actor."""
 
-    def __init__(self, centroids_ref, emb_col: str = "embedding"):
+    def __init__(self, centroids_ref, emb_col: str = "embedding", n_assign: int = 1):
         c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
         self.cents = normalize_rows(np.asarray(c, dtype=np.float64))
         self.emb_col = emb_col
+        self.n_assign = n_assign
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = normalize_rows(_stack_embeddings(batch, self.emb_col))
-        cells = np.argmax(m @ self.cents.T, axis=1).astype(np.int32)
-        return batch.append_column("ivf_cell", pa.array(cells, pa.int32()))
+        sims = m @ self.cents.T
+        if self.n_assign <= 1:
+            cells = np.argmax(sims, axis=1).astype(np.int32)
+            return batch.append_column("ivf_cell", pa.array(cells, pa.int32()))
+        k = min(self.n_assign, sims.shape[1])
+        # top-k cells per row, sorted ascending so the first COMMON cell
+        # of any two rows is well defined for downstream pair dedup
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k].astype(np.int32)
+        top = np.sort(top, axis=1)
+        n = len(top)
+        out = batch.take(pa.array(np.repeat(np.arange(n), k)))
+        out = out.append_column("ivf_cell", pa.array(top.reshape(-1), pa.int32()))
+        # each replicated row carries the SAME full assignment list
+        rep_lists = pa.ListArray.from_arrays(
+            pa.array(range(0, n * k * k + 1, k), pa.int32()),
+            pa.array(np.repeat(top, k, axis=0).reshape(-1), pa.int32()),
+        )
+        return out.append_column("ivf_cells", rep_lists)
