@@ -673,6 +673,29 @@ def _q_line_width_histogram_chunks(sf_dir: str):
 
 
 
+
+def _q_extract_pdf_text(sf_dir: str):
+    """PDF/layout extraction modality (north_rule): deterministic PDFs
+    synthesized from documents.text (half Flate-compressed), text
+    recovered by the stdlib-only content-stream scanner. Oracle =
+    byte-identical round trip; adversarial non-circular coverage lives
+    in tests/test_core_pdftext.py."""
+    from textalyzer_ray.sources.webgen import pdfs_from_documents
+    from textalyzer_ray.stages.extract import PdfExtractor
+    from textalyzer_ray.stages.pools import default_pool
+
+    pdfs = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        pdfs_from_documents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        pdfs.map_batches(
+            PdfExtractor, batch_format="pyarrow", concurrency=default_pool()
+        )
+        .select_columns(["doc_id", "text"])
+        .sort("doc_id")
+    )
+
+
 def _q_extract_fixtures(sf_dir: str):
     """Extraction conformance over the PINNED adversarial fixture corpus
     (tests/fixtures/extraction) — pages hand-written, NOT synthesized
@@ -723,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_asof_view": _q_purchase_asof_view,
         "readability_components": _q_readability_components,
         "extract_fixtures": _q_extract_fixtures,
+        "extract_pdf_text": _q_extract_pdf_text,
         "line_width_histogram_chunks": _q_line_width_histogram_chunks,
         "sessionize": _q_sessionize,
         # rows-only (non-SQL-expressible)
@@ -900,6 +924,9 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {chunk_cte} "
             "SELECT CAST(length(content) AS BIGINT) AS width, count(*) AS count "
             "FROM c GROUP BY width ORDER BY width"
+        ),
+        "extract_pdf_text": (
+            "SELECT doc_id, text FROM documents ORDER BY doc_id"
         ),
         "extract_fixtures": (
             "SELECT page_id, expected AS text, ok, drop_reason "

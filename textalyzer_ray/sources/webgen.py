@@ -191,3 +191,42 @@ def pages_from_documents(doc_table: pa.Table) -> pa.Table:
             "doc_id": doc_table["doc_id"],
         }
     )
+
+
+def pdfs_from_documents(
+    batch, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Deterministic single-page PDFs embedding each document's text as
+    a literal-string content stream — half Flate-compressed (doc_id
+    parity) so both decode paths run. Round-trip oracle: extracted text
+    must equal documents.text byte-for-byte (the ADVERSARIAL coverage —
+    escapes, filters, hex strings, broken streams — is pinned by
+    tests/test_core_pdftext.py, non-circular)."""
+    import zlib
+
+    import pyarrow as pa
+
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    pdfs = []
+    for i, txt in zip(ids, texts):
+        esc = (
+            (txt or "")
+            .replace("\\", "\\\\")
+            .replace("(", "\\(")
+            .replace(")", "\\)")
+            .encode("latin-1", errors="replace")
+        )
+        content = b"BT /F1 12 Tf 72 720 Td (" + esc + b") Tj ET"
+        if i % 2 == 0:
+            body, filt = zlib.compress(content), b"/Filter /FlateDecode "
+        else:
+            body, filt = content, b""
+        pdfs.append(
+            b"%PDF-1.4\n1 0 obj\n<< " + filt + b"/Length "
+            + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF\n"
+        )
+    return pa.table(
+        {id_col: batch[id_col], "pdf": pa.array(pdfs, pa.binary())}
+    )

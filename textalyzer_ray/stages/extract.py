@@ -50,3 +50,39 @@ def keep_valid(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
     return batch.filter(pc.field("ok")).drop_columns(["ok", "drop_reason"])
+
+
+class PdfExtractor:
+    """pdf:binary -> text:string (+ ok, drop_reason) — the PDF/layout
+    modality of the extraction tier (core/pdftext.py: stdlib-only
+    FlateDecode content-stream scanner). Same actor-pool contract and
+    bookkeeping columns as HtmlExtractor."""
+
+    def __init__(self, data_col: str = "pdf", out_col: str = "text"):
+        self.data_col = data_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from textalyzer_ray.core.pdftext import extract_pdf_text
+
+        texts: list[str] = []
+        oks: list[bool] = []
+        reasons: list[str] = []
+        for raw in batch[self.data_col].to_pylist():
+            raw = raw or b""
+            if not raw.startswith(b"%PDF-"):
+                texts.append("")
+                oks.append(False)
+                reasons.append("not_pdf")
+                continue
+            text = extract_pdf_text(raw)
+            texts.append(text)
+            oks.append(bool(text))
+            reasons.append("" if text else "empty")
+        out = batch
+        if self.out_col in out.column_names:
+            out = out.drop_columns([self.out_col])
+        out = out.append_column(self.out_col, pa.array(texts, pa.string()))
+        out = out.append_column("ok", pa.array(oks, pa.bool_()))
+        out = out.append_column("drop_reason", pa.array(reasons, pa.string()))
+        return out
