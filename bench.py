@@ -63,9 +63,19 @@ def run_bench() -> dict:
     # warm the OS page cache so we measure compute+shuffle, not first I/O
     pq.read_table(docs_path)
     # warm the Ray worker pool (cold python worker spawn otherwise lands
-    # inside the first timed query)
+    # inside the first timed query) AND the AllToAll/repartition operator
+    # path (first use costs ~1 s of one-time setup, measured)
     rd.range(num_cpus * 8, override_num_blocks=num_cpus * 2).map_batches(
         lambda b: b, batch_format="pyarrow"
+    ).repartition(4).count()
+    # ...and the hash-shuffle operator (aggregator-actor first spawn)
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    grouped_apply(
+        rd.range(64, override_num_blocks=4),
+        ["id"],
+        lambda t: t,
+        num_partitions=2,
     ).count()
     meta = pq.read_table(docs_path, columns=["n_chars"])
     n_docs = meta.num_rows
