@@ -201,6 +201,18 @@ def _q_events_hourly(sf_dir: str):
     return out.select_columns(["event_type", "window_start", "n_events"])
 
 
+
+def _q_events_hopping(sf_dir: str):
+    """Overlapping (hopping) windows: 1 h windows advancing by 15 min —
+    each event contributes to 4 windows."""
+    from textalyzer_ray.pipelines.analytics import events_hopping_window
+    from textalyzer_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = events_hopping_window(ev, window_s=3600, hop_s=900)
+    return out.select_columns(["event_type", "window_start", "n_events"])
+
+
 def _q_similarity_topk(sf_dir: str):
     """Exact cosine top-10 for the query vector = embedding of vec_id 0.
     Returns int-only (rank, vec_id) so the value-hash is float-free."""
@@ -557,6 +569,22 @@ def _q_winnow_fingerprints(sf_dir: str):
 
 
 
+
+def _q_approx_distinct_words(sf_dir: str):
+    """HyperLogLog distinct-token estimate (rows-only: a sketch, not
+    SQL-exact) — one (estimate, exact-relative-error-checked in pytest)
+    row. Mergeable-sketch pattern: one 4 KiB register set per block."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textalyzer_ray.pipelines.frequency import approx_distinct_words
+
+    est = approx_distinct_words(_docs(sf_dir).select_columns(["text"]))
+    return rd.from_arrow(
+        pa.table({"approx_distinct_words": pa.array([est], pa.int64())})
+    )
+
+
 def _q_winnow_pairs(sf_dir: str):
     """Substring-level near-dup candidates over the augmented corpus
     (rows-only: winnowing is a rolling-hash sketch, not SQL)."""
@@ -733,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_distributed": _q_exact_dedup_distributed,
         "single_line_dups": _q_single_line_dups,
         "events_hourly": _q_events_hourly,
+        "events_hopping": _q_events_hopping,
         "similarity_topk": _q_similarity_topk,
         "extract_text": _q_extract_text,
         "quality_components": _q_quality_components,
@@ -759,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
+        "approx_distinct_words": _q_approx_distinct_words,
         "resumable_extract": _q_resumable_extract,
         "tfidf_top_terms": _q_tfidf_top_terms,
     }
@@ -822,6 +852,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM c WHERE strlen(trim(content)) > 5 "
             "GROUP BY content HAVING count(*) >= 2 "
             "ORDER BY n_locations DESC, content"
+        ),
+        "events_hopping": (
+            "WITH k AS (SELECT unnest(generate_series(0, 3)) AS i), "
+            "w AS (SELECT e.event_type, "
+            "make_timestamp((epoch_us(e.ts) // 900000000) * 900000000 "
+            "- k.i * 900000000) AS window_start "
+            "FROM events e CROSS JOIN k) "
+            "SELECT event_type, window_start, count(*) AS n_events "
+            "FROM w GROUP BY event_type, window_start "
+            "ORDER BY event_type, window_start"
         ),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "

@@ -162,3 +162,42 @@ class TestAnalytics:
         a_rows = [r for r in rows if r["event_type"] == "a"]
         assert sum(r["n_events"] for r in a_rows) == 6
         assert len(a_rows) == 4
+
+
+class TestHoppingWindow:
+    def test_each_event_in_window_over_hop_windows(self, quiet_data_context):
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.analytics import events_hopping_window
+
+        t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+        t = pa.table(
+            {
+                "ts": pa.array([t0], pa.timestamp("us")),
+                "event_type": ["view"],
+                "value": [2.0],
+            }
+        )
+        rows = events_hopping_window(
+            rd.from_arrow(t), window_s=3600, hop_s=900
+        ).take_all()
+        starts = sorted(r["window_start"] for r in rows)
+        # event at 10:00 belongs to windows starting 09:15..10:00
+        assert starts == [
+            dt.datetime(2024, 1, 1, 9, 15),
+            dt.datetime(2024, 1, 1, 9, 30),
+            dt.datetime(2024, 1, 1, 9, 45),
+            dt.datetime(2024, 1, 1, 10, 0),
+        ]
+        assert all(r["n_events"] == 1 and r["sum_value"] == 2.0 for r in rows)
+
+    def test_rejects_non_divisible_hop(self):
+        import pytest
+
+        from textalyzer_ray.pipelines.analytics import events_hopping_window
+
+        with pytest.raises(ValueError):
+            events_hopping_window(None, window_s=3600, hop_s=700)

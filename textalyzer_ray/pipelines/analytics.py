@@ -85,6 +85,48 @@ def events_tumbling_window(
     )
 
 
+def events_hopping_window(
+    ds_events: Dataset, window_s: int = 3600, hop_s: int = 900
+) -> Dataset:
+    """events(ts, event_type, value) -> per (event_type, window_start)
+    count + sum over OVERLAPPING (hopping/sliding) windows of
+    ``window_s`` advancing by ``hop_s``. Each event explodes into
+    window_s/hop_s derived keys (vectorized numpy repeat — the standard
+    stream-processing window explode), then the same derived-key groupby
+    as the tumbling window; no per-event state, scales like any groupby.
+    """
+    if window_s % hop_s != 0:
+        raise ValueError("window_s must be a multiple of hop_s")
+    win_us = window_s * 1_000_000
+    hop_us = hop_s * 1_000_000
+    k = window_s // hop_s
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        epoch = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(epoch)
+        # last hop-aligned start <= ts, then k-1 earlier hops; keep
+        # starts where ts < start + window (always true by construction)
+        base = (epoch // hop_us) * hop_us
+        offs = (np.arange(k, dtype=np.int64) * hop_us)[None, :]
+        starts = (base[:, None] - offs).reshape(-1)
+        idx = pa.array(np.repeat(np.arange(n), k))
+        out = t.select(["event_type", "value"]).take(idx)
+        return out.append_column(
+            "window_start",
+            pc.cast(pa.array(starts, pa.int64()), pa.timestamp("us")),
+        )
+
+    return (
+        ds_events.select_columns(["ts", "event_type", "value"])
+        .map_batches(explode_windows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .sort(["event_type", "window_start"])
+    )
+
+
 def user_sessionize(
     ds_events: Dataset, gap_s: int = 1800
 ) -> Dataset:
