@@ -585,6 +585,25 @@ def _q_approx_distinct_words(sf_dir: str):
     )
 
 
+
+def _q_gopher_quality(sf_dir: str):
+    """Gopher-rule quality filter (Rae et al. 2021 public heuristics) —
+    every rule verdict is integer-encoded and SQL-mirrored, so the
+    driver hash-checks the complete rule set per document."""
+    from textalyzer_ray.stages.analyze import GopherFilter
+    from textalyzer_ray.stages.pools import default_pool
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(
+            GopherFilter, batch_format="pyarrow", concurrency=default_pool()
+        )
+        .drop_columns(["text"])
+        .sort("doc_id")
+    )
+
+
 def _q_winnow_pairs(sf_dir: str):
     """Substring-level near-dup candidates over the augmented corpus
     (rows-only: winnowing is a rolling-hash sketch, not SQL)."""
@@ -774,6 +793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_region_nation": _q_orders_by_region_nation,
         "purchase_asof_view": _q_purchase_asof_view,
         "readability_components": _q_readability_components,
+        "gopher_quality": _q_gopher_quality,
         "extract_fixtures": _q_extract_fixtures,
         "extract_pdf_text": _q_extract_pdf_text,
         "line_width_histogram_chunks": _q_line_width_histogram_chunks,
@@ -949,6 +969,49 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             "SELECT doc_id, term, rank FROM ranked WHERE rank <= 3 "
             "ORDER BY doc_id, rank"
+        ),
+        "gopher_quality": (
+            """WITH words AS (SELECT doc_id, w FROM (SELECT doc_id,
+            unnest(regexp_split_to_array(text, '[ \t\n\r\f]+')) AS w
+            FROM documents) WHERE w <> ''),
+            wagg AS (SELECT doc_id, count(*) AS n,
+            sum(length(w)) AS sum_chars,
+            count(*) FILTER (WHERE regexp_matches(w, '[A-Za-z]')) AS n_alpha,
+            count(DISTINCT CASE WHEN lower(trim(w, '.,;:!?"''')) IN
+            ('the','be','to','of','and','that','have','with')
+            THEN lower(trim(w, '.,;:!?"''')) END) AS n_stops
+            FROM words GROUP BY doc_id),
+            lagg AS (SELECT doc_id, count(*) AS n_lines,
+            count(*) FILTER (WHERE ltrim(l, ' \t\r\f') LIKE '-%'
+            OR ltrim(l, ' \t\r\f') LIKE '*%') AS n_bullet,
+            count(*) FILTER (WHERE rtrim(l, ' \t\r\f') LIKE '%...') AS n_ell
+            FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+            FROM documents) GROUP BY doc_id),
+            sym AS (SELECT doc_id,
+            (length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
+            FROM documents),
+            r AS (SELECT d.doc_id, coalesce(w.n, 0) AS n_words,
+            CASE WHEN coalesce(w.n,0) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_word_count,
+            CASE WHEN coalesce(w.n,0) > 0 AND 3*w.n <= w.sum_chars AND w.sum_chars <= 10*w.n THEN 1 ELSE 0 END AS r_mean_word_len,
+            CASE WHEN coalesce(w.n,0) > 0 AND s.n_sym*10 <= w.n THEN 1 ELSE 0 END AS r_symbol_ratio,
+            CASE WHEN l.n_bullet*10 < 9*greatest(l.n_lines,1) THEN 1 ELSE 0 END AS r_bullet_lines,
+            CASE WHEN l.n_ell*10 < 3*greatest(l.n_lines,1) THEN 1 ELSE 0 END AS r_ellipsis_lines,
+            CASE WHEN coalesce(w.n,0) > 0 AND w.n_alpha*5 >= 4*w.n THEN 1 ELSE 0 END AS r_alpha_words,
+            CASE WHEN coalesce(w.n_stops,0) >= 2 THEN 1 ELSE 0 END AS r_stopwords
+            FROM documents d LEFT JOIN wagg w USING (doc_id)
+            LEFT JOIN lagg l USING (doc_id) LEFT JOIN sym s USING (doc_id))
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+            CAST(r_word_count AS BIGINT) AS r_word_count,
+            CAST(r_mean_word_len AS BIGINT) AS r_mean_word_len,
+            CAST(r_symbol_ratio AS BIGINT) AS r_symbol_ratio,
+            CAST(r_bullet_lines AS BIGINT) AS r_bullet_lines,
+            CAST(r_ellipsis_lines AS BIGINT) AS r_ellipsis_lines,
+            CAST(r_alpha_words AS BIGINT) AS r_alpha_words,
+            CAST(r_stopwords AS BIGINT) AS r_stopwords,
+            CAST(r_word_count*r_mean_word_len*r_symbol_ratio*r_bullet_lines
+            *r_ellipsis_lines*r_alpha_words*r_stopwords AS BIGINT) AS kept
+            FROM r ORDER BY doc_id"""
         ),
         "readability_components": (
             "SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_words, "

@@ -146,3 +146,40 @@ class TestFingerprint:
         fp2 = winnowed_fingerprints("prefix " + t1 + " suffix")
         assert set(fp1) & set(fp2)
         assert winnowed_fingerprints("") == []
+
+
+class TestGopherRules:
+    def test_boundaries_integer_exact(self):
+        from textalyzer_ray.core.quality import gopher_rules
+
+        # exactly 50 words of 3 chars with 2 required stopwords -> kept
+        words = ["the", "and"] + ["fox"] * 48
+        r = gopher_rules(" ".join(words))
+        assert r["n_words"] == 50 and r["kept"] == 1, r
+        # 49 words fails the count rule only
+        r49 = gopher_rules(" ".join(words[:-1]))
+        assert r49["r_word_count"] == 0 and r49["kept"] == 0
+
+    def test_symbol_boundary(self):
+        from textalyzer_ray.core.quality import gopher_rules
+
+        base = ["the", "and"] + ["fox"] * 48
+        # 5 '#' in 50 words -> 5*10 <= 50 passes; 6 fails
+        ok = gopher_rules(" ".join(base) + " #####")
+        assert ok["r_symbol_ratio"] == 1
+        bad = gopher_rules(" ".join(base) + " ######")
+        assert bad["r_symbol_ratio"] == 0
+
+    def test_bullet_and_ellipsis_lines(self):
+        from textalyzer_ray.core.quality import gopher_rules
+
+        bullets = "\n".join("- item %d" % i for i in range(10))
+        assert gopher_rules(bullets)["r_bullet_lines"] == 0  # 10/10 >= 0.9
+        dots = "\n".join(["plain line", "tail...", "tail..."])
+        assert gopher_rules(dots)["r_ellipsis_lines"] == 0  # 2/3 >= 0.3
+
+    def test_stopword_punctuation_stripping(self):
+        from textalyzer_ray.core.quality import gopher_rules
+
+        r = gopher_rules('The, with! ' + " ".join(["word"] * 60))
+        assert r["r_stopwords"] == 1

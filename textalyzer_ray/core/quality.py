@@ -63,3 +63,57 @@ def quality_score(text: str) -> float:
     mean token length band, alpha ratio.
     """
     return quality_score_from(tokenize(text), text)
+
+
+# --- Gopher-style rule filter (Rae et al. 2021, public heuristics) ---
+
+import re as _re
+
+# whitespace class shared bit-for-bit with the SQL oracle's regexp_split
+# (python \s adds \x0b and unicode spaces RE2/DuckDB \s lacks)
+_WS_SPLIT = _re.compile(r"[ \t\n\r\f]+")
+_ALPHA_ASCII = _re.compile(r"[A-Za-z]")
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(text: str) -> dict[str, int]:
+    """Integer/boolean Gopher-filter signals, every one expressible in
+    ANSI SQL so the driver's DuckDB oracle checks the whole rule set:
+
+    - r_word_count:     50 <= n_words <= 100_000
+    - r_mean_word_len:  3 <= mean chars/word <= 10
+    - r_symbol_ratio:   ('#' chars + '...' occurrences) / n_words <= 0.1
+    - r_bullet_lines:   < 90% of lines start with '-' or '*'
+    - r_ellipsis_lines: < 30% of lines end with '...'
+    - r_alpha_words:    >= 80% of words contain an ASCII letter
+      (ASCII class on BOTH sides — corpus policy, documented)
+    - r_stopwords:      >= 2 distinct required stopwords present
+    - kept: all of the above
+    """
+    words = [w for w in _WS_SPLIT.split(text) if w]
+    n = len(words)
+    lines = text.split("\n")
+    n_lines = max(len(lines), 1)
+    sum_chars = sum(len(w) for w in words)
+    symbols = text.count("#") + text.count("...")
+    # explicit strip charsets mirror the SQL oracle's trim/ltrim args
+    bullet = sum(1 for l in lines if l.lstrip(" \t\r\f").startswith(("-", "*")))
+    ellipsis = sum(1 for l in lines if l.rstrip(" \t\r\f").endswith("..."))
+    alpha = sum(1 for w in words if _ALPHA_ASCII.search(w))
+    stops = {w.lower().strip(".,;:!?\"'") for w in words} & set(GOPHER_STOPWORDS)
+
+    # all comparisons in INTEGER arithmetic so the SQL oracle agrees at
+    # the exact rule boundaries (0.1*n in float is not n/10)
+    r = {
+        "n_words": n,
+        "r_word_count": int(50 <= n <= 100_000),
+        "r_mean_word_len": int(n > 0 and 3 * n <= sum_chars <= 10 * n),
+        "r_symbol_ratio": int(n > 0 and symbols * 10 <= n),
+        "r_bullet_lines": int(bullet * 10 < 9 * n_lines),
+        "r_ellipsis_lines": int(ellipsis * 10 < 3 * n_lines),
+        "r_alpha_words": int(n > 0 and alpha * 5 >= 4 * n),
+        "r_stopwords": int(len(stops) >= 2),
+    }
+    r["kept"] = int(all(v for k, v in r.items() if k.startswith("r_")))
+    return r

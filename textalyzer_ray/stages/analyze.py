@@ -145,3 +145,28 @@ class QualityScorer:
         return out.append_column(
             "quality_score", pa.array(cols["quality_score"], pa.float64())
         )
+
+
+class GopherFilter:
+    """Append the Gopher-rule signal columns (core.quality.gopher_rules)
+    — all BIGINT so the DuckDB oracle checks the entire rule set
+    exactly. Actor-pool stage; per-row Python is inherent (regex scans
+    per word/line)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from textalyzer_ray.core.quality import gopher_rules
+
+        rows = [gopher_rules(t or "") for t in batch[self.text_col].to_pylist()]
+        out = batch
+        if rows:
+            keys = list(rows[0].keys())
+        else:
+            keys = []
+        for k in keys:
+            out = out.append_column(
+                k, pa.array([r[k] for r in rows], pa.int64())
+            )
+        return out
