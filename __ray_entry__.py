@@ -604,6 +604,47 @@ def _q_gopher_quality(sf_dir: str):
     )
 
 
+
+def _q_url_dedup(sf_dir: str):
+    """Crawl-level URL dedup: two deterministic variants per doc (case,
+    default port, param order, utm noise, fragment) must collapse to ONE
+    canonical url each. The oracle rebuilds the expected canonical
+    strings in SQL, so any normalization defect breaks the group count
+    or the string hash."""
+    import pyarrow as pa
+
+    from textalyzer_ray.stages.analyze import add_canonical_url
+    from textalyzer_ray.stages.groups import key_counts
+
+    def make_variants(t: pa.Table) -> pa.Table:
+        urls = []
+        for d in t["doc_id"].to_pylist():
+            urls.append(f"https://www.example.com/doc/{d}?a=1&b=2")
+            urls.append(
+                f"HTTPS://WWW.Example.COM:443/doc/{d}?b=2&utm_source=feed&a=1#top"
+            )
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    pages = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        make_variants, batch_format="pyarrow", zero_copy_batch=True
+    )
+    canon = pages.map_batches(add_canonical_url, batch_format="pyarrow")
+    counts = key_counts(canon, ["canonical_url"])
+    return counts.map_batches(
+        lambda t: pa.table(
+            {"canonical_url": t["canonical_url"], "n_urls": t["count"]}
+        ).cast(
+            pa.schema(
+                [
+                    pa.field("canonical_url", pa.string()),
+                    pa.field("n_urls", pa.int64()),
+                ]
+            )
+        ),
+        batch_format="pyarrow",
+    ).sort("canonical_url")
+
+
 def _q_winnow_pairs(sf_dir: str):
     """Substring-level near-dup candidates over the augmented corpus
     (rows-only: winnowing is a rolling-hash sketch, not SQL)."""
@@ -794,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_asof_view": _q_purchase_asof_view,
         "readability_components": _q_readability_components,
         "gopher_quality": _q_gopher_quality,
+        "url_dedup": _q_url_dedup,
         "extract_fixtures": _q_extract_fixtures,
         "extract_pdf_text": _q_extract_pdf_text,
         "line_width_histogram_chunks": _q_line_width_histogram_chunks,
@@ -1012,6 +1054,11 @@ def oracle_sql() -> dict[str, str]:
             CAST(r_word_count*r_mean_word_len*r_symbol_ratio*r_bullet_lines
             *r_ellipsis_lines*r_alpha_words*r_stopwords AS BIGINT) AS kept
             FROM r ORDER BY doc_id"""
+        ),
+        "url_dedup": (
+            "SELECT 'https://www.example.com/doc/' || doc_id || '?a=1&b=2' "
+            "AS canonical_url, CAST(2 AS BIGINT) AS n_urls "
+            "FROM documents ORDER BY canonical_url"
         ),
         "readability_components": (
             "SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_words, "

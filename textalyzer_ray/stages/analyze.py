@@ -170,3 +170,17 @@ class GopherFilter:
                 k, pa.array([r[k] for r in rows], pa.int64())
             )
         return out
+
+
+def add_canonical_url(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Append canonical_url (core.urlnorm) — the dedup key for
+    crawl-level URL dedup. Task-pool friendly (no state)."""
+    from textalyzer_ray.core.urlnorm import canonical_url
+
+    return batch.append_column(
+        "canonical_url",
+        pa.array(
+            [canonical_url(u or "") for u in batch[url_col].to_pylist()],
+            pa.string(),
+        ),
+    )
