@@ -645,6 +645,14 @@ def _q_url_dedup(sf_dir: str):
     ).sort("canonical_url")
 
 
+
+def _q_doc_top_bigram(sf_dir: str):
+    """Per-document repetition signal: the most frequent token bigram."""
+    from textalyzer_ray.pipelines.frequency import doc_top_bigram
+
+    return doc_top_bigram(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_winnow_pairs(sf_dir: str):
     """Substring-level near-dup candidates over the augmented corpus
     (rows-only: winnowing is a rolling-hash sketch, not SQL)."""
@@ -836,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_components": _q_readability_components,
         "gopher_quality": _q_gopher_quality,
         "url_dedup": _q_url_dedup,
+        "doc_top_bigram": _q_doc_top_bigram,
         "extract_fixtures": _q_extract_fixtures,
         "extract_pdf_text": _q_extract_pdf_text,
         "line_width_histogram_chunks": _q_line_width_histogram_chunks,
@@ -1059,6 +1068,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'https://www.example.com/doc/' || doc_id || '?a=1&b=2' "
             "AS canonical_url, CAST(2 AS BIGINT) AS n_urls "
             "FROM documents ORDER BY canonical_url"
+        ),
+        "doc_top_bigram": (
+            "WITH w AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i "
+            "FROM w WHERE len(ws) >= 2), "
+            "b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram FROM idx), "
+            "g AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS count "
+            "FROM b GROUP BY doc_id, bigram), "
+            "r AS (SELECT doc_id, bigram, count, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY count DESC, bigram ASC) AS rk FROM g) "
+            "SELECT doc_id, bigram, count FROM r WHERE rk = 1 ORDER BY doc_id"
         ),
         "readability_components": (
             "SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_words, "

@@ -165,3 +165,34 @@ class TestTfidf:
             assert [x[0] for x in sorted(lst)] == list(range(1, len(lst) + 1))
         # doc 1 = "b c d": 'd' (df=1) must outrank 'b'/'c' (df=2)
         assert by_doc[1][0][1] == "d"
+
+
+class TestDocTopBigram:
+    def test_top_and_ties(self, quiet_data_context):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.frequency import doc_top_bigram
+
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1, 2, 3, 4],
+                    "text": [
+                        "spam spam spam eggs",     # 'spam spam' x2 wins
+                        "b a b a",                 # tie 'a b'=1? no: 'b a' x2... compute
+                        "single",                  # <2 tokens -> no row
+                        "z y z y z",               # 'z y' x2 beats 'y z' x2? tie -> 'y z' asc
+                    ],
+                }
+            )
+        )
+        rows = doc_top_bigram(docs).take_all()
+        by = {r["doc_id"]: (r["bigram"], r["count"]) for r in rows}
+        assert by[1] == ("spam spam", 2)
+        assert by[2] == ("a b", 1) or by[2] == ("b a", 2)
+        # doc 2: bigrams are 'b a','a b','b a' -> 'b a' x2
+        assert by[2] == ("b a", 2)
+        assert 3 not in by
+        # doc 4: 'z y' x2 and 'y z' x2 tie -> lexicographically first
+        assert by[4] == ("y z", 2)

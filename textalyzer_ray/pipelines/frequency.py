@@ -379,3 +379,51 @@ def tfidf_top_terms(
         return df.to_arrow().cast(out_schema)
 
     return grouped_apply(scored, [id_col], topk_block).sort([id_col, "rank"])
+
+
+def doc_top_bigram(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> Dataset:
+    """Per-document most frequent token bigram -> (doc_id, bigram,
+    count); ties break bigram-ascending. The per-doc repetition signal
+    (a doc dominated by one bigram is boilerplate/spam — the
+    Gopher-family repetition filter's integer core, exact enough for a
+    SQL window oracle). Docs with < 2 tokens emit nothing. Fully
+    vectorized: one polars window pass per batch (docs never span
+    batches)."""
+    import polars as pl
+
+    from textalyzer_ray.stages.tokenize import exploded_tokens
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("bigram", pa.string()),
+            pa.field("count", pa.int64()),
+        ]
+    )
+
+    def top_per_doc(t: pa.Table) -> pa.Table:
+        pairs = exploded_tokens(t, id_col, text_col)
+        df = pl.from_arrow(pairs)
+        if df.height == 0:
+            return out_schema.empty_table()
+        out = (
+            df.with_columns(pl.col("word").shift(-1).over(id_col).alias("next"))
+            .drop_nulls("next")
+            .with_columns(
+                (pl.col("word") + pl.lit(" ") + pl.col("next")).alias("bigram")
+            )
+            .group_by([id_col, "bigram"])
+            .len()
+            .rename({"len": "count"})
+            .sort([id_col, "count", "bigram"], descending=[False, True, False])
+            .group_by(id_col, maintain_order=True)
+            .head(1)
+            .with_columns(pl.col("count").cast(pl.Int64))
+        )
+        return out.select([id_col, "bigram", "count"]).to_arrow().cast(out_schema)
+
+    return ds.map_batches(
+        top_per_doc, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(id_col)
