@@ -296,3 +296,26 @@ class TestWinnowPairs:
             )
         )
         assert winnow_duplicate_pairs(docs, min_shared=2).take_all() == []
+
+
+class TestConnectedComponentsEdgeCases:
+    def test_duplicate_edges_and_self_loops(self):
+        pairs = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": [1, 1, 2, 7, 5],
+                    "id_b": [2, 2, 1, 7, 6],  # dup edge, reverse, self-loop
+                }
+            )
+        )
+        rows = connected_components(pairs).take_all()
+        lab = {r["doc_id"]: r["cluster_id"] for r in rows}
+        assert lab[1] == lab[2] == 1
+        assert lab[7] == 7
+        assert lab[5] == lab[6] == 5
+
+    def test_empty_edges(self):
+        pairs = rd.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        )
+        assert connected_components(pairs).take_all() == []
