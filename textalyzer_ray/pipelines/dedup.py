@@ -353,7 +353,8 @@ def connected_components(pairs: Dataset, max_rounds: int = 50) -> Dataset:
     # (grouped_apply); reset the (already-materialized) dataset to the
     # session default so the join/groupby loop plans its own shuffles.
     edges.context.shuffle_strategy = DataContext.get_current().shuffle_strategy
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         import ray.data as rd
 
         id_type = pa.int64()
@@ -362,6 +363,14 @@ def connected_components(pairs: Dataset, max_rounds: int = 50) -> Dataset:
                 [pa.field("doc_id", id_type), pa.field("cluster_id", id_type)]
             ).empty_table()
         )
+    # Size the per-round shuffles to the EDGE SET, not the cluster: each
+    # HashShuffleOperator pays ~1-2 s aggregator-actor startup per
+    # partition count (CLAUDE.md), and the loop plans 2 shuffles per
+    # round. Near-dup edge sets are tiny relative to the corpus (13k
+    # rows at sf0.1), so 32-way shuffles per round dominated wall time
+    # (30.8 s -> sized). ~1M 16-byte edge rows per partition bounds
+    # per-partition memory at scale while keeping small runs at 2-way.
+    n_parts = max(2, -(-n_edges // 1_000_000))
 
     def expand(t: pa.Table) -> pa.Table:
         # undirected: (node, nbr) in both directions
@@ -409,14 +418,13 @@ def connected_components(pairs: Dataset, max_rounds: int = 50) -> Dataset:
         batch_format="pyarrow",
     )
     labels = (
-        grouped_apply(init, ["node"], min_label_block)
+        grouped_apply(init, ["node"], min_label_block, num_partitions=n_parts)
         .map_batches(own_min, batch_format="pyarrow")
         .materialize()
     )
     prev_sum = labels.sum("label")
 
     from textalyzer_ray.pipelines.joins import bucketed_join
-    from textalyzer_ray.sources.tables import cluster_cpus
 
     for _ in range(max_rounds):
         # neighbor labels: edges (node, nbr) ⋈ labels (nbr -> label)
@@ -427,10 +435,15 @@ def connected_components(pairs: Dataset, max_rounds: int = 50) -> Dataset:
                 batch_format="pyarrow",
             ),
             left_key="nbr",
-            num_partitions=max(cluster_cpus(), 2),
+            num_partitions=n_parts,
         ).select_columns(["node", "label"])
         new_labels = (
-            grouped_apply(nbr_labels.union(labels), ["node"], min_label_block)
+            grouped_apply(
+                nbr_labels.union(labels),
+                ["node"],
+                min_label_block,
+                num_partitions=n_parts,
+            )
             .map_batches(own_min, batch_format="pyarrow")
             .materialize()
         )
