@@ -552,6 +552,26 @@ def _q_ivf_topk(sf_dir: str):
     )
 
 
+def _q_cosine_pairs(sf_dir: str):
+    """Exact all-pairs cosine >= 0.45 via triangle partitioning.
+    Int-only (id_a, id_b) output so the value-hash is float-free; the
+    0.45 threshold sits 5.5e-4 from the nearest pair at sf0.01, so
+    numpy-vs-DuckDB double rounding cannot flip membership."""
+    import pandas as pd
+
+    from textalyzer_ray.pipelines.similarity import cosine_pairs_exact
+    from textalyzer_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    rows = cosine_pairs_exact(ds, threshold=0.45).take_all()
+    return pd.DataFrame(
+        {
+            "id_a": pd.Series([r["id_a"] for r in rows], dtype="int64"),
+            "id_b": pd.Series([r["id_b"] for r in rows], dtype="int64"),
+        }
+    )
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -831,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_hopping": _q_events_hopping,
         "similarity_topk": _q_similarity_topk,
+        "cosine_pairs": _q_cosine_pairs,
         "extract_text": _q_extract_text,
         "quality_components": _q_quality_components,
         "word_doc_frequency": _q_word_doc_frequency,
@@ -947,6 +968,13 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY rank LIMIT {TOPK}"
         ),
         "extract_text": "SELECT doc_id, text FROM documents ORDER BY doc_id",
+        "cosine_pairs": (
+            "SELECT e1.vec_id AS id_a, e2.vec_id AS id_b "
+            "FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id "
+            "WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), "
+            "CAST(e2.embedding AS DOUBLE[])) >= 0.45 "
+            "ORDER BY id_a, id_b"
+        ),
         "word_doc_frequency": (
             f"SELECT word, count(DISTINCT doc_id) AS df FROM ({tokens_cte}) "
             "GROUP BY word ORDER BY df DESC, word"

@@ -152,3 +152,41 @@ class TestMultiAssignRecall:
         assert set(p1) <= set(p2), "multi-assignment lost pairs"
         planted = {(i, 40 + i) for i in range(10)}
         assert planted <= set(p2), sorted(planted - set(p2))
+
+
+class TestCosinePairsExact:
+    def _oracle(self, m, threshold):
+        mn = m.astype(np.float64)
+        mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        ai, bi = np.where(np.triu(sims >= threshold, k=1))
+        return sorted(zip(ai.tolist(), bi.tolist()))
+
+    def test_matches_numpy_all_pairs(self):
+        from textalyzer_ray.pipelines.similarity import cosine_pairs_exact
+
+        ds, m = emb_ds(n=80, dim=8, seed=11)
+        got = [
+            (r["id_a"], r["id_b"])
+            for r in cosine_pairs_exact(ds, threshold=0.7).take_all()
+        ]
+        assert got == self._oracle(m, 0.7)
+        assert len(got) >= 2  # planted near-dups of vec 0
+
+    def test_multi_bucket_no_dup_no_loss(self):
+        # force several buckets so cross-bucket and diagonal groups both run
+        from textalyzer_ray.pipelines.similarity import cosine_pairs_exact
+
+        ds, m = emb_ds(n=120, dim=6, seed=3)
+        got = [
+            (r["id_a"], r["id_b"])
+            for r in cosine_pairs_exact(ds, threshold=0.6, n_buckets=5).take_all()
+        ]
+        assert got == self._oracle(m, 0.6)
+        assert len(got) == len(set(got))  # exactly-once emission
+
+    def test_empty_result(self):
+        from textalyzer_ray.pipelines.similarity import cosine_pairs_exact
+
+        ds, _ = emb_ds(n=16, dim=12, seed=9)
+        assert cosine_pairs_exact(ds, threshold=1.5).take_all() == []

@@ -133,6 +133,117 @@ def ivf_topk(
     return brute_force_topk(pruned, q, k=k, id_col=id_col, emb_col=emb_col)
 
 
+def cosine_pairs_exact(
+    ds: Dataset,
+    threshold: float = 0.45,
+    n_buckets: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """EXACT (id_a, id_b) pairs with cosine >= threshold, id_a < id_b,
+    via triangle partitioning: bucket each vector by id into
+    ``n_buckets``, replicate it to every unordered bucket pair that
+    contains its bucket, and let each of the n(n+1)/2 bucket-pair groups
+    compute one block-pair of the similarity matrix (triangular within
+    the diagonal groups, full cross-product otherwise). Every pair is
+    computed in EXACTLY one group, so no distinct pass is needed.
+
+    Scale notes: O(n^2) similarity work is inherent to the exact kernel
+    — this spreads it over bucket-pair groups whose per-group memory is
+    2*n/n_buckets vectors (n_buckets sized from the measured count);
+    replication factor through the shuffle is n_buckets. For corpora
+    where n^2 is not payable, use ``embedding_near_dup_pairs`` (IVF
+    cells + multi-assignment) — this exact kernel is its oracle."""
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    n = ds.count()
+    if n_buckets is None:
+        # ~4096 vectors per side per group bounds the per-group matmul
+        n_buckets = max(2, -(-2 * n // 4096))
+    nb = n_buckets
+    id_type = ds.schema().base_schema.field(id_col).type
+    pair_schema = pa.schema(
+        [
+            pa.field("id_a", id_type),
+            pa.field("id_b", id_type),
+            pa.field("cosine", pa.float64()),
+        ]
+    )
+
+    def replicate(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, emb_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        b = (ids % nb).astype(np.int64)
+        parts = []
+        for c in range(nb):
+            lo = np.minimum(b, c)
+            hi = np.maximum(b, c)
+            parts.append(
+                t.append_column("bucket", pa.array(b))
+                .append_column("pair_key", pa.array(lo * nb + hi))
+            )
+        return pa.concat_tables(parts)
+
+    def pairs_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pair_schema.empty_table()
+        ids_np = block[id_col].to_numpy(zero_copy_only=False)
+        m_all = normalize_rows(_stack_embeddings(block, emb_col))
+        buckets = block["bucket"].to_numpy(zero_copy_only=False)
+        df = pl.DataFrame(
+            {
+                "pair_key": block["pair_key"].to_numpy(zero_copy_only=False),
+                "row": np.arange(block.num_rows, dtype=np.int64),
+            }
+        )
+        parts = []
+        for key_vals, grp in df.group_by(["pair_key"]):
+            key = int(key_vals[0])
+            lo, hi = key // nb, key % nb
+            rows = np.asarray(grp["row"].to_list())
+            if lo == hi:
+                order = rows[np.argsort(ids_np[rows], kind="stable")]
+                m = m_all[order]
+                sims = m @ m.T
+                ai, bi = np.where(np.triu(sims >= threshold, k=1))
+                ida, idb = ids_np[order][ai], ids_np[order][bi]
+                cos = sims[ai, bi]
+            else:
+                ra = rows[buckets[rows] == lo]
+                rb = rows[buckets[rows] == hi]
+                if len(ra) == 0 or len(rb) == 0:
+                    continue
+                sims = m_all[ra] @ m_all[rb].T
+                ai, bi = np.where(sims >= threshold)
+                ia, ib = ids_np[ra][ai], ids_np[rb][bi]
+                ida, idb = np.minimum(ia, ib), np.maximum(ia, ib)
+                cos = sims[ai, bi]
+            if len(ida):
+                parts.append(
+                    pa.table(
+                        {
+                            "id_a": pa.array(ida, id_type),
+                            "id_b": pa.array(idb, id_type),
+                            "cosine": pa.array(cos, pa.float64()),
+                        }
+                    )
+                )
+        if not parts:
+            return pair_schema.empty_table()
+        return pa.concat_tables(parts).cast(pair_schema)
+
+    replicated = ds.map_batches(replicate, batch_format="pyarrow")
+    n_groups = nb * (nb + 1) // 2
+    return grouped_apply(
+        replicated,
+        ["pair_key"],
+        pairs_block,
+        num_partitions=max(2, min(n_groups, 64)),
+    ).sort(["id_a", "id_b"])
+
+
 def embedding_near_dup_pairs(
     ds: Dataset,
     threshold: float = 0.95,
