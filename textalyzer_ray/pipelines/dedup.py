@@ -412,6 +412,19 @@ def connected_components(pairs: Dataset, max_rounds: int = 50) -> Dataset:
             }
         )
 
+    def label_sum(ds: Dataset) -> int:
+        # convergence probe: per-block sums reduced on the driver (one
+        # int per block) — Dataset.sum() plans a 200-partition
+        # HashAggregate (~0.5 s/call) which dwarfed the tiny label set.
+        import pyarrow.compute as pc
+
+        parts = ds.map_batches(
+            lambda t: pa.table({"s": [pc.sum(t["label"]).as_py() or 0]}),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).take_all()
+        return sum(r["s"] for r in parts)
+
     # initial labels: min(node, min neighbor) — key-aligned, vectorized
     init = edges2.map_batches(
         lambda t: pa.table({"node": t["node"], "label": t["nbr"]}),
@@ -422,7 +435,7 @@ def connected_components(pairs: Dataset, max_rounds: int = 50) -> Dataset:
         .map_batches(own_min, batch_format="pyarrow")
         .materialize()
     )
-    prev_sum = labels.sum("label")
+    prev_sum = label_sum(labels)
 
     from textalyzer_ray.pipelines.joins import bucketed_join
 
@@ -447,7 +460,7 @@ def connected_components(pairs: Dataset, max_rounds: int = 50) -> Dataset:
             .map_batches(own_min, batch_format="pyarrow")
             .materialize()
         )
-        new_sum = new_labels.sum("label")
+        new_sum = label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
             break
