@@ -572,6 +572,29 @@ def _q_cosine_pairs(sf_dir: str):
     )
 
 
+def _q_knn_graph(sf_dir: str):
+    """Exact top-10 cosine neighbor graph (triangle partitioning).
+    Int-only (vec_id, rank, neighbor_id); the minimum adjacent cosine
+    gap inside any top-10 neighborhood at sf0.01 is 1.4e-6, so ranks
+    are stable against numpy-vs-DuckDB double rounding."""
+    import pandas as pd
+
+    from textalyzer_ray.pipelines.similarity import knn_self_join
+    from textalyzer_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    rows = knn_self_join(ds, k=TOPK).take_all()
+    return pd.DataFrame(
+        {
+            "vec_id": pd.Series([r["vec_id"] for r in rows], dtype="int64"),
+            "rank": pd.Series([r["rank"] for r in rows], dtype="int64"),
+            "neighbor_id": pd.Series(
+                [r["neighbor_id"] for r in rows], dtype="int64"
+            ),
+        }
+    )
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -852,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "similarity_topk": _q_similarity_topk,
         "cosine_pairs": _q_cosine_pairs,
+        "knn_graph": _q_knn_graph,
         "extract_text": _q_extract_text,
         "quality_components": _q_quality_components,
         "word_doc_frequency": _q_word_doc_frequency,
@@ -974,6 +998,18 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), "
             "CAST(e2.embedding AS DOUBLE[])) >= 0.45 "
             "ORDER BY id_a, id_b"
+        ),
+        "knn_graph": (
+            "WITH s AS (SELECT e1.vec_id, e2.vec_id AS neighbor_id, "
+            "list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), "
+            "CAST(e2.embedding AS DOUBLE[])) AS cos "
+            "FROM embeddings e1 JOIN embeddings e2 "
+            "ON e1.vec_id <> e2.vec_id), "
+            "r AS (SELECT vec_id, neighbor_id, CAST(row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) "
+            "AS BIGINT) AS rank FROM s) "
+            f"SELECT vec_id, rank, neighbor_id FROM r WHERE rank <= {TOPK} "
+            "ORDER BY vec_id, rank"
         ),
         "word_doc_frequency": (
             f"SELECT word, count(DISTINCT doc_id) AS df FROM ({tokens_cte}) "

@@ -190,3 +190,36 @@ class TestCosinePairsExact:
 
         ds, _ = emb_ds(n=16, dim=12, seed=9)
         assert cosine_pairs_exact(ds, threshold=1.5).take_all() == []
+
+
+class TestKnnSelfJoin:
+    def _oracle(self, m, k):
+        mn = m.astype(np.float64)
+        mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        np.fill_diagonal(sims, -2.0)
+        out = []
+        for i in range(sims.shape[0]):
+            order = sorted(range(sims.shape[0]), key=lambda j: (-sims[i, j], j))
+            for r, j in enumerate(order[:k], start=1):
+                if sims[i, j] <= -2.0:
+                    break
+                out.append((i, r, j))
+        return out
+
+    def test_matches_numpy(self):
+        from textalyzer_ray.pipelines.similarity import knn_self_join
+
+        ds, m = emb_ds(n=60, dim=8, seed=21)
+        rows = knn_self_join(ds, k=5, n_buckets=4).take_all()
+        got = [(r["vec_id"], r["rank"], r["neighbor_id"]) for r in rows]
+        assert got == self._oracle(m, 5)
+
+    def test_k_larger_than_corpus(self):
+        from textalyzer_ray.pipelines.similarity import knn_self_join
+
+        ds, m = emb_ds(n=6, dim=8, seed=2)
+        rows = knn_self_join(ds, k=10, n_buckets=2).take_all()
+        got = [(r["vec_id"], r["rank"], r["neighbor_id"]) for r in rows]
+        assert got == self._oracle(m, 10)
+        assert len(rows) == 6 * 5  # n-1 neighbors each

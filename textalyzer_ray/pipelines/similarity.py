@@ -244,6 +244,157 @@ def cosine_pairs_exact(
     ).sort(["id_a", "id_b"])
 
 
+def knn_self_join(
+    ds: Dataset,
+    k: int = 10,
+    n_buckets: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """EXACT k-nearest-neighbor graph over the corpus: for every vector,
+    its top-k cosine neighbors (self excluded) as
+    (vec_id, rank, neighbor_id, cosine), rank 1-based by
+    (cosine desc, neighbor_id asc).
+
+    Same triangle partitioning as ``cosine_pairs_exact``: each
+    bucket-pair group scores one block-pair of the similarity matrix and
+    emits its LOCAL top-k per vector (both directions), so only
+    n * n_buckets * k candidate rows — never full similarity rows —
+    reach the final per-vector merge, a key-aligned grouped top-k.
+    O(n^2) score work is inherent to the exact graph; the approximate
+    path at corpus scale is ``ivf_topk`` per query batch."""
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    n = ds.count()
+    if n_buckets is None:
+        n_buckets = max(2, -(-2 * n // 4096))
+    nb = n_buckets
+    id_type = ds.schema().base_schema.field(id_col).type
+    cand_schema = pa.schema(
+        [
+            pa.field(id_col, id_type),
+            pa.field("neighbor_id", id_type),
+            pa.field("cosine", pa.float64()),
+        ]
+    )
+
+    def replicate(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, emb_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        b = (ids % nb).astype(np.int64)
+        parts = []
+        for c in range(nb):
+            lo = np.minimum(b, c)
+            hi = np.maximum(b, c)
+            parts.append(
+                t.append_column("bucket", pa.array(b))
+                .append_column("pair_key", pa.array(lo * nb + hi))
+            )
+        return pa.concat_tables(parts)
+
+    def local_topk(side_ids, other_ids, sims):
+        # sims: (len(side), len(other)); local top-k of each side row
+        kk = min(k, sims.shape[1])
+        if kk == 0:
+            return None
+        # order by (-cosine, neighbor_id): lexsort on (id, -sim)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(side_ids, kk)
+        cols = other_ids[part.ravel()]
+        vals = np.take_along_axis(sims, part, axis=1).ravel()
+        keep = vals > -1.5  # drop the self-exclusion sentinel (-2)
+        return rows[keep], cols[keep], vals[keep]
+
+    def cands_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return cand_schema.empty_table()
+        ids_np = block[id_col].to_numpy(zero_copy_only=False)
+        m_all = normalize_rows(_stack_embeddings(block, emb_col))
+        buckets = block["bucket"].to_numpy(zero_copy_only=False)
+        df = pl.DataFrame(
+            {
+                "pair_key": block["pair_key"].to_numpy(zero_copy_only=False),
+                "row": np.arange(block.num_rows, dtype=np.int64),
+            }
+        )
+        out_r, out_c, out_v = [], [], []
+        for key_vals, grp in df.group_by(["pair_key"]):
+            key = int(key_vals[0])
+            lo, hi = key // nb, key % nb
+            rows = np.asarray(grp["row"].to_list())
+            if lo == hi:
+                ids = ids_np[rows]
+                sims = m_all[rows] @ m_all[rows].T
+                np.fill_diagonal(sims, -2.0)  # exclude self
+                res = local_topk(ids, ids, sims)
+                if res:
+                    out_r.append(res[0]); out_c.append(res[1]); out_v.append(res[2])
+            else:
+                ra = rows[buckets[rows] == lo]
+                rb = rows[buckets[rows] == hi]
+                if len(ra) == 0 or len(rb) == 0:
+                    continue
+                sims = m_all[ra] @ m_all[rb].T
+                for side, other, s in (
+                    (ids_np[ra], ids_np[rb], sims),
+                    (ids_np[rb], ids_np[ra], sims.T),
+                ):
+                    res = local_topk(side, other, s)
+                    if res:
+                        out_r.append(res[0]); out_c.append(res[1]); out_v.append(res[2])
+        if not out_r:
+            return cand_schema.empty_table()
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_r), id_type),
+                "neighbor_id": pa.array(np.concatenate(out_c), id_type),
+                "cosine": pa.array(np.concatenate(out_v), pa.float64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, id_type),
+            pa.field("rank", pa.int64()),
+            pa.field("neighbor_id", id_type),
+            pa.field("cosine", pa.float64()),
+        ]
+    )
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .sort([id_col, "cosine", "neighbor_id"], descending=[False, True, False])
+            .group_by(id_col, maintain_order=True)
+            .head(k)
+            .with_columns(
+                (pl.col("cosine").rank("ordinal", descending=True).over(id_col))
+                .cast(pl.Int64)
+                .alias("rank")
+            )
+            .select([id_col, "rank", "neighbor_id", "cosine"])
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    replicated = ds.map_batches(replicate, batch_format="pyarrow")
+    n_groups = nb * (nb + 1) // 2
+    cands = grouped_apply(
+        replicated,
+        ["pair_key"],
+        cands_block,
+        num_partitions=max(2, min(n_groups, 64)),
+    )
+    return grouped_apply(
+        cands,
+        [id_col],
+        merge_topk,
+        num_partitions=max(2, min(-(-n // 50_000), 64)),
+    ).sort([id_col, "rank"])
+
+
 def embedding_near_dup_pairs(
     ds: Dataset,
     threshold: float = 0.95,
