@@ -552,6 +552,24 @@ def _q_ivf_topk(sf_dir: str):
     )
 
 
+def _q_cap_per_source(sf_dir: str):
+    """Crawl-curation quota: keep the 3 smallest-id docs per source."""
+    from textalyzer_ray.pipelines.curation import cap_per_group
+    from textalyzer_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["source", "doc_id"])
+    return cap_per_group(ds, "source", 3, "doc_id")
+
+
+def _q_hash_split(sf_dir: str):
+    """Deterministic multiplicative-hash train/val assignment."""
+    from textalyzer_ray.pipelines.curation import hash_split
+    from textalyzer_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return hash_split(ds, "doc_id", train_fraction=0.875).sort("doc_id")
+
+
 def _q_cosine_pairs(sf_dir: str):
     """Exact all-pairs cosine >= 0.45 via triangle partitioning.
     Int-only (id_a, id_b) output so the value-hash is float-free; the
@@ -876,6 +894,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": _q_similarity_topk,
         "cosine_pairs": _q_cosine_pairs,
         "knn_graph": _q_knn_graph,
+        "cap_per_source": _q_cap_per_source,
+        "hash_split": _q_hash_split,
         "extract_text": _q_extract_text,
         "quality_components": _q_quality_components,
         "word_doc_frequency": _q_word_doc_frequency,
@@ -998,6 +1018,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), "
             "CAST(e2.embedding AS DOUBLE[])) >= 0.45 "
             "ORDER BY id_a, id_b"
+        ),
+        "cap_per_source": (
+            "WITH r AS (SELECT source, doc_id, row_number() OVER ("
+            "PARTITION BY source ORDER BY doc_id) AS rk FROM documents) "
+            "SELECT source, doc_id FROM r WHERE rk <= 3 "
+            "ORDER BY source, doc_id"
+        ),
+        "hash_split": (
+            "SELECT doc_id, CASE WHEN "
+            "CAST((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761 "
+            "AS HUGEINT) % 4294967296 < CAST(0.875 * 4294967296 AS HUGEINT) "
+            "THEN 'train' ELSE 'val' END AS split "
+            "FROM documents ORDER BY doc_id"
         ),
         "knn_graph": (
             "WITH s AS (SELECT e1.vec_id, e2.vec_id AS neighbor_id, "

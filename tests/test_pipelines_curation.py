@@ -1,0 +1,92 @@
+"""Curation pipelines: per-group quota cap, deterministic hash split."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from textalyzer_ray.pipelines.curation import cap_per_group, hash_split
+
+pytestmark = pytest.mark.usefixtures("quiet_data_context")
+
+
+def make_ds():
+    rows = []
+    for s, count in (("a", 7), ("b", 2), ("c", 1)):
+        for i in range(count):
+            rows.append((s, len(rows) * 10 + 3))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": [r[0] for r in rows],
+                "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
+class TestCapPerGroup:
+    def test_caps_and_orders(self):
+        ds = make_ds()
+        got = [
+            (r["source"], r["doc_id"])
+            for r in cap_per_group(ds, "source", 3, "doc_id").take_all()
+        ]
+        assert got == [
+            ("a", 3), ("a", 13), ("a", 23),
+            ("b", 73), ("b", 83),
+            ("c", 93),
+        ]
+
+    def test_cap_larger_than_groups(self):
+        ds = make_ds()
+        assert cap_per_group(ds, "source", 100, "doc_id").count() == 10
+
+    def test_local_prune_equivalence_many_blocks(self):
+        # split input into many blocks: local prune + key-aligned head
+        # must equal a single global head
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        n = 5000
+        srcs = [f"s{rng.randint(20)}" for _ in range(n)]
+        ids = rng.permutation(n).tolist()
+        ds = rd.from_arrow(
+            pa.table({"source": srcs, "doc_id": pa.array(ids, pa.int64())})
+        ).repartition(16)
+        got = [
+            (r["source"], r["doc_id"])
+            for r in cap_per_group(ds, "source", 5, "doc_id").take_all()
+        ]
+        import collections
+
+        exp = []
+        per = collections.defaultdict(list)
+        for s, i in zip(srcs, ids):
+            per[s].append(i)
+        for s in sorted(per):
+            exp.extend((s, i) for i in sorted(per[s])[:5])
+        assert got == exp
+
+
+class TestHashSplit:
+    def test_deterministic_and_fraction(self):
+        ids = list(range(10_000))
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+        rows = hash_split(ds, "doc_id", train_fraction=0.875).take_all()
+        by_id = {r["doc_id"]: r["split"] for r in rows}
+        # exact per-id rule
+        for i in (0, 1, 4242, 9999):
+            h = ((i % (1 << 32)) * 2654435761) % (1 << 32)
+            exp = "train" if h < int(0.875 * (1 << 32)) else "val"
+            assert by_id[i] == exp
+        frac = sum(1 for v in by_id.values() if v == "train") / len(by_id)
+        assert abs(frac - 0.875) < 0.02
+
+    def test_partitioning_invariant(self):
+        ids = list(range(1000))
+        t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+        a = {r["doc_id"]: r["split"]
+             for r in hash_split(rd.from_arrow(t), "doc_id").take_all()}
+        b = {r["doc_id"]: r["split"]
+             for r in hash_split(rd.from_arrow(t).repartition(13), "doc_id").take_all()}
+        assert a == b

@@ -1,0 +1,102 @@
+"""Corpus curation pipelines (training-data extensions).
+
+- ``cap_per_group``: per-key quota cap — keep at most ``n`` rows per
+  group (the standard "cap documents per domain" crawl-curation rule,
+  hot-domain skew defused by construction: the cap bounds every
+  group's contribution).
+- ``hash_split``: deterministic train/validation assignment from a
+  multiplicative hash of the id — reproducible across runs, engines and
+  partitionings (no RNG state), expressible in SQL for oracle parity.
+
+Both are single-pass: cap_per_group is one key-aligned block pass
+(stages.groups.grouped_apply — each key lands entirely in one block),
+hash_split is pure per-batch arithmetic with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from ray.data import Dataset
+
+# Knuth multiplicative hash constant (2654435761 = 2^32 / phi).
+_KNUTH = 2654435761
+_M32 = 1 << 32
+
+
+def cap_per_group(
+    ds: Dataset,
+    key_col: str,
+    n: int,
+    order_col: str,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Keep the ``n`` rows with the smallest ``order_col`` per ``key_col``
+    (ties impossible when order_col is unique; otherwise polars' stable
+    sort makes the outcome deterministic in input order). Returns the
+    surviving rows with their original columns, sorted by
+    (key_col, order_col).
+
+    Scale: the shuffle moves each row once, keyed by ``key_col``; the
+    per-block work is one vectorized polars sort + group head. A domain
+    holding half the corpus still lands in one block — if a single
+    group can exceed block memory, pre-prune inside ``map_batches``
+    with the same head rule first (local head of n is a superset of the
+    global head of n), then run this; the local pre-prune keeps at most
+    n rows per key per input block.
+    """
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    schema = ds.schema().base_schema
+
+    def head_block(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .sort([key_col, order_col])
+            .group_by(key_col, maintain_order=True)
+            .head(n)
+            .to_arrow()
+            .cast(schema)
+        )
+
+    # per-input-block pre-prune: the global head-n per key survives any
+    # local head-n prune, so the shuffle carries <= n rows per key per
+    # input block instead of whole hot domains
+    pruned = ds.map_batches(head_block, batch_format="pyarrow")
+    return grouped_apply(
+        pruned, [key_col], head_block, num_partitions=num_partitions
+    ).sort([key_col, order_col])
+
+
+def hash_split(
+    ds: Dataset,
+    id_col: str,
+    train_fraction: float = 0.875,
+    split_col: str = "split",
+) -> Dataset:
+    """Append ``split_col`` ('train' | 'val') from a Knuth
+    multiplicative hash of ``id_col``: h = (id mod 2^32) * 2654435761
+    mod 2^32; train iff h < train_fraction * 2^32. Deterministic,
+    shuffle-free, identical under any partitioning — the property that
+    makes a 100 TB split resumable and re-derivable. ``train_fraction``
+    is quantized to 1/2^32 steps (exact integer comparison, no float
+    boundary ambiguity)."""
+    import pyarrow.compute as pc
+
+    threshold = int(train_fraction * _M32)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.uint64())
+        h = pc.multiply_checked(
+            pc.bit_wise_and(ids, _M32 - 1), pa.scalar(_KNUTH, pa.uint64())
+        )
+        h = pc.bit_wise_and(h, _M32 - 1)
+        split = pc.if_else(
+            pc.less(h, pa.scalar(threshold, pa.uint64())),
+            pa.scalar("train"),
+            pa.scalar("val"),
+        )
+        return t.append_column(split_col, split)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
