@@ -570,6 +570,33 @@ def _q_hash_split(sf_dir: str):
     return hash_split(ds, "doc_id", train_fraction=0.875).sort("doc_id")
 
 
+def _q_dedup_against(sf_dir: str):
+    """Incremental dedup: drop docs whose text already exists in the
+    'ingested' reference slice (doc_id % 10 == 0)."""
+    import pyarrow as pa
+
+    from textalyzer_ray.pipelines.curation import dedup_against
+    from textalyzer_ray.sources.tables import read_table
+
+    def ref_slice(t):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    new = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ref = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        ref_slice, batch_format="pyarrow"
+    )
+    return dedup_against(new, ref)
+
+
+def _q_bpe_token_counts(sf_dir: str):
+    from textalyzer_ray.pipelines.frequency import bpe_token_counts
+    from textalyzer_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_token_counts(ds)
+
+
 def _q_cosine_pairs(sf_dir: str):
     """Exact all-pairs cosine >= 0.45 via triangle partitioning.
     Int-only (id_a, id_b) output so the value-hash is float-free; the
@@ -896,6 +923,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "cap_per_source": _q_cap_per_source,
         "hash_split": _q_hash_split,
+        "dedup_against": _q_dedup_against,
+        "bpe_token_counts": _q_bpe_token_counts,
         "extract_text": _q_extract_text,
         "quality_components": _q_quality_components,
         "word_doc_frequency": _q_word_doc_frequency,
@@ -1024,6 +1053,16 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY source ORDER BY doc_id) AS rk FROM documents) "
             "SELECT source, doc_id FROM r WHERE rk <= 3 "
             "ORDER BY source, doc_id"
+        ),
+        "dedup_against": (
+            "SELECT doc_id, text FROM documents d WHERE NOT EXISTS ("
+            "SELECT 1 FROM documents r WHERE r.doc_id % 10 = 0 "
+            "AND r.text = d.text) ORDER BY doc_id"
+        ),
+        "bpe_token_counts": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]+')) AS BIGINT) "
+            "AS n_bpe_tokens FROM documents ORDER BY doc_id"
         ),
         "hash_split": (
             "SELECT doc_id, CASE WHEN "

@@ -90,3 +90,61 @@ class TestHashSplit:
         b = {r["doc_id"]: r["split"]
              for r in hash_split(rd.from_arrow(t).repartition(13), "doc_id").take_all()}
         assert a == b
+
+
+class TestDedupAgainst:
+    def test_removes_ref_texts_exactly(self):
+        from textalyzer_ray.pipelines.curation import dedup_against
+
+        new = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": ["aa", "bb", "cc", "bb"],
+                }
+            )
+        )
+        ref = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([100, 101], pa.int64()),
+                    "text": ["bb", "zz"],
+                }
+            )
+        )
+        got = [(r["doc_id"], r["text"]) for r in dedup_against(new, ref).take_all()]
+        assert got == [(1, "aa"), (3, "cc")]
+
+    def test_empty_ref_keeps_all(self):
+        from textalyzer_ray.pipelines.curation import dedup_against
+
+        new = rd.from_arrow(
+            pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": ["a", "b"]})
+        )
+        ref = rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+        )
+        assert dedup_against(new, ref).count() == 2
+
+
+class TestBpeTokenCounts:
+    def test_matches_re_findall(self):
+        import re
+
+        from textalyzer_ray.pipelines.frequency import (
+            BPE_PRETOKEN_RE,
+            bpe_token_counts,
+        )
+
+        texts = ["Hello, world! It's 2024...", "", "a1b2 c--d\n\te", "x" * 10]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts,
+                }
+            )
+        )
+        rows = bpe_token_counts(ds).take_all()
+        got = [r["n_bpe_tokens"] for r in rows]
+        assert got == [len(re.findall(BPE_PRETOKEN_RE, t)) for t in texts]

@@ -69,6 +69,61 @@ def cap_per_group(
     ).sort([key_col, order_col])
 
 
+def dedup_against(
+    ds: Dataset,
+    ref: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Incremental exact dedup: keep the rows of ``ds`` whose text does
+    NOT appear in the reference corpus ``ref`` (the "dedup the new crawl
+    against what's already ingested" step). Returns the surviving
+    (id, text) rows sorted by id.
+
+    Scale shape: both sides are content-hashed (8-byte shuffle key) and
+    key-aligned on the hash; the anti decision is an in-block polars
+    anti-join on the ACTUAL text, so a 64-bit hash collision can never
+    wrongly drop a row. Each side's text moves through the exchange
+    exactly once — same partitioning pattern as
+    ``exact_dedup_distributed``."""
+    import polars as pl
+
+    from textalyzer_ray.stages.dedup import add_content_hash
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    out_schema = pa.schema(
+        [pa.field(id_col, id_type), pa.field(text_col, pa.string())]
+    )
+
+    def tag(is_ref: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            t = add_content_hash(t.select([id_col, text_col]), text_col)
+            return t.append_column(
+                "is_ref", pa.array([is_ref] * t.num_rows, pa.bool_())
+            )
+
+        return fn
+
+    both = ds.map_batches(tag(False), batch_format="pyarrow").union(
+        ref.map_batches(tag(True), batch_format="pyarrow")
+    )
+
+    def anti_block(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        left = df.filter(~pl.col("is_ref"))
+        right = df.filter(pl.col("is_ref")).select([text_col])
+        out = left.join(right, on=text_col, how="anti").select(
+            [id_col, text_col]
+        )
+        return out.to_arrow().cast(out_schema)
+
+    return grouped_apply(
+        both, ["content_hash"], anti_block, num_partitions=num_partitions
+    ).sort(id_col)
+
+
 def hash_split(
     ds: Dataset,
     id_col: str,

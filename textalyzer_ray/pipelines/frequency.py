@@ -427,3 +427,30 @@ def doc_top_bigram(
     return ds.map_batches(
         top_per_doc, batch_format="pyarrow", zero_copy_batch=True
     ).sort(id_col)
+
+
+# GPT-2-style pre-tokenization classes, restricted to RE2 syntax (no
+# lookahead) so the exact same pattern runs in Arrow's
+# count_substring_regex and DuckDB's regexp_extract_all: letter runs,
+# digit runs, and runs of anything else that isn't whitespace.
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]+"
+
+
+def bpe_token_counts(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> Dataset:
+    """(doc_id, n_bpe_tokens): per-document count of BPE-style
+    pre-tokenizer matches — the cheap token-budget estimator a training
+    pipeline runs over every candidate document. One vectorized RE2 pass
+    per batch (pc.count_substring_regex), no shuffle, no Python loop."""
+
+    def count(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t[text_col], BPE_PRETOKEN_RE)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_bpe_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow").sort(id_col)
