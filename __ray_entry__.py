@@ -253,6 +253,65 @@ def _q_extract_text(sf_dir: str):
     return extracted.select_columns(["doc_id", "text"]).sort("doc_id")
 
 
+def _q_warc_extract(sf_dir: str):
+    """Common-Crawl-shaped ingestion: documents -> WARC response shards
+    on disk (deterministic, cached per sf_dir) -> read_warc ->
+    main-content extraction -> (doc_id, text) byte-identical to the
+    source. Exercises the length-prefix WARC parser + the extractor
+    over the on-disk container format the north rule names."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from textalyzer_ray.pipelines.extraction import extract_pages
+    from textalyzer_ray.sources.warc import read_warc, write_warc_file
+    from textalyzer_ray.sources.webgen import pages_from_documents
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    shard_dir = f"/tmp/textalyzer_warc_{tag}"
+    n_shards = 4
+    if not os.path.isdir(shard_dir) or len(os.listdir(shard_dir)) != n_shards:
+        os.makedirs(shard_dir, exist_ok=True)
+        for f in os.listdir(shard_dir):
+            os.unlink(os.path.join(shard_dir, f))
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        pages = pages_from_documents(docs)
+        urls = pages["url"].to_pylist()
+        tss = pages["warc_ts"].combine_chunks().cast(pa.int64()).to_pylist()
+        htmls = pages["html"].to_pylist()
+        for s in range(n_shards):
+            write_warc_file(
+                os.path.join(shard_dir, f"part-{s}.warc"),
+                [
+                    (u, t, h)
+                    for i, (u, t, h) in enumerate(zip(urls, tss, htmls))
+                    if i % n_shards == s
+                ],
+            )
+    pages_ds = read_warc(shard_dir)
+    extracted = extract_pages(pages_ds)
+
+    def with_doc_id(t: pa.Table) -> pa.Table:
+        # url form: https://docs.example/<doc_id> (webgen)
+        tail = pc.replace_substring_regex(t["url"], r"^.*/", "")
+        return pa.table(
+            {
+                "doc_id": pc.cast(tail, pa.int64()),
+                "text": t["text"],
+            }
+        )
+
+    return extracted.map_batches(with_doc_id, batch_format="pyarrow").sort(
+        "doc_id"
+    )
+
+
 def _q_quality_components(sf_dir: str):
     from textalyzer_ray.stages.analyze import QualityScorer
     from textalyzer_ray.stages.pools import default_pool
@@ -926,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_against": _q_dedup_against,
         "bpe_token_counts": _q_bpe_token_counts,
         "extract_text": _q_extract_text,
+        "warc_extract": _q_warc_extract,
         "quality_components": _q_quality_components,
         "word_doc_frequency": _q_word_doc_frequency,
         "bigram_histogram": _q_bigram_histogram,
@@ -1041,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY rank LIMIT {TOPK}"
         ),
         "extract_text": "SELECT doc_id, text FROM documents ORDER BY doc_id",
+        "warc_extract": "SELECT doc_id, text FROM documents ORDER BY doc_id",
         "cosine_pairs": (
             "SELECT e1.vec_id AS id_a, e2.vec_id AS id_b "
             "FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id "

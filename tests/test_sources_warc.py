@@ -1,0 +1,82 @@
+"""WARC source: spec round-trip, resilience, Ray reader."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from textalyzer_ray.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    write_warc_file,
+)
+
+pytestmark = pytest.mark.usefixtures("quiet_data_context")
+
+
+def test_roundtrip(tmp_path):
+    recs = [
+        ("https://a.example/1", 1_700_000_000_000_000, b"<html>one</html>"),
+        ("https://a.example/2", 1_700_000_001_500_000, b"<html>two</html>"),
+    ]
+    p = str(tmp_path / "shard.warc")
+    assert write_warc_file(p, recs) == 2
+    t = parse_warc_bytes(open(p, "rb").read())
+    assert t["url"].to_pylist() == [r[0] for r in recs]
+    assert t["html"].to_pylist() == [r[2] for r in recs]
+    # WARC-Date is second-precision: microsecond fraction truncated
+    assert t["warc_ts"].to_pylist()[0].timestamp() == 1_700_000_000
+    assert t["warc_ts"].to_pylist()[1].timestamp() == 1_700_000_001
+
+
+def test_binary_payload_with_fake_record_marker(tmp_path):
+    # payload containing "WARC/1.0" must not desync the length-driven scan
+    evil = b"<html>WARC/1.0\r\nWARC-Type: response\r\n\r\nfake</html>"
+    p = str(tmp_path / "evil.warc")
+    write_warc_file(p, [("https://x/1", 0, evil), ("https://x/2", 0, b"ok")])
+    t = parse_warc_bytes(open(p, "rb").read())
+    assert t["html"].to_pylist() == [evil, b"ok"]
+
+
+def test_truncated_shard_yields_prefix(tmp_path):
+    p = str(tmp_path / "t.warc")
+    write_warc_file(p, [("https://x/1", 0, b"aaaa"), ("https://x/2", 0, b"bbbb")])
+    data = open(p, "rb").read()
+    t = parse_warc_bytes(data[: len(data) - 30])  # cut inside last record
+    assert t["url"].to_pylist() == ["https://x/1"]
+
+
+def test_read_warc_extraction_byte_identity(tmp_path):
+    # synthesize shards from real testdata pages; extracted text must be
+    # byte-identical to documents.text (the north-rule invariant)
+    from textalyzer_ray.pipelines.extraction import page_metrics
+    from textalyzer_ray.sources.webgen import pages_from_documents
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    pages = pages_from_documents(docs)
+    # two shards, interleaved
+    for shard in (0, 1):
+        write_warc_file(
+            str(tmp_path / f"part-{shard}.warc"),
+            [
+                (u, ts.value if hasattr(ts, "value") else ts, h)
+                for i, (u, ts, h) in enumerate(
+                    zip(
+                        pages["url"].to_pylist(),
+                        pages["warc_ts"].combine_chunks().cast(pa.int64()).to_pylist(),
+                        pages["html"].to_pylist(),
+                    )
+                )
+                if i % 2 == shard
+            ],
+        )
+    ds = read_warc(str(tmp_path))
+    assert ds.count() == docs.num_rows
+    rows = page_metrics(ds, concurrency=2).take_all()
+    orig = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    assert len(rows) == len(orig)
+    for r in rows:
+        did = int(r["url"].rsplit("/", 1)[1])
+        assert r["text"] == orig[did]

@@ -1,0 +1,177 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the container format
+Common Crawl ships — as a Ray Data source, plus a writer for
+deterministic test shards.
+
+Format (public spec, WARC/1.0 and 1.1): a WARC file is a concatenation
+of records; each record is a CRLF-delimited header block
+(``WARC/1.0`` version line + ``Name: value`` fields, terminated by an
+empty line), a payload of exactly ``Content-Length`` bytes, then two
+CRLFs. Response records carry an HTTP response message as payload; the
+page body is everything after the HTTP header block's ``\\r\\n\\r\\n``.
+Parsing is length-prefix-driven (never a regex scan over payload
+bytes), so binary payloads containing ``WARC/1.0`` cannot desync the
+reader.
+
+Scale shape: ``read_warc`` maps one task per shard file
+(``read_binary_files`` keeps each file one block — WARC shards are the
+unit of parallelism exactly as in Common Crawl processing), and each
+task emits an Arrow (url, warc_ts, html) batch. Record parsing is a
+forward scan over the shard bytes with O(1) allocations per record.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pyarrow as pa
+
+_CRLF = b"\r\n"
+_EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+WARC_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("html", pa.binary()),
+    ]
+)
+
+
+def _warc_date(ts_us: int) -> str:
+    """Microseconds-since-epoch -> WARC-Date (ISO 8601, second
+    precision, Z suffix — the WARC/1.0 mandated form)."""
+    t = _EPOCH + _dt.timedelta(microseconds=ts_us)
+    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _parse_warc_date(s: str) -> int:
+    """WARC-Date -> microseconds since epoch. Accepts the 1.0 form
+    (seconds) and the 1.1 form (fractional seconds)."""
+    s = s.strip()
+    if s.endswith("Z"):
+        s = s[:-1]
+    if "." in s:
+        base, frac = s.split(".", 1)
+        us = int(round(float("0." + frac) * 1_000_000))
+    else:
+        base, us = s, 0
+    t = _dt.datetime.strptime(base, "%Y-%m-%dT%H:%M:%S").replace(
+        tzinfo=_dt.timezone.utc
+    )
+    return int((t - _EPOCH).total_seconds()) * 1_000_000 + us
+
+
+def write_warc_file(path: str, records) -> int:
+    """Write a WARC/1.0 file of HTTP response records.
+
+    ``records``: iterable of (url, ts_us, html_bytes). Returns the
+    record count. Output begins with a ``warcinfo`` record like real
+    crawler output, so readers must skip non-response records."""
+    n = 0
+    with open(path, "wb") as f:
+        info_body = b"software: textalyzer_ray-synthetic/1.0\r\n"
+        f.write(
+            b"WARC/1.0\r\n"
+            b"WARC-Type: warcinfo\r\n"
+            b"Content-Type: application/warc-fields\r\n"
+            + f"Content-Length: {len(info_body)}\r\n".encode()
+            + _CRLF
+            + info_body
+            + _CRLF
+            + _CRLF
+        )
+        for url, ts_us, html in records:
+            if isinstance(html, str):
+                html = html.encode("utf-8")
+            http = (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n"
+                + f"Content-Length: {len(html)}\r\n".encode()
+                + _CRLF
+                + html
+            )
+            f.write(
+                b"WARC/1.0\r\n"
+                b"WARC-Type: response\r\n"
+                + f"WARC-Target-URI: {url}\r\n".encode()
+                + f"WARC-Date: {_warc_date(ts_us)}\r\n".encode()
+                + b"Content-Type: application/http; msgtype=response\r\n"
+                + f"Content-Length: {len(http)}\r\n".encode()
+                + _CRLF
+                + http
+                + _CRLF
+                + _CRLF
+            )
+            n += 1
+    return n
+
+
+def parse_warc_bytes(data: bytes) -> pa.Table:
+    """One WARC shard's bytes -> (url, warc_ts, html) Arrow table of its
+    response records. Length-prefix forward scan; malformed trailing
+    garbage ends the scan (partial shards from a dead crawler are
+    readable up to the damage)."""
+    urls: list[str] = []
+    tss: list[int] = []
+    htmls: list[bytes] = []
+    pos = 0
+    size = len(data)
+    while pos < size:
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            break
+        header_block = data[pos:head_end]
+        lines = header_block.split(_CRLF)
+        if not lines[0].startswith(b"WARC/"):
+            break
+        fields: dict[bytes, bytes] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(b":")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields.get(b"content-length", b""))
+        except ValueError:
+            break
+        body_start = head_end + 4
+        body_end = body_start + clen
+        if body_end > size:
+            break
+        if fields.get(b"warc-type") == b"response":
+            payload = data[body_start:body_end]
+            http_end = payload.find(_CRLF + _CRLF)
+            html = payload[http_end + 4 :] if http_end >= 0 else payload
+            urls.append(
+                fields.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+            )
+            tss.append(
+                _parse_warc_date(
+                    fields.get(b"warc-date", b"1970-01-01T00:00:00Z").decode()
+                )
+            )
+            htmls.append(html)
+        pos = body_end + 4  # payload, then the record-final CRLF CRLF
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+        }
+    )
+
+
+def read_warc(paths: str | list[str]):
+    """Directory or file list of .warc shards -> Dataset
+    (url, warc_ts, html). One parse task per shard; shards are the
+    parallelism unit, so feed one shard per ~block-size of pages (as
+    Common Crawl does) rather than one giant file."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, file_extensions=["warc"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [parse_warc_bytes(b.as_py()) for b in batch["bytes"]]
+        if not tables:
+            return WARC_SCHEMA.empty_table()
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(parse, batch_format="pyarrow")
