@@ -629,6 +629,19 @@ def _q_hash_split(sf_dir: str):
     return hash_split(ds, "doc_id", train_fraction=0.875).sort("doc_id")
 
 
+def _q_approx_top_words(sf_dir: str):
+    """Two-pass Misra-Gries heavy hitters with exact candidate recount;
+    the run must self-certify exactness for the oracle comparison to be
+    meaningful, so certification is asserted."""
+    from textalyzer_ray.pipelines.frequency import approx_top_words
+
+    top, certified = approx_top_words(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), k=TOPK
+    )
+    assert certified, "MG sketch failed to certify exact top-k"
+    return top
+
+
 def _q_dedup_against(sf_dir: str):
     """Incremental dedup: drop docs whose text already exists in the
     'ingested' reference slice (doc_id % 10 == 0)."""
@@ -983,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": _q_cap_per_source,
         "hash_split": _q_hash_split,
         "dedup_against": _q_dedup_against,
+        "approx_top_words": _q_approx_top_words,
         "bpe_token_counts": _q_bpe_token_counts,
         "extract_text": _q_extract_text,
         "warc_extract": _q_warc_extract,
@@ -1114,6 +1128,10 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY source ORDER BY doc_id) AS rk FROM documents) "
             "SELECT source, doc_id FROM r WHERE rk <= 3 "
             "ORDER BY source, doc_id"
+        ),
+        "approx_top_words": (
+            f"SELECT word, count(*) AS count FROM ({tokens_cte}) t "
+            f"GROUP BY word ORDER BY count DESC, word ASC LIMIT {TOPK}"
         ),
         "dedup_against": (
             "SELECT doc_id, text FROM documents d WHERE NOT EXISTS ("

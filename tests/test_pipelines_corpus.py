@@ -196,3 +196,67 @@ class TestDocTopBigram:
         assert 3 not in by
         # doc 4: 'z y' x2 and 'y z' x2 tie -> lexicographically first
         assert by[4] == ("y z", 2)
+
+
+class TestApproxTopWords:
+    def _mk(self, words, n_docs=200, per_doc=25, blocks=8):
+        import pyarrow as pa
+        import ray.data as rd
+
+        docs = [
+            " ".join(words[i * per_doc : (i + 1) * per_doc])
+            for i in range(n_docs)
+        ]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": docs,
+                }
+            )
+        ).repartition(blocks)
+
+    def test_zipf_exact_and_certified(self):
+        import collections
+
+        import numpy as np
+
+        from textalyzer_ray.pipelines.frequency import approx_top_words
+
+        rng = np.random.RandomState(3)
+
+        def b26(n):
+            s = ""
+            n = int(n)
+            while True:
+                s += chr(97 + n % 26)
+                n //= 26
+                if n == 0:
+                    return s
+
+        words = ["w" + b26(z) for z in rng.zipf(1.4, 5000)]
+        ds = self._mk(words)
+        top, cert = approx_top_words(ds, k=10, sketch_size=128)
+        got = [(r["word"], r["count"]) for r in top.take_all()]
+        c = collections.Counter(words)
+        exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert got == exp
+        assert cert is True
+
+    def test_flat_distribution_uncertified(self):
+        from textalyzer_ray.pipelines.frequency import approx_top_words
+
+        # 2000 distinct words, each appearing exactly once: no word can
+        # clear the MG bound with a tiny sketch -> must refuse to certify
+        def b26(n):
+            s = ""
+            while True:
+                s += chr(97 + n % 26)
+                n //= 26
+                if n == 0:
+                    return s
+
+        words = ["u" + b26(i) for i in range(2000)]
+        ds = self._mk(words, n_docs=80)
+        _, cert = approx_top_words(ds, k=5, sketch_size=16)
+        assert cert is False

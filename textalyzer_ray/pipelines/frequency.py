@@ -454,3 +454,147 @@ def bpe_token_counts(
         )
 
     return ds.map_batches(count, batch_format="pyarrow").sort(id_col)
+
+
+def approx_top_words(
+    ds: Dataset,
+    k: int = 20,
+    sketch_size: int = 4096,
+    text_col: str = "text",
+    oversample: int = 4,
+):
+    """Top-k words by the two-pass heavy-hitters scheme (Misra-Gries
+    '82): pass 1 builds a PER-BLOCK MG summary of at most
+    ``sketch_size`` counters (vectorized truncate: drop to the top m
+    counters and subtract the (m+1)-th count), so the merge sees at most
+    blocks x m rows instead of the vocabulary; pass 2 recounts ONLY the
+    top ``oversample*k`` candidates exactly (broadcast semi-join filter
+    on the partial counts), so the corpus-wide shuffle carries a few
+    thousand rows regardless of vocabulary size.
+
+    Returns ``(Dataset[(word, count)], certified: bool)``. A second
+    sentinel accumulates the ACTUAL truncation error E = sum of
+    per-block subtracted deltas, so for every word
+    ``stored(w) >= true(w) - E``; a word excluded from the candidate
+    list therefore has true count <= (stored count at the candidate
+    cutoff, 0 if nothing was cut) + E. When the k-th exact candidate
+    count beats that displacement bound the result is PROVABLY the
+    exact top-k (ties broken word-asc are covered: tied words clear the
+    same bound). ``certified=False`` (logged) means the distribution is
+    too flat for this sketch size — rerun with a larger one.
+
+    This is the scale path for ``word_histogram``'s top slice: the full
+    histogram shuffles the whole vocabulary; this shuffles O(blocks x
+    sketch_size) then O(oversample x k)."""
+    import polars as pl
+
+    import ray
+
+    from textalyzer_ray.stages.groups import filter_to_keys, key_counts
+
+    m = sketch_size
+    summary_schema = pa.schema(
+        [pa.field("word", pa.string()), pa.field("count", pa.int64())]
+    )
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        pw = partial_word_counts(t, text_col)
+        total = int(pc.sum(pw["count"]).as_py() or 0)
+        delta = 0
+        if pw.num_rows > m:
+            df = pl.from_arrow(pw).sort(
+                ["count", "word"], descending=[True, False]
+            )
+            delta = int(df["count"][m])
+            df = (
+                df.head(m)
+                .with_columns((pl.col("count") - delta))
+                .filter(pl.col("count") > 0)
+            )
+            pw = df.to_arrow().cast(summary_schema)
+        # sentinels: "" and "\x01" are never tokens (tokens are
+        # non-empty letter runs), so they can carry the block token
+        # total and the block truncation delta through the same merge
+        sent = pa.table(
+            {
+                "word": pa.array(["", "\x01"]),
+                "count": pa.array([total, delta], pa.int64()),
+            }
+        )
+        return pa.concat_tables([pw.cast(summary_schema), sent])
+
+    summaries = ds.map_batches(
+        mg_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = key_counts(summaries, ["word"], sum_cols=["count"]).map_batches(
+        lambda t: pa.table({"word": t["word"], "count": t["sum_count"]}),
+        batch_format="pyarrow",
+    ).materialize()  # bounded: <= blocks * sketch_size rows by construction
+    sentinels = {
+        r["word"]: r["count"]
+        for r in merged.map_batches(
+            lambda t: t.filter(
+                pc.is_in(t["word"], value_set=pa.array(["", "\x01"]))
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    n_total = sentinels.get("", 0)
+    err = sentinels.get("\x01", 0)
+    cand_rows = (
+        merged.map_batches(
+            lambda t: t.filter(
+                pc.invert(
+                    pc.is_in(t["word"], value_set=pa.array(["", "\x01"]))
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["count", "word"], descending=[True, False])
+        .limit(oversample * k + 1)
+        .take_all()
+    )
+    cut = len(cand_rows) > oversample * k
+    # displacement bound: a word excluded from the candidate list has
+    # stored <= the first excluded row's stored count (0 if nothing was
+    # cut) and true <= stored + E
+    bound = (cand_rows[oversample * k]["count"] if cut else 0) + err
+    cands = [r["word"] for r in cand_rows][: oversample * k]
+
+    keyref = ray.put(pa.table({"word": pa.array(cands, pa.string())}))
+    partials = ds.map_batches(
+        lambda t: partial_word_counts(t, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    exact = key_counts(
+        filter_to_keys(partials, ["word"], keyref), ["word"], sum_cols=["count"]
+    ).map_batches(
+        lambda t: pa.table({"word": t["word"], "count": t["sum_count"]}),
+        batch_format="pyarrow",
+    )
+    top = exact.sort(["count", "word"], descending=[True, False]).limit(k)
+    top = top.materialize()
+    counts = [r["count"] for r in top.take_all()]
+    # certified exact iff no word outside the candidate set could enter
+    # the returned list: (a) the k-th returned count must beat the
+    # displacement bound; (b) a result SHORTER than k is exact only if
+    # the candidate list provably holds the whole vocabulary (no
+    # truncation anywhere and no candidate cut); empty corpus is exact.
+    if len(counts) == 0:
+        certified = n_total == 0
+    elif len(counts) < k:
+        certified = err == 0 and not cut
+    else:
+        certified = counts[-1] > bound
+    if not certified:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "approx_top_words: k-th count %s not above MG bound %s "
+            "(sketch_size=%d) — top-k not certified exact",
+            counts[-1] if counts else None,
+            bound,
+            m,
+        )
+    return top, certified
