@@ -629,6 +629,28 @@ def _q_hash_split(sf_dir: str):
     return hash_split(ds, "doc_id", train_fraction=0.875).sort("doc_id")
 
 
+def _q_line_dedup_rebuild(sf_dir: str):
+    """C4-style global line dedup over the chunk view, docs rebuilt
+    from their surviving chunks."""
+    from textalyzer_ray.pipelines.curation import dedup_lines_rebuild
+
+    lines = _docs(sf_dir).map_batches(
+        lambda t: _chunk_lines_table(t),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return dedup_lines_rebuild(lines)
+
+
+def _q_hash_sample(sf_dir: str):
+    """Deterministic bottom-k uniform sample (100 docs)."""
+    from textalyzer_ray.pipelines.curation import hash_sample
+    from textalyzer_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return hash_sample(ds, 100).sort("doc_id")
+
+
 def _q_approx_top_words(sf_dir: str):
     """Two-pass Misra-Gries heavy hitters with exact candidate recount;
     the run must self-certify exactness for the oracle comparison to be
@@ -997,6 +1019,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "dedup_against": _q_dedup_against,
         "approx_top_words": _q_approx_top_words,
+        "line_dedup_rebuild": _q_line_dedup_rebuild,
+        "hash_sample": _q_hash_sample,
         "bpe_token_counts": _q_bpe_token_counts,
         "extract_text": _q_extract_text,
         "warc_extract": _q_warc_extract,
@@ -1132,6 +1156,22 @@ def oracle_sql() -> dict[str, str]:
         "approx_top_words": (
             f"SELECT word, count(*) AS count FROM ({tokens_cte}) t "
             f"GROUP BY word ORDER BY count DESC, word ASC LIMIT {TOPK}"
+        ),
+        "line_dedup_rebuild": (
+            f"WITH {chunk_cte}, "
+            "f AS (SELECT content, min(doc_id * 1000000 + line_number) AS fk "
+            "FROM c GROUP BY content), "
+            "kept AS (SELECT c.doc_id, c.line_number, c.content FROM c "
+            "JOIN f ON c.content = f.content "
+            "AND c.doc_id * 1000000 + c.line_number = f.fk) "
+            "SELECT doc_id, string_agg(content, ' ' ORDER BY line_number) "
+            "AS text FROM kept GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "hash_sample": (
+            "SELECT doc_id, n_chars FROM ("
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY (doc_id % 4294967296) * 2654435761 % 4294967296, doc_id "
+            "LIMIT 100) ORDER BY doc_id"
         ),
         "dedup_against": (
             "SELECT doc_id, text FROM documents d WHERE NOT EXISTS ("

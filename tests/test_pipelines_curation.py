@@ -148,3 +148,62 @@ class TestBpeTokenCounts:
         rows = bpe_token_counts(ds).take_all()
         got = [r["n_bpe_tokens"] for r in rows]
         assert got == [len(re.findall(BPE_PRETOKEN_RE, t)) for t in texts]
+
+
+class TestDedupLinesRebuild:
+    def test_c4_semantics(self):
+        from textalyzer_ray.pipelines.curation import dedup_lines_rebuild
+
+        # doc 1: A B C ; doc 2: B D ; doc 3: A (all lines of doc 3 dup)
+        rows = [
+            (1, 1, "aaa"), (1, 2, "bbb"), (1, 3, "ccc"),
+            (2, 1, "bbb"), (2, 2, "ddd"),
+            (3, 1, "aaa"),
+        ]
+        lines = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "line_number": pa.array([r[1] for r in rows], pa.int64()),
+                    "content": [r[2] for r in rows],
+                }
+            )
+        ).repartition(3)
+        got = [
+            (r["doc_id"], r["text"])
+            for r in dedup_lines_rebuild(lines).take_all()
+        ]
+        assert got == [(1, "aaa bbb ccc"), (2, "ddd")]
+
+    def test_no_duplicates_identity(self):
+        from textalyzer_ray.pipelines.curation import dedup_lines_rebuild
+
+        lines = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 1, 2], pa.int64()),
+                    "line_number": pa.array([1, 2, 1], pa.int64()),
+                    "content": ["x", "y", "z"],
+                }
+            )
+        )
+        got = [
+            (r["doc_id"], r["text"])
+            for r in dedup_lines_rebuild(lines).take_all()
+        ]
+        assert got == [(1, "x y"), (2, "z")]
+
+
+class TestHashSample:
+    def test_bottom_k_deterministic(self):
+        from textalyzer_ray.pipelines.curation import hash_sample
+
+        ids = list(range(1000))
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": [f"d{i}" for i in ids]})
+        a = [r["doc_id"] for r in hash_sample(rd.from_arrow(t), 25).take_all()]
+        b = [r["doc_id"] for r in hash_sample(rd.from_arrow(t).repartition(9), 25).take_all()]
+        assert a == b and len(a) == 25
+        # matches the explicit hash rule
+        exp = sorted(ids, key=lambda i: (((i % (1 << 32)) * 2654435761) % (1 << 32), i))[:25]
+        assert a == exp

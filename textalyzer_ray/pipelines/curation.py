@@ -69,6 +69,47 @@ def cap_per_group(
     ).sort([key_col, order_col])
 
 
+def hash_sample(
+    ds: Dataset,
+    k: int,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Deterministic uniform sample of ``k`` rows: the k smallest
+    multiplicative-hash values of the id (a bottom-k sketch — the
+    classic RNG-free uniform sample that is reproducible across runs
+    and partitionings and mergeable across shards). Ties (hash
+    collisions) break by id.
+
+    Only blocks x k candidate rows leave the map stage (per-block
+    bottom-k prune: the global bottom-k survives any local bottom-k),
+    so the final sort touches a candidate set, not the corpus."""
+    import numpy as np
+    import polars as pl
+
+    schema = ds.schema().base_schema
+    out_fields = [schema.field(i) for i in range(len(schema.names))]
+    aug_schema = pa.schema(out_fields + [pa.field("_h", pa.int64())])
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids & (_M32 - 1)) * _KNUTH) & (_M32 - 1)
+        aug = t.append_column("_h", pa.array(h.astype(np.int64)))
+        return (
+            pl.from_arrow(aug)
+            .sort(["_h", id_col])
+            .head(k)
+            .to_arrow()
+            .cast(aug_schema)
+        )
+
+    cands = ds.map_batches(local_bottomk, batch_format="pyarrow")
+    return (
+        cands.sort(["_h", id_col])
+        .limit(k)
+        .drop_columns(["_h"])
+    )
+
+
 def dedup_against(
     ds: Dataset,
     ref: Dataset,
@@ -121,6 +162,82 @@ def dedup_against(
 
     return grouped_apply(
         both, ["content_hash"], anti_block, num_partitions=num_partitions
+    ).sort(id_col)
+
+
+def dedup_lines_rebuild(
+    lines: Dataset,
+    id_col: str = "doc_id",
+    line_col: str = "line_number",
+    content_col: str = "content",
+    sep: str = " ",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """C4-style corpus-wide line deduplication with document
+    reassembly: over an exploded (doc_id, line_number, content) line
+    view, keep only the globally FIRST occurrence of each distinct
+    line (min (doc_id, line_number)), then rebuild each document from
+    its surviving lines in order. Documents that lose every line
+    disappear. Returns (doc_id, text) sorted by doc_id.
+
+    Scale shape: two key-aligned passes. Pass 1 partitions by a 64-bit
+    content hash and keeps the first occurrence per ACTUAL content
+    in-block (collision-proof); pass 2 partitions by doc id and joins
+    the survivors in line order — each line crosses an exchange exactly
+    twice, and no step sees more than one key's rows at once."""
+    import polars as pl
+
+    from textalyzer_ray.stages.dedup import add_content_hash
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    id_type = lines.schema().base_schema.field(id_col).type
+    line_schema = pa.schema(
+        [
+            pa.field(id_col, id_type),
+            pa.field(line_col, pa.int64()),
+            pa.field(content_col, pa.string()),
+        ]
+    )
+
+    hashed = lines.map_batches(
+        lambda t: add_content_hash(
+            t.select([id_col, line_col, content_col]), content_col
+        ),
+        batch_format="pyarrow",
+    )
+
+    def first_occurrence(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select([id_col, line_col, content_col]))
+            .sort([id_col, line_col])
+            .group_by(content_col, maintain_order=False)
+            .first()
+            .select([id_col, line_col, content_col])
+            .to_arrow()
+            .cast(line_schema)
+        )
+
+    kept = grouped_apply(
+        hashed, ["content_hash"], first_occurrence,
+        num_partitions=num_partitions,
+    )
+
+    out_schema = pa.schema(
+        [pa.field(id_col, id_type), pa.field("text", pa.string())]
+    )
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .sort([id_col, line_col])
+            .group_by(id_col, maintain_order=True)
+            .agg(pl.col(content_col).str.join(sep).alias("text"))
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return grouped_apply(
+        kept, [id_col], rebuild, num_partitions=num_partitions
     ).sort(id_col)
 
 
