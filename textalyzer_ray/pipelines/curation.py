@@ -204,7 +204,14 @@ def dedup_lines_rebuild(
             t.select([id_col, line_col, content_col]), content_col
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()  # the hash shuffle buffers everything anyway
+    if num_partitions is None:
+        # size BOTH shuffles to the measured line count: chained
+        # 32-partition grouped_apply calls spin 64 aggregator actors
+        # (~1-2 s each to start — CLAUDE.md), which dominated small
+        # runs 10x; ~1M line rows per partition bounds partition memory
+        # at scale while keeping small corpora at 2-way
+        num_partitions = max(2, -(-hashed.count() // 1_000_000))
 
     def first_occurrence(t: pa.Table) -> pa.Table:
         return (
