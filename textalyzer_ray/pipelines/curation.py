@@ -63,7 +63,11 @@ def cap_per_group(
     # per-input-block pre-prune: the global head-n per key survives any
     # local head-n prune, so the shuffle carries <= n rows per key per
     # input block instead of whole hot domains
-    pruned = ds.map_batches(head_block, batch_format="pyarrow")
+    pruned = ds.map_batches(head_block, batch_format="pyarrow").materialize()
+    if num_partitions is None:
+        from textalyzer_ray.stages.groups import partitions_for
+
+        num_partitions = partitions_for(pruned.count())
     return grouped_apply(
         pruned, [key_col], head_block, num_partitions=num_partitions
     ).sort([key_col, order_col])
@@ -147,9 +151,15 @@ def dedup_against(
 
         return fn
 
-    both = ds.map_batches(tag(False), batch_format="pyarrow").union(
-        ref.map_batches(tag(True), batch_format="pyarrow")
+    both = (
+        ds.map_batches(tag(False), batch_format="pyarrow")
+        .union(ref.map_batches(tag(True), batch_format="pyarrow"))
+        .materialize()  # the hash shuffle buffers everything anyway
     )
+    if num_partitions is None:
+        from textalyzer_ray.stages.groups import partitions_for
+
+        num_partitions = partitions_for(both.count())
 
     def anti_block(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
@@ -206,12 +216,9 @@ def dedup_lines_rebuild(
         batch_format="pyarrow",
     ).materialize()  # the hash shuffle buffers everything anyway
     if num_partitions is None:
-        # size BOTH shuffles to the measured line count: chained
-        # 32-partition grouped_apply calls spin 64 aggregator actors
-        # (~1-2 s each to start — CLAUDE.md), which dominated small
-        # runs 10x; ~1M line rows per partition bounds partition memory
-        # at scale while keeping small corpora at 2-way
-        num_partitions = max(2, -(-hashed.count() // 1_000_000))
+        from textalyzer_ray.stages.groups import partitions_for
+
+        num_partitions = partitions_for(hashed.count())
 
     def first_occurrence(t: pa.Table) -> pa.Table:
         return (

@@ -363,14 +363,14 @@ def connected_components(pairs: Dataset, max_rounds: int = 50) -> Dataset:
                 [pa.field("doc_id", id_type), pa.field("cluster_id", id_type)]
             ).empty_table()
         )
-    # Size the per-round shuffles to the EDGE SET, not the cluster: each
-    # HashShuffleOperator pays ~1-2 s aggregator-actor startup per
-    # partition count (CLAUDE.md), and the loop plans 2 shuffles per
-    # round. Near-dup edge sets are tiny relative to the corpus (13k
-    # rows at sf0.1), so 32-way shuffles per round dominated wall time
-    # (30.8 s -> sized). ~1M 16-byte edge rows per partition bounds
-    # per-partition memory at scale while keeping small runs at 2-way.
-    n_parts = max(2, -(-n_edges // 1_000_000))
+    # Size the per-round shuffles to the EDGE SET, not the cluster
+    # (stages.groups.partitions_for): the loop plans 2 shuffles per
+    # round and near-dup edge sets are tiny relative to the corpus
+    # (13k rows at sf0.1) — 32-way shuffles per round dominated wall
+    # time (30.8 s -> 5.9 s sized).
+    from textalyzer_ray.stages.groups import partitions_for
+
+    n_parts = partitions_for(n_edges)
 
     def expand(t: pa.Table) -> pa.Table:
         # undirected: (node, nbr) in both directions

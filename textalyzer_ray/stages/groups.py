@@ -150,6 +150,15 @@ def _worker_object_cache(max_entries: int = 4) -> dict:
     return _WORKER_CACHE
 
 
+def partitions_for(n_rows: int, rows_per_part: int = 1_000_000) -> int:
+    """Hash-shuffle partition count sized to the MEASURED row count:
+    each HashShuffleOperator pays ~1-2 s aggregator-actor startup per
+    partition (CLAUDE.md), so defaulting to cluster_cpus over a small
+    keyed dataset multiplies fixed cost 10x+. ~1M rows per partition
+    bounds partition memory at scale and keeps small runs at 2-way."""
+    return max(2, -(-n_rows // rows_per_part))
+
+
 def grouped_apply(
     ds: Dataset,
     keys: list[str],
