@@ -768,6 +768,34 @@ def _q_approx_distinct_words(sf_dir: str):
 
 
 
+# funnel quality gate: every Gopher rule that discriminates on this
+# corpus (r_stopwords excluded — see _q_curation_funnel docstring)
+_FUNNEL_RULES = [
+    "r_word_count",
+    "r_mean_word_len",
+    "r_symbol_ratio",
+    "r_bullet_lines",
+    "r_ellipsis_lines",
+    "r_alpha_words",
+]
+
+
+def _q_curation_funnel(sf_dir: str):
+    """Composite funnel: Gopher filter -> C4 line dedup + rebuild ->
+    deterministic train/val split, one streaming pipeline. The oracle
+    composes the same three verified SQL stages. Rule subset: all
+    Gopher rules except r_stopwords (the synthetic corpus vocabulary
+    contains none of the 8 English Gopher stopwords, so the full set
+    keeps zero documents; the remaining rules keep 277/500)."""
+    from textalyzer_ray.pipelines.curation import curation_funnel
+
+    return curation_funnel(
+        _docs(sf_dir, columns=["doc_id", "text"]),
+        explode_fn=_chunk_lines_table,
+        rules=_FUNNEL_RULES,
+    )
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher-rule quality filter (Rae et al. 2021 public heuristics) —
     every rule verdict is integer-encoded and SQL-mirrored, so the
@@ -1035,6 +1063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_asof_view": _q_purchase_asof_view,
         "readability_components": _q_readability_components,
         "gopher_quality": _q_gopher_quality,
+        "curation_funnel": _q_curation_funnel,
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
         "extract_fixtures": _q_extract_fixtures,
@@ -1069,6 +1098,49 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(ceil(len(ws)/{WORDS_PER_LINE}.0) AS INT)-1)) AS i FROM w), "
         "c AS (SELECT doc_id, i+1 AS line_number, "
         f"array_to_string(ws[i*{WORDS_PER_LINE}+1 : i*{WORDS_PER_LINE}+{WORDS_PER_LINE}], ' ') AS content FROM idx)"
+    )
+    gopher_sql = (
+        """WITH words AS (SELECT doc_id, w FROM (SELECT doc_id,
+            unnest(regexp_split_to_array(text, '[ \t\n\r\f]+')) AS w
+            FROM documents) WHERE w <> ''),
+            wagg AS (SELECT doc_id, count(*) AS n,
+            sum(length(w)) AS sum_chars,
+            count(*) FILTER (WHERE regexp_matches(w, '[A-Za-z]')) AS n_alpha,
+            count(DISTINCT CASE WHEN lower(trim(w, '.,;:!?"''')) IN
+            ('the','be','to','of','and','that','have','with')
+            THEN lower(trim(w, '.,;:!?"''')) END) AS n_stops
+            FROM words GROUP BY doc_id),
+            lagg AS (SELECT doc_id, count(*) AS n_lines,
+            count(*) FILTER (WHERE ltrim(l, ' \t\r\f') LIKE '-%'
+            OR ltrim(l, ' \t\r\f') LIKE '*%') AS n_bullet,
+            count(*) FILTER (WHERE rtrim(l, ' \t\r\f') LIKE '%...') AS n_ell
+            FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+            FROM documents) GROUP BY doc_id),
+            sym AS (SELECT doc_id,
+            (length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
+            FROM documents),
+            r AS (SELECT d.doc_id, coalesce(w.n, 0) AS n_words,
+            CASE WHEN coalesce(w.n,0) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_word_count,
+            CASE WHEN coalesce(w.n,0) > 0 AND 3*w.n <= w.sum_chars AND w.sum_chars <= 10*w.n THEN 1 ELSE 0 END AS r_mean_word_len,
+            CASE WHEN coalesce(w.n,0) > 0 AND s.n_sym*10 <= w.n THEN 1 ELSE 0 END AS r_symbol_ratio,
+            CASE WHEN l.n_bullet*10 < 9*greatest(l.n_lines,1) THEN 1 ELSE 0 END AS r_bullet_lines,
+            CASE WHEN l.n_ell*10 < 3*greatest(l.n_lines,1) THEN 1 ELSE 0 END AS r_ellipsis_lines,
+            CASE WHEN coalesce(w.n,0) > 0 AND w.n_alpha*5 >= 4*w.n THEN 1 ELSE 0 END AS r_alpha_words,
+            CASE WHEN coalesce(w.n_stops,0) >= 2 THEN 1 ELSE 0 END AS r_stopwords
+            FROM documents d LEFT JOIN wagg w USING (doc_id)
+            LEFT JOIN lagg l USING (doc_id) LEFT JOIN sym s USING (doc_id))
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+            CAST(r_word_count AS BIGINT) AS r_word_count,
+            CAST(r_mean_word_len AS BIGINT) AS r_mean_word_len,
+            CAST(r_symbol_ratio AS BIGINT) AS r_symbol_ratio,
+            CAST(r_bullet_lines AS BIGINT) AS r_bullet_lines,
+            CAST(r_ellipsis_lines AS BIGINT) AS r_ellipsis_lines,
+            CAST(r_alpha_words AS BIGINT) AS r_alpha_words,
+            CAST(r_stopwords AS BIGINT) AS r_stopwords,
+            CAST(r_word_count*r_mean_word_len*r_symbol_ratio*r_bullet_lines
+            *r_ellipsis_lines*r_alpha_words*r_stopwords AS BIGINT) AS kept
+            FROM r ORDER BY doc_id"""
     )
     return {
         "word_histogram": (
@@ -1276,48 +1348,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, term, rank FROM ranked WHERE rank <= 3 "
             "ORDER BY doc_id, rank"
         ),
-        "gopher_quality": (
-            """WITH words AS (SELECT doc_id, w FROM (SELECT doc_id,
-            unnest(regexp_split_to_array(text, '[ \t\n\r\f]+')) AS w
-            FROM documents) WHERE w <> ''),
-            wagg AS (SELECT doc_id, count(*) AS n,
-            sum(length(w)) AS sum_chars,
-            count(*) FILTER (WHERE regexp_matches(w, '[A-Za-z]')) AS n_alpha,
-            count(DISTINCT CASE WHEN lower(trim(w, '.,;:!?"''')) IN
-            ('the','be','to','of','and','that','have','with')
-            THEN lower(trim(w, '.,;:!?"''')) END) AS n_stops
-            FROM words GROUP BY doc_id),
-            lagg AS (SELECT doc_id, count(*) AS n_lines,
-            count(*) FILTER (WHERE ltrim(l, ' \t\r\f') LIKE '-%'
-            OR ltrim(l, ' \t\r\f') LIKE '*%') AS n_bullet,
-            count(*) FILTER (WHERE rtrim(l, ' \t\r\f') LIKE '%...') AS n_ell
-            FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
-            FROM documents) GROUP BY doc_id),
-            sym AS (SELECT doc_id,
-            (length(text) - length(replace(text, '#', '')))
-            + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
-            FROM documents),
-            r AS (SELECT d.doc_id, coalesce(w.n, 0) AS n_words,
-            CASE WHEN coalesce(w.n,0) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_word_count,
-            CASE WHEN coalesce(w.n,0) > 0 AND 3*w.n <= w.sum_chars AND w.sum_chars <= 10*w.n THEN 1 ELSE 0 END AS r_mean_word_len,
-            CASE WHEN coalesce(w.n,0) > 0 AND s.n_sym*10 <= w.n THEN 1 ELSE 0 END AS r_symbol_ratio,
-            CASE WHEN l.n_bullet*10 < 9*greatest(l.n_lines,1) THEN 1 ELSE 0 END AS r_bullet_lines,
-            CASE WHEN l.n_ell*10 < 3*greatest(l.n_lines,1) THEN 1 ELSE 0 END AS r_ellipsis_lines,
-            CASE WHEN coalesce(w.n,0) > 0 AND w.n_alpha*5 >= 4*w.n THEN 1 ELSE 0 END AS r_alpha_words,
-            CASE WHEN coalesce(w.n_stops,0) >= 2 THEN 1 ELSE 0 END AS r_stopwords
-            FROM documents d LEFT JOIN wagg w USING (doc_id)
-            LEFT JOIN lagg l USING (doc_id) LEFT JOIN sym s USING (doc_id))
-            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-            CAST(r_word_count AS BIGINT) AS r_word_count,
-            CAST(r_mean_word_len AS BIGINT) AS r_mean_word_len,
-            CAST(r_symbol_ratio AS BIGINT) AS r_symbol_ratio,
-            CAST(r_bullet_lines AS BIGINT) AS r_bullet_lines,
-            CAST(r_ellipsis_lines AS BIGINT) AS r_ellipsis_lines,
-            CAST(r_alpha_words AS BIGINT) AS r_alpha_words,
-            CAST(r_stopwords AS BIGINT) AS r_stopwords,
-            CAST(r_word_count*r_mean_word_len*r_symbol_ratio*r_bullet_lines
-            *r_ellipsis_lines*r_alpha_words*r_stopwords AS BIGINT) AS kept
-            FROM r ORDER BY doc_id"""
+        "gopher_quality": gopher_sql,
+        "curation_funnel": (
+            "WITH gk AS (SELECT doc_id FROM (" + gopher_sql + ") "
+            "WHERE " + " * ".join(_FUNNEL_RULES) + " = 1), "
+            "docs_kept AS (SELECT d.doc_id, d.text FROM documents d "
+            "JOIN gk USING (doc_id)), "
+            + chunk_cte.replace("FROM documents", "FROM docs_kept")
+            + ", f AS (SELECT content, "
+            "min(doc_id * 1000000 + line_number) AS fk FROM c "
+            "GROUP BY content), "
+            "kept AS (SELECT c.doc_id, c.line_number, c.content FROM c "
+            "JOIN f ON c.content = f.content "
+            "AND c.doc_id * 1000000 + c.line_number = f.fk), "
+            "rb AS (SELECT doc_id, "
+            "string_agg(content, ' ' ORDER BY line_number) AS text "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT doc_id, text, CASE WHEN "
+            "CAST((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761 "
+            "AS HUGEINT) % 4294967296 < CAST(0.875 * 4294967296 AS HUGEINT) "
+            "THEN 'train' ELSE 'val' END AS split "
+            "FROM rb ORDER BY doc_id"
         ),
         "url_dedup": (
             "SELECT 'https://www.example.com/doc/' || doc_id || '?a=1&b=2' "

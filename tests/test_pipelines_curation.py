@@ -207,3 +207,45 @@ class TestHashSample:
         # matches the explicit hash rule
         exp = sorted(ids, key=lambda i: (((i % (1 << 32)) * 2654435761) % (1 << 32), i))[:25]
         assert a == exp
+
+
+class TestCurationFunnel:
+    def test_filter_dedup_split_compose(self):
+        from textalyzer_ray.pipelines.curation import curation_funnel
+
+        # doc 0: 60 good words (passes word-count rule)
+        # doc 1: same text (all lines duplicate doc 0's -> vanishes)
+        # doc 2: 10 words (fails the 50-word rule -> filtered)
+        good = " ".join(f"word{chr(97+i%26)}x" for i in range(60))
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": [good, good, "short text only here now ok"],
+                }
+            )
+        )
+
+        def explode(batch):
+            ids, lnos, cont = [], [], []
+            for d, t in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                ws = t.split(" ")
+                for i in range(0, len(ws), 6):
+                    ids.append(d)
+                    lnos.append(i // 6 + 1)
+                    cont.append(" ".join(ws[i : i + 6]))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "line_number": pa.array(lnos, pa.int64()),
+                    "content": cont,
+                }
+            )
+
+        rules = ["r_word_count", "r_mean_word_len", "r_alpha_words"]
+        rows = curation_funnel(docs, explode, rules=rules).take_all()
+        assert [r["doc_id"] for r in rows] == [0]
+        assert rows[0]["text"] == good
+        assert rows[0]["split"] in ("train", "val")

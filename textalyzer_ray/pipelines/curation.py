@@ -200,15 +200,6 @@ def dedup_lines_rebuild(
     from textalyzer_ray.stages.dedup import add_content_hash
     from textalyzer_ray.stages.groups import grouped_apply
 
-    id_type = lines.schema().base_schema.field(id_col).type
-    line_schema = pa.schema(
-        [
-            pa.field(id_col, id_type),
-            pa.field(line_col, pa.int64()),
-            pa.field(content_col, pa.string()),
-        ]
-    )
-
     hashed = lines.map_batches(
         lambda t: add_content_hash(
             t.select([id_col, line_col, content_col]), content_col
@@ -219,6 +210,20 @@ def dedup_lines_rebuild(
         from textalyzer_ray.stages.groups import partitions_for
 
         num_partitions = partitions_for(hashed.count())
+    # schema() can still be None when the first materialized block is
+    # empty (filter stages emit schema-less empty tables); fall back to
+    # int64 ids — the repo-wide id type
+    sch = hashed.schema()
+    id_type = (
+        sch.base_schema.field(id_col).type if sch is not None else pa.int64()
+    )
+    line_schema = pa.schema(
+        [
+            pa.field(id_col, id_type),
+            pa.field(line_col, pa.int64()),
+            pa.field(content_col, pa.string()),
+        ]
+    )
 
     def first_occurrence(t: pa.Table) -> pa.Table:
         return (
@@ -253,6 +258,59 @@ def dedup_lines_rebuild(
     return grouped_apply(
         kept, [id_col], rebuild, num_partitions=num_partitions
     ).sort(id_col)
+
+
+def curation_funnel(
+    ds: Dataset,
+    explode_fn,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_fraction: float = 0.875,
+    rules: list[str] | None = None,
+) -> Dataset:
+    """End-to-end training-data curation funnel composed from the
+    individual operators, all streaming: Gopher quality filter (keep
+    only documents passing every rule) -> corpus-wide C4 line dedup
+    with document reassembly (among the survivors) -> deterministic
+    hash train/val split. ``explode_fn`` maps a (id, text) batch to the
+    (id, line_number, content) line view (corpus-specific line
+    semantics stay with the caller). Returns (doc_id, text, split)
+    sorted by id.
+
+    ``rules`` selects which Gopher rule columns gate a document
+    (default: the full set via the precomputed ``kept``); practitioners
+    tune rule subsets per corpus, and a corpus-inappropriate rule (e.g.
+    the English-stopword rule on a synthetic vocabulary) would
+    otherwise empty the funnel.
+
+    Each stage is the already-verified operator — the funnel adds no
+    new semantics, it demonstrates they compose without materializing
+    between stages (the only pipeline breaks are the two key-aligned
+    shuffles inside the line dedup)."""
+    import functools
+
+    import pyarrow.compute as pc
+
+    from textalyzer_ray.stages.analyze import GopherFilter
+    from textalyzer_ray.stages.pools import default_pool
+
+    scored = ds.select_columns([id_col, text_col]).map_batches(
+        GopherFilter, batch_format="pyarrow", concurrency=default_pool()
+    )
+    gate_cols = rules if rules else ["kept"]
+
+    def keep_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([id_col, text_col]) if t.num_columns else t
+        mask = functools.reduce(
+            pc.and_, [pc.equal(t[c], 1) for c in gate_cols]
+        )
+        return t.filter(mask).select([id_col, text_col])
+
+    kept = scored.map_batches(keep_filter, batch_format="pyarrow")
+    lines = kept.map_batches(explode_fn, batch_format="pyarrow")
+    rebuilt = dedup_lines_rebuild(lines, id_col=id_col)
+    return hash_split(rebuilt, id_col, train_fraction).sort(id_col)
 
 
 def hash_split(
