@@ -780,6 +780,18 @@ _FUNNEL_RULES = [
 ]
 
 
+def _q_chars_quantiles(sf_dir: str):
+    """Exact n_chars quantiles from the distributed value histogram
+    (no global sort)."""
+    from textalyzer_ray.pipelines.analytics import column_quantiles
+
+    return column_quantiles(
+        _docs(sf_dir, columns=["n_chars"]),
+        "n_chars",
+        [0.0, 0.25, 0.5, 0.9, 0.99, 1.0],
+    )
+
+
 def _q_curation_funnel(sf_dir: str):
     """Composite funnel: Gopher filter -> C4 line dedup + rebuild ->
     deterministic train/val split, one streaming pipeline. The oracle
@@ -1064,6 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_components": _q_readability_components,
         "gopher_quality": _q_gopher_quality,
         "curation_funnel": _q_curation_funnel,
+        "chars_quantiles": _q_chars_quantiles,
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
         "extract_fixtures": _q_extract_fixtures,
@@ -1349,6 +1362,15 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id, rank"
         ),
         "gopher_quality": gopher_sql,
+        "chars_quantiles": (
+            "WITH r AS (SELECT n_chars AS v, "
+            "row_number() OVER (ORDER BY n_chars) AS rn, "
+            "count(*) OVER () AS n FROM documents), "
+            "qs AS (SELECT unnest([0.0, 0.25, 0.5, 0.9, 0.99, 1.0]) AS q) "
+            "SELECT q, CAST(min(v) AS BIGINT) AS value FROM qs JOIN r "
+            "ON rn >= greatest(1, CAST(ceil(q * n) AS BIGINT)) "
+            "GROUP BY q ORDER BY q"
+        ),
         "curation_funnel": (
             "WITH gk AS (SELECT doc_id FROM (" + gopher_sql + ") "
             "WHERE " + " * ".join(_FUNNEL_RULES) + " = 1), "

@@ -201,3 +201,34 @@ class TestHoppingWindow:
 
         with pytest.raises(ValueError):
             events_hopping_window(None, window_s=3600, hop_s=700)
+
+
+class TestColumnQuantiles:
+    def test_exact_vs_numpy(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.analytics import column_quantiles
+
+        rng = np.random.RandomState(5)
+        v = rng.randint(0, 300, size=5000)
+        ds = rd.from_arrow(pa.table({"x": pa.array(v, pa.int64())})).repartition(7)
+        qs = [0.0, 0.5, 0.95, 1.0]
+        t = column_quantiles(ds, "x", qs)
+        got = dict(zip(t["q"].to_pylist(), t["value"].to_pylist()))
+        sv = np.sort(v)
+        import math
+
+        exp = {q: int(sv[max(1, math.ceil(q * len(sv))) - 1]) for q in qs}
+        assert got == exp
+
+    def test_empty(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.analytics import column_quantiles
+
+        ds = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+        t = column_quantiles(ds, "x", [0.5])
+        assert t.num_rows == 0

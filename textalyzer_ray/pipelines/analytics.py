@@ -194,3 +194,64 @@ def user_sessionize(
         ["user_id"],
         sessions_block,
     )
+
+
+def column_quantiles(
+    ds: Dataset, col: str, qs: list[float]
+) -> "pa.Table":
+    """EXACT quantiles of an integer column without a global sort:
+    per-block value counts (a few hundred (value, count) rows per
+    block), tree-merged into the full value histogram, then the rank
+    walk is a driver-side cumulative sum over the distinct values —
+    size bounded by the value domain, not the row count.
+
+    Definition: quantile q = the value at 1-based rank ceil(q*n) of the
+    sorted column (q=0 -> rank 1), matching the rank-arithmetic SQL
+    oracle exactly — no interpolation, so integer-exact.
+
+    Returns an in-memory Arrow table (q, value) — quantiles are a
+    scalar summary, not a dataset. For unbounded/continuous domains use
+    a t-digest-style sketch instead; this operator is for integer
+    metrics (lengths, counts, sizes) whose distinct-value count is
+    bounded."""
+    import numpy as np
+
+    from textalyzer_ray.stages.groups import key_counts
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t[col].combine_chunks())
+        return pa.table(
+            {
+                col: vc.field("values"),
+                "count": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    hist = key_counts(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [col],
+        sum_cols=["count"],
+    ).take_all()
+    vals = np.array([r[col] for r in hist])
+    cnts = np.array([r["sum_count"] for r in hist], dtype=np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        import math
+
+        # same double expression as the SQL oracle's ceil(q*n)
+        rank = max(1, math.ceil(q * n))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(float(q))
+        out_v.append(int(vals[idx]))
+    return pa.table(
+        {
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.int64()),
+        }
+    )
