@@ -780,6 +780,51 @@ _FUNNEL_RULES = [
 ]
 
 
+def _q_parts_by_supplier_nation(sf_dir: str):
+    """5-table join covering the two remaining unused testdata tables
+    (part, supplier): lineitem ⋈ part via the partitioned hash join
+    (both fact-sized), supplier + nation as broadcast lookups ->
+    revenue-weighted rollup (n_name, p_brand, n_lines,
+    total_qty)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from textalyzer_ray.pipelines.joins import broadcast_join, bucketed_join
+    from textalyzer_ray.sources.tables import read_table
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"])
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = bucketed_join(li, part, "l_partkey", "p_partkey", num_partitions=16)
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).rename_columns(["l_suppkey", "s_nationkey"])
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).rename_columns(["s_nationkey", "n_name"])
+    out = broadcast_join(broadcast_join(joined, supp, "l_suppkey"), nation, "s_nationkey")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return (
+        out.groupby(["n_name", "p_brand"])
+        .aggregate(
+            Count(alias_name="n_lines"),
+            Sum("l_quantity", alias_name="total_qty"),
+        )
+        .map_batches(
+            # l_quantity is an integral-valued DOUBLE in the parquet;
+            # the oracle casts the sum to BIGINT, so mirror it
+            lambda t: t.set_column(
+                t.schema.get_field_index("total_qty"),
+                "total_qty",
+                pc.cast(pc.round(t["total_qty"]), pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["n_name", "p_brand"])
+    )
+
+
 def _q_chars_quantiles(sf_dir: str):
     """Exact n_chars quantiles from the distributed value histogram
     (no global sort)."""
@@ -1077,6 +1122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "curation_funnel": _q_curation_funnel,
         "chars_quantiles": _q_chars_quantiles,
+        "parts_by_supplier_nation": _q_parts_by_supplier_nation,
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
         "extract_fixtures": _q_extract_fixtures,
@@ -1362,6 +1408,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id, rank"
         ),
         "gopher_quality": gopher_sql,
+        "parts_by_supplier_nation": (
+            "SELECT n.n_name, p.p_brand, count(*) AS n_lines, "
+            "CAST(sum(l.l_quantity) AS BIGINT) AS total_qty "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name, p.p_brand ORDER BY n.n_name, p.p_brand"
+        ),
         "chars_quantiles": (
             "WITH r AS (SELECT n_chars AS v, "
             "row_number() OVER (ORDER BY n_chars) AS rn, "
