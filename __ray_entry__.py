@@ -825,6 +825,16 @@ def _q_parts_by_supplier_nation(sf_dir: str):
     )
 
 
+def _q_token_shards(sf_dir: str):
+    """Fixed-token-budget shard packing via the distributed prefix-sum
+    scan (5000-token shards)."""
+    from textalyzer_ray.pipelines.curation import token_shard_assignment
+
+    return token_shard_assignment(
+        _docs(sf_dir, columns=["doc_id", "text"]), budget=5000
+    )
+
+
 def _q_chars_quantiles(sf_dir: str):
     """Exact n_chars quantiles from the distributed value histogram
     (no global sort)."""
@@ -1123,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": _q_curation_funnel,
         "chars_quantiles": _q_chars_quantiles,
         "parts_by_supplier_nation": _q_parts_by_supplier_nation,
+        "token_shards": _q_token_shards,
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
         "extract_fixtures": _q_extract_fixtures,
@@ -1408,6 +1419,17 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id, rank"
         ),
         "gopher_quality": gopher_sql,
+        "token_shards": (
+            "WITH t AS (SELECT d.doc_id, CAST(coalesce(x.n, 0) AS BIGINT) "
+            "AS n_tokens FROM documents d LEFT JOIN ("
+            f"SELECT doc_id, count(*) AS n FROM ({tokens_cte}) GROUP BY doc_id"
+            ") x USING (doc_id)), "
+            "s AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS prev FROM t) "
+            "SELECT doc_id, n_tokens, CAST(prev // 5000 AS BIGINT) AS shard_id "
+            "FROM s ORDER BY doc_id"
+        ),
         "parts_by_supplier_nation": (
             "SELECT n.n_name, p.p_brand, count(*) AS n_lines, "
             "CAST(sum(l.l_quantity) AS BIGINT) AS total_qty "

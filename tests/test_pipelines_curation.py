@@ -249,3 +249,38 @@ class TestCurationFunnel:
         assert [r["doc_id"] for r in rows] == [0]
         assert rows[0]["text"] == good
         assert rows[0]["split"] in ("train", "val")
+
+
+class TestTokenShardAssignment:
+    def test_prefix_scan_matches_serial(self):
+        from textalyzer_ray.pipelines.curation import token_shard_assignment
+
+        texts = ["w " * (i % 7 + 1) for i in range(200)]  # 1..7 tokens
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(200), pa.int64()),
+                    "text": [t.strip() for t in texts],
+                }
+            )
+        ).repartition(9)
+        rows = token_shard_assignment(ds, budget=20).take_all()
+        assert [r["doc_id"] for r in rows] == list(range(200))
+        prefix = 0
+        for r in rows:
+            assert r["shard_id"] == prefix // 20
+            prefix += r["n_tokens"]
+
+    def test_single_huge_doc_owns_shard(self):
+        from textalyzer_ray.pipelines.curation import token_shard_assignment
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": ["a b", "c " * 100, "d"],
+                }
+            )
+        )
+        rows = token_shard_assignment(ds, budget=10).take_all()
+        assert [r["shard_id"] for r in rows] == [0, 0, 10]

@@ -260,6 +260,95 @@ def dedup_lines_rebuild(
     ).sort(id_col)
 
 
+def token_shard_assignment(
+    ds: Dataset,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Pack documents (in id order) into fixed-token-budget training
+    shards: shard_id = floor(prefix_tokens / budget), where
+    prefix_tokens is the total token count of all EARLIER docs — the
+    deterministic greedy packing a dataloader can address directly.
+    Returns (doc_id, n_tokens, shard_id) sorted by id.
+
+    This is a distributed PREFIX-SUM SCAN (a primitive the Dataset API
+    lacks), done in two passes over id-sorted blocks: pass 1 reduces one
+    (block_min_id, block_total) pair per block to the driver; the driver
+    computes exclusive block offsets (one int per block) and broadcasts
+    them; pass 2 adds the block offset to a vectorized in-block cumsum.
+    Only per-block scalars touch the driver, so the scan holds at any
+    corpus size the sort holds at."""
+    import numpy as np
+    import ray
+
+    from textalyzer_ray.pipelines.analytics import token_counts
+    from textalyzer_ray.stages.groups import _worker_object_cache
+
+    counts = (
+        token_counts(ds.select_columns([id_col, text_col]))
+        .sort(id_col)
+        .materialize()
+    )
+
+    def block_total(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"min_id": pa.array([], pa.int64()),
+                 "total": pa.array([], pa.int64())}
+            )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "min_id": pa.array([int(ids.min())], pa.int64()),
+                "total": pa.array([int(n.sum())], pa.int64()),
+            }
+        )
+
+    per_block = counts.map_batches(
+        block_total, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    per_block.sort(key=lambda r: r["min_id"])
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in per_block:
+        offsets[r["min_id"]] = run
+        run += r["total"]
+    oref = ray.put(offsets)
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("shard_id", pa.int64()),
+        ]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        cache = _worker_object_cache()
+        key = oref.hex() if hasattr(oref, "hex") else str(oref)
+        offs = cache.get(key)
+        if offs is None:
+            offs = cache[key] = ray.get(oref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        prev = offs[int(ids.min())] + np.cumsum(n) - n
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(n),
+                "shard_id": pa.array(prev // budget),
+            }
+        ).cast(out_schema)
+
+    return counts.map_batches(
+        assign, batch_format="pyarrow", batch_size=None
+    ).sort(id_col)
+
+
 def curation_funnel(
     ds: Dataset,
     explode_fn,
