@@ -269,7 +269,14 @@ def _q_warc_extract(sf_dir: str):
     from textalyzer_ray.sources.warc import read_warc, write_warc_file
     from textalyzer_ray.sources.webgen import pages_from_documents
 
-    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # cache key covers the INPUT parquet's identity (path + mtime +
+    # size), so regenerated testdata under the same path invalidates
+    # the shards instead of silently reusing stale pages
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
     shard_dir = f"/tmp/textalyzer_warc_{tag}"
     n_shards = 4
     if not os.path.isdir(shard_dir) or len(os.listdir(shard_dir)) != n_shards:
@@ -1328,7 +1335,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": (
             "SELECT doc_id, CASE WHEN "
             "CAST((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761 "
-            "AS HUGEINT) % 4294967296 < CAST(0.875 * 4294967296 AS HUGEINT) "
+            "AS HUGEINT) % 4294967296 < CAST(floor(0.875 * 4294967296) AS HUGEINT) "
             "THEN 'train' ELSE 'val' END AS split "
             "FROM documents ORDER BY doc_id"
         ),
@@ -1464,7 +1471,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM kept GROUP BY doc_id) "
             "SELECT doc_id, text, CASE WHEN "
             "CAST((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761 "
-            "AS HUGEINT) % 4294967296 < CAST(0.875 * 4294967296 AS HUGEINT) "
+            "AS HUGEINT) % 4294967296 < CAST(floor(0.875 * 4294967296) AS HUGEINT) "
             "THEN 'train' ELSE 'val' END AS split "
             "FROM rb ORDER BY doc_id"
         ),

@@ -223,3 +223,27 @@ class TestKnnSelfJoin:
         got = [(r["vec_id"], r["rank"], r["neighbor_id"]) for r in rows]
         assert got == self._oracle(m, 10)
         assert len(rows) == 6 * 5  # n-1 neighbors each
+
+    def test_cosine_ties_break_by_neighbor_id(self):
+        # identical vectors with ids 0,4,8 all land in bucket 0 at
+        # n_buckets=4, so the tie straddles the LOCAL top-k cutoff:
+        # rank order must still be neighbor-id ascending
+        from textalyzer_ray.pipelines.similarity import knn_self_join
+
+        m = np.ones((9, 4), dtype=np.float32)
+        m[[1, 2, 3, 5, 6, 7]] = np.random.RandomState(0).randn(6, 4) * 0.1
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(9), pa.int64()),
+                    "embedding": pa.array(
+                        [r.tolist() for r in m], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        )
+        rows = knn_self_join(ds, k=1, n_buckets=4).take_all()
+        by_q = {r["vec_id"]: r["neighbor_id"] for r in rows}
+        assert by_q[0] == 4  # not 8: ties break by lowest neighbor id
+        assert by_q[4] == 0
+        assert by_q[8] == 0

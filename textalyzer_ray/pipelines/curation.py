@@ -30,9 +30,10 @@ def cap_per_group(
     order_col: str,
     num_partitions: int | None = None,
 ) -> Dataset:
-    """Keep the ``n`` rows with the smallest ``order_col`` per ``key_col``
-    (ties impossible when order_col is unique; otherwise polars' stable
-    sort makes the outcome deterministic in input order). Returns the
+    """Keep the ``n`` rows with the smallest ``order_col`` per ``key_col``.
+    Deterministic output requires ``order_col`` unique within each key
+    (e.g. a doc id); on (key, order) ties the cap still holds but WHICH
+    tied row survives depends on shuffle arrival order. Returns the
     surviving rows with their original columns, sorted by
     (key_col, order_col).
 
@@ -209,6 +210,9 @@ def dedup_lines_rebuild(
     if num_partitions is None:
         from textalyzer_ray.stages.groups import partitions_for
 
+        # one size for BOTH shuffles: each moves ~the same row volume
+        # (lines, then surviving lines), and partition count bounds
+        # rows-per-partition memory, not group count
         num_partitions = partitions_for(hashed.count())
     # schema() can still be None when the first materialized block is
     # empty (filter stages emit schema-less empty tables); fall back to
@@ -410,11 +414,13 @@ def hash_split(
 ) -> Dataset:
     """Append ``split_col`` ('train' | 'val') from a Knuth
     multiplicative hash of ``id_col``: h = (id mod 2^32) * 2654435761
-    mod 2^32; train iff h < train_fraction * 2^32. Deterministic,
+    mod 2^32; train iff h < floor(train_fraction * 2^32). Deterministic,
     shuffle-free, identical under any partitioning — the property that
     makes a 100 TB split resumable and re-derivable. ``train_fraction``
-    is quantized to 1/2^32 steps (exact integer comparison, no float
-    boundary ambiguity)."""
+    is quantized to 1/2^32 steps by TRUNCATION — the SQL oracles use
+    floor() for the same threshold, because CAST-to-integer would round
+    to nearest and disagree for fractions whose value*2^32 has
+    fractional part >= 0.5."""
     import pyarrow.compute as pc
 
     threshold = int(train_fraction * _M32)

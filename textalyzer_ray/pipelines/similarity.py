@@ -133,6 +133,31 @@ def ivf_topk(
     return brute_force_topk(pruned, q, k=k, id_col=id_col, emb_col=emb_col)
 
 
+def _triangle_replicate(nb: int, id_col: str, emb_col: str):
+    """map_batches GENERATOR for triangle partitioning (shared by the
+    exact all-pairs kernels): bucket each vector by id, emit one output
+    batch per bucket-pair partner c — yielding instead of concatenating
+    keeps per-task peak memory at ONE copy of the input block instead
+    of n_buckets copies (the shuffle downstream splits batches anyway).
+    Invariant: pair_key = lo*nb + hi; every vector reaches exactly the
+    nb unordered bucket pairs containing its bucket, so every vector
+    pair co-locates in exactly one group."""
+
+    def replicate(t: pa.Table):
+        t = t.select([id_col, emb_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        b = (ids % nb).astype(np.int64)
+        for c in range(nb):
+            lo = np.minimum(b, c)
+            hi = np.maximum(b, c)
+            yield (
+                t.append_column("bucket", pa.array(b))
+                .append_column("pair_key", pa.array(lo * nb + hi))
+            )
+
+    return replicate
+
+
 def cosine_pairs_exact(
     ds: Dataset,
     threshold: float = 0.45,
@@ -172,19 +197,7 @@ def cosine_pairs_exact(
         ]
     )
 
-    def replicate(t: pa.Table) -> pa.Table:
-        t = t.select([id_col, emb_col])
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        b = (ids % nb).astype(np.int64)
-        parts = []
-        for c in range(nb):
-            lo = np.minimum(b, c)
-            hi = np.maximum(b, c)
-            parts.append(
-                t.append_column("bucket", pa.array(b))
-                .append_column("pair_key", pa.array(lo * nb + hi))
-            )
-        return pa.concat_tables(parts)
+    replicate = _triangle_replicate(nb, id_col, emb_col)
 
     def pairs_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
@@ -280,27 +293,18 @@ def knn_self_join(
         ]
     )
 
-    def replicate(t: pa.Table) -> pa.Table:
-        t = t.select([id_col, emb_col])
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        b = (ids % nb).astype(np.int64)
-        parts = []
-        for c in range(nb):
-            lo = np.minimum(b, c)
-            hi = np.maximum(b, c)
-            parts.append(
-                t.append_column("bucket", pa.array(b))
-                .append_column("pair_key", pa.array(lo * nb + hi))
-            )
-        return pa.concat_tables(parts)
+    replicate = _triangle_replicate(nb, id_col, emb_col)
 
     def local_topk(side_ids, other_ids, sims):
-        # sims: (len(side), len(other)); local top-k of each side row
+        # sims: (len(side), len(other)); local top-k of each side row.
+        # PRECONDITION: other_ids ascending — the stable argsort then
+        # breaks cosine ties by lowest column index == lowest neighbor
+        # id, matching the documented (cosine desc, neighbor_id asc)
+        # order (a plain argpartition keeps an arbitrary tied neighbor).
         kk = min(k, sims.shape[1])
         if kk == 0:
             return None
-        # order by (-cosine, neighbor_id): lexsort on (id, -sim)
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
         rows = np.repeat(side_ids, kk)
         cols = other_ids[part.ravel()]
         vals = np.take_along_axis(sims, part, axis=1).ravel()
@@ -319,12 +323,17 @@ def knn_self_join(
                 "row": np.arange(block.num_rows, dtype=np.int64),
             }
         )
+
+        def by_id(rows):
+            return rows[np.argsort(ids_np[rows], kind="stable")]
+
         out_r, out_c, out_v = [], [], []
         for key_vals, grp in df.group_by(["pair_key"]):
             key = int(key_vals[0])
             lo, hi = key // nb, key % nb
             rows = np.asarray(grp["row"].to_list())
             if lo == hi:
+                rows = by_id(rows)
                 ids = ids_np[rows]
                 sims = m_all[rows] @ m_all[rows].T
                 np.fill_diagonal(sims, -2.0)  # exclude self
@@ -332,8 +341,8 @@ def knn_self_join(
                 if res:
                     out_r.append(res[0]); out_c.append(res[1]); out_v.append(res[2])
             else:
-                ra = rows[buckets[rows] == lo]
-                rb = rows[buckets[rows] == hi]
+                ra = by_id(rows[buckets[rows] == lo])
+                rb = by_id(rows[buckets[rows] == hi])
                 if len(ra) == 0 or len(rb) == 0:
                     continue
                 sims = m_all[ra] @ m_all[rb].T
