@@ -832,6 +832,16 @@ def _q_parts_by_supplier_nation(sf_dir: str):
     )
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Source-weighted mixture: even-numbered sources kept at 25%,
+    odd at 100%."""
+    from textalyzer_ray.pipelines.curation import mixture_sample
+
+    weights = {f"src{i}": (0.25 if i % 2 == 0 else 1.0) for i in range(20)}
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+    return mixture_sample(ds, weights).sort("doc_id")
+
+
 def _q_token_shards(sf_dir: str):
     """Fixed-token-budget shard packing via the distributed prefix-sum
     scan (5000-token shards)."""
@@ -1141,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_quantiles": _q_chars_quantiles,
         "parts_by_supplier_nation": _q_parts_by_supplier_nation,
         "token_shards": _q_token_shards,
+        "mixture_sample": _q_mixture_sample,
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
         "extract_fixtures": _q_extract_fixtures,
@@ -1426,6 +1437,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id, rank"
         ),
         "gopher_quality": gopher_sql,
+        "mixture_sample": (
+            "SELECT doc_id, source FROM documents WHERE "
+            "(doc_id % 4294967296) * 2246822519 % 4294967296 < "
+            "CAST(floor(CASE WHEN "
+            "CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 2 = 0 "
+            "THEN 0.25 ELSE 1.0 END * 4294967296) AS BIGINT) "
+            "ORDER BY doc_id"
+        ),
         "token_shards": (
             "WITH t AS (SELECT d.doc_id, CAST(coalesce(x.n, 0) AS BIGINT) "
             "AS n_tokens FROM documents d LEFT JOIN ("

@@ -284,3 +284,52 @@ class TestTokenShardAssignment:
         )
         rows = token_shard_assignment(ds, budget=10).take_all()
         assert [r["shard_id"] for r in rows] == [0, 0, 10]
+
+
+class TestMixtureSample:
+    def test_weights_and_determinism(self):
+        from textalyzer_ray.pipelines.curation import _MIX_MULT, mixture_sample
+
+        n = 4000
+        srcs = ["a" if i % 2 == 0 else "b" for i in range(n)]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "source": srcs,
+            }
+        )
+        w = {"a": 0.25, "b": 1.0}
+        kept = mixture_sample(rd.from_arrow(t), w).take_all()
+        ids = {r["doc_id"] for r in kept}
+        # explicit rule parity
+        for i in range(n):
+            h = ((i % (1 << 32)) * _MIX_MULT) % (1 << 32)
+            exp = h < int(w[srcs[i]] * (1 << 32))
+            assert (i in ids) == exp
+        # fractions near targets
+        na = sum(1 for r in kept if r["source"] == "a") / (n / 2)
+        nb = sum(1 for r in kept if r["source"] == "b") / (n / 2)
+        assert abs(na - 0.25) < 0.05 and nb == 1.0
+        # partitioning-invariant
+        kept2 = mixture_sample(rd.from_arrow(t).repartition(11), w).take_all()
+        assert {r["doc_id"] for r in kept2} == ids
+
+    def test_independent_of_hash_split(self):
+        from textalyzer_ray.pipelines.curation import hash_split, mixture_sample
+
+        n = 8000
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "source": ["s"] * n,
+            }
+        )
+        kept = mixture_sample(rd.from_arrow(t), {"s": 0.5}).take_all()
+        ids = [r["doc_id"] for r in kept]
+        split = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(rd.from_arrow(t), "doc_id", 0.5).take_all()
+        }
+        frac_train = sum(1 for i in ids if split[i] == "train") / len(ids)
+        # if the hashes were shared, kept docs would be ~all train
+        assert 0.4 < frac_train < 0.6

@@ -115,6 +115,51 @@ def hash_sample(
     )
 
 
+# xxhash64 prime2 — a DIFFERENT multiplier than hash_split's Knuth
+# constant, so mixture keep/drop decisions are independent of the
+# train/val assignment (sharing the hash would make every kept doc
+# 'train')
+_MIX_MULT = 2246822519
+
+
+def mixture_sample(
+    ds: Dataset,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> Dataset:
+    """Source-weighted subsampling to hit a target corpus mixture: keep
+    a row iff hash(id) < floor(weight(source) * 2^32), with a per-source
+    weight in [0, 1]. Deterministic, shuffle-free, reproducible under
+    any partitioning, and INDEPENDENT of ``hash_split`` (different
+    multiplier), so mixture and split compose without correlation.
+    Expected kept fraction per source == its weight."""
+    import polars as pl
+
+    wt = pl.DataFrame(
+        {
+            source_col: list(weights),
+            "_thr": [int(w * _M32) for w in weights.values()],
+        }
+    )
+    default_thr = int(default_weight * _M32)
+    in_schema = None
+
+    def keep(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows == 0:
+            return t
+        df = pl.from_arrow(t).join(wt, on=source_col, how="left")
+        thr = df["_thr"].fill_null(default_thr).to_numpy()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids & (_M32 - 1)) * _MIX_MULT) & (_M32 - 1)
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def dedup_against(
     ds: Dataset,
     ref: Dataset,
