@@ -832,6 +832,43 @@ def _q_parts_by_supplier_nation(sf_dir: str):
     )
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    """Line-delimited-JSON ingestion: documents -> .jsonl shards on
+    disk (cached on the parquet's identity) -> read_jsonl ->
+    (doc_id, text) identical to the source."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from textalyzer_ray.sources.tables import read_jsonl, write_jsonl_shards
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    shard_dir = f"/tmp/textalyzer_jsonl_{tag}"
+    n_shards = 4
+    if not os.path.isdir(shard_dir) or len(os.listdir(shard_dir)) != n_shards:
+        os.makedirs(shard_dir, exist_ok=True)
+        for f in os.listdir(shard_dir):
+            os.unlink(os.path.join(shard_dir, f))
+        write_jsonl_shards(
+            shard_dir,
+            pq.read_table(src, columns=["doc_id", "text"]),
+            n_shards=n_shards,
+        )
+    return read_jsonl(shard_dir, columns=["doc_id", "text"]).sort("doc_id")
+
+
+def _q_compression_ratio(sf_dir: str):
+    """Per-doc zlib redundancy signal (rows-only: SQL has no zlib)."""
+    from textalyzer_ray.pipelines.analytics import compression_ratio
+
+    return compression_ratio(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def _q_mixture_sample(sf_dir: str):
     """Source-weighted mixture: even-numbered sources kept at 25%,
     odd at 100%."""
@@ -1152,6 +1189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_supplier_nation": _q_parts_by_supplier_nation,
         "token_shards": _q_token_shards,
         "mixture_sample": _q_mixture_sample,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "compression_ratio": _q_compression_ratio,
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
         "extract_fixtures": _q_extract_fixtures,
@@ -1437,6 +1476,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id, rank"
         ),
         "gopher_quality": gopher_sql,
+        "jsonl_roundtrip": (
+            "SELECT doc_id, text FROM documents ORDER BY doc_id"
+        ),
         "mixture_sample": (
             "SELECT doc_id, source FROM documents WHERE "
             "(doc_id % 4294967296) * 2246822519 % 4294967296 < "

@@ -255,3 +255,37 @@ def column_quantiles(
             "value": pa.array(out_v, pa.int64()),
         }
     )
+
+
+def compression_ratio(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text", level: int = 6
+) -> Dataset:
+    """(doc_id, n_bytes, n_compressed, ratio_pct): per-document zlib
+    compression ratio — the classic cheap redundancy/quality signal
+    (highly repetitive or templated text compresses far below prose;
+    C4/Gopher-era pipelines threshold on it). Per-row zlib is inherent
+    (no vectorized kernel exists), so this runs as plain task-pool
+    batches; ratio_pct is integer basis points *100 so the column stays
+    BIGINT (floats only in rows-only queries — driver contract)."""
+    import zlib
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        nb, nc = [], []
+        for s in texts:
+            b = (s or "").encode("utf-8")
+            nb.append(len(b))
+            nc.append(len(zlib.compress(b, level)))
+        ratio = [
+            (c * 10000) // b if b else 0 for b, c in zip(nb, nc)
+        ]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_bytes": pa.array(nb, pa.int64()),
+                "n_compressed": pa.array(nc, pa.int64()),
+                "ratio_bp": pa.array(ratio, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort(id_col)

@@ -75,3 +75,41 @@ def cpu_heavy_min_blocks() -> int:
     """Block floor for pipelines dominated by per-row compute: ~4 tasks
     per core so the last wave's straggler tail is short."""
     return 4 * cluster_cpus()
+
+
+def read_jsonl(paths, columns: list[str] | None = None):
+    """Line-delimited JSON shards -> Dataset (the other common raw-dump
+    interchange format besides WARC). One read task per shard via
+    ray.data.read_json (pyarrow JSON reader — C++, not per-line
+    Python); ``columns`` prunes AFTER parse (JSON is row-major on disk,
+    so unlike parquet the read itself cannot skip columns — prefer
+    parquet for anything read more than once)."""
+    import ray.data as rd
+
+    ds = rd.read_json(paths, file_extensions=["jsonl", "json"])
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def write_jsonl_shards(
+    out_dir: str, table, n_shards: int = 4, id_col: str = "doc_id"
+) -> int:
+    """Deterministic .jsonl shards from an Arrow table (test/bench
+    fixture writer; round-robin by row position)."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = table.column_names
+    rows = [dict(zip(cols, r)) for r in zip(*(table[c].to_pylist() for c in cols))]
+    files = [
+        open(os.path.join(out_dir, f"part-{s}.jsonl"), "w") for s in range(n_shards)
+    ]
+    try:
+        for i, r in enumerate(rows):
+            files[i % n_shards].write(json.dumps(r, ensure_ascii=False) + "\n")
+    finally:
+        for f in files:
+            f.close()
+    return len(rows)
