@@ -333,3 +333,74 @@ class TestMixtureSample:
         frac_train = sum(1 for i in ids if split[i] == "train") / len(ids)
         # if the hashes were shared, kept docs would be ~all train
         assert 0.4 < frac_train < 0.6
+
+
+class TestEmptyInputs:
+    """Every curation-family pipeline must survive an empty corpus
+    (schema-less empty blocks are how the funnel bug manifested)."""
+
+    def _empty_docs(self):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                }
+            )
+        )
+
+    def test_empty_everything(self):
+        import numpy as np
+
+        from textalyzer_ray.pipelines.curation import (
+            cap_per_group,
+            dedup_against,
+            dedup_lines_rebuild,
+            hash_sample,
+            hash_split,
+            mixture_sample,
+            token_shard_assignment,
+        )
+
+        e = self._empty_docs()
+        assert cap_per_group(e.drop_columns(["text"]), "source", 3, "doc_id").count() == 0
+        assert hash_split(e, "doc_id").count() == 0
+        assert hash_sample(e, 5).count() == 0
+        assert mixture_sample(e, {"a": 0.5}).count() == 0
+        assert dedup_against(e.drop_columns(["source"]), e.drop_columns(["source"])).count() == 0
+        lines = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "line_number": pa.array([], pa.int64()),
+                    "content": pa.array([], pa.string()),
+                }
+            )
+        )
+        assert dedup_lines_rebuild(lines).count() == 0
+        assert token_shard_assignment(e.drop_columns(["source"]), 100).count() == 0
+
+    def test_empty_similarity(self):
+        from textalyzer_ray.pipelines.similarity import (
+            cosine_pairs_exact,
+            knn_self_join,
+        )
+
+        e = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        )
+        assert cosine_pairs_exact(e, 0.5).count() == 0
+        assert knn_self_join(e, k=3).count() == 0
+
+    def test_empty_top_words(self):
+        from textalyzer_ray.pipelines.frequency import approx_top_words
+
+        e = self._empty_docs().drop_columns(["source"])
+        top, cert = approx_top_words(e, k=5)
+        assert top.count() == 0 and cert is True

@@ -49,16 +49,17 @@ def cap_per_group(
 
     from textalyzer_ray.stages.groups import grouped_apply
 
-    schema = ds.schema().base_schema
-
     def head_block(t: pa.Table) -> pa.Table:
+        # cast back to the BLOCK's own schema (polars round-trips
+        # string as large_string); no upfront ds.schema() — it is None
+        # for empty/lazy datasets
         return (
             pl.from_arrow(t)
             .sort([key_col, order_col])
             .group_by(key_col, maintain_order=True)
             .head(n)
             .to_arrow()
-            .cast(schema)
+            .cast(t.schema)
         )
 
     # per-input-block pre-prune: the global head-n per key survives any
@@ -183,7 +184,10 @@ def dedup_against(
     from textalyzer_ray.stages.dedup import add_content_hash
     from textalyzer_ray.stages.groups import grouped_apply
 
-    id_type = ds.schema().base_schema.field(id_col).type
+    sch = ds.schema()
+    id_type = (
+        sch.base_schema.field(id_col).type if sch is not None else pa.int64()
+    )
     out_schema = pa.schema(
         [pa.field(id_col, id_type), pa.field(text_col, pa.string())]
     )
