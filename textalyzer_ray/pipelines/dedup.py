@@ -328,6 +328,12 @@ def minhash_duplicate_pairs(
             }
         )
 
+    # NOTE (measured, do not "optimize"): replacing this hash-shuffle
+    # grouped_apply with a sort-based groupby().map_groups to dodge the
+    # ~1 s aggregator-actor startup made the sf0.1 run 7x SLOWER
+    # (2.7 s -> 18 s) — the sort shuffle pays per-group task machinery
+    # and re-sorts the u64-list payload columns. The key-aligned hash
+    # partition is the right mechanism at every measured size.
     return grouped_apply(
         cand, ["band", "band_hash"], verify_block, num_partitions=n_parts
     )
