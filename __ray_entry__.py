@@ -718,6 +718,31 @@ def _q_cosine_pairs(sf_dir: str):
     )
 
 
+def _q_embedding_clusters(sf_dir: str):
+    """Distributed min-label connected components over the exact cosine
+    graph (threshold 0.4, min margin 1.3e-4 at sf0.01) — the first HARD
+    oracle for the CC operator itself, via DuckDB WITH RECURSIVE
+    transitive closure."""
+    import pandas as pd
+
+    from textalyzer_ray.pipelines.dedup import connected_components
+    from textalyzer_ray.pipelines.similarity import cosine_pairs_exact
+    from textalyzer_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = cosine_pairs_exact(ds, threshold=0.4).drop_columns(["cosine"])
+    rows = connected_components(pairs).take_all()
+    out = pd.DataFrame(
+        {
+            "doc_id": pd.Series([r["doc_id"] for r in rows], dtype="int64"),
+            "cluster_id": pd.Series(
+                [r["cluster_id"] for r in rows], dtype="int64"
+            ),
+        }
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_knn_graph(sf_dir: str):
     """Exact top-10 cosine neighbor graph (triangle partitioning).
     Int-only (vec_id, rank, neighbor_id); the minimum adjacent cosine
@@ -1164,6 +1189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": _q_similarity_topk,
         "cosine_pairs": _q_cosine_pairs,
         "knn_graph": _q_knn_graph,
+        "embedding_clusters": _q_embedding_clusters,
         "cap_per_source": _q_cap_per_source,
         "hash_split": _q_hash_split,
         "dedup_against": _q_dedup_against,
@@ -1388,6 +1414,18 @@ def oracle_sql() -> dict[str, str]:
             "AS HUGEINT) % 4294967296 < CAST(floor(0.875 * 4294967296) AS HUGEINT) "
             "THEN 'train' ELSE 'val' END AS split "
             "FROM documents ORDER BY doc_id"
+        ),
+        "embedding_clusters": (
+            "WITH RECURSIVE p AS ("
+            "SELECT e1.vec_id AS a, e2.vec_id AS b "
+            "FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id "
+            "WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), "
+            "CAST(e2.embedding AS DOUBLE[])) >= 0.4), "
+            "e AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+            "reach AS (SELECT a AS n, b AS m FROM e "
+            "UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a) "
+            "SELECT n AS doc_id, CAST(least(n, min(m)) AS BIGINT) "
+            "AS cluster_id FROM reach GROUP BY n ORDER BY doc_id"
         ),
         "knn_graph": (
             "WITH s AS (SELECT e1.vec_id, e2.vec_id AS neighbor_id, "
