@@ -181,6 +181,7 @@ def cosine_pairs_exact(
     cells + multi-assignment) — this exact kernel is its oracle."""
     import polars as pl
 
+    from textalyzer_ray.sources.tables import cluster_cpus
     from textalyzer_ray.stages.groups import grouped_apply
 
     n = ds.count()
@@ -253,7 +254,7 @@ def cosine_pairs_exact(
         replicated,
         ["pair_key"],
         pairs_block,
-        num_partitions=max(2, min(n_groups, 64)),
+        num_partitions=max(2, min(n_groups, cluster_cpus())),
     ).sort(["id_a", "id_b"])
 
 
@@ -278,6 +279,7 @@ def knn_self_join(
     path at corpus scale is ``ivf_topk`` per query batch."""
     import polars as pl
 
+    from textalyzer_ray.sources.tables import cluster_cpus
     from textalyzer_ray.stages.groups import grouped_apply
 
     n = ds.count()
@@ -297,14 +299,35 @@ def knn_self_join(
 
     def local_topk(side_ids, other_ids, sims):
         # sims: (len(side), len(other)); local top-k of each side row.
-        # PRECONDITION: other_ids ascending — the stable argsort then
-        # breaks cosine ties by lowest column index == lowest neighbor
-        # id, matching the documented (cosine desc, neighbor_id asc)
-        # order (a plain argpartition keeps an arbitrary tied neighbor).
+        # PRECONDITION: other_ids ascending — lowest column index ==
+        # lowest neighbor id, so a stable value sort realizes the
+        # documented (cosine desc, neighbor_id asc) order.
         kk = min(k, sims.shape[1])
         if kk == 0:
             return None
-        part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        m = sims.shape[1]
+        if m > kk:
+            # O(m) argpartition of the top kk+1 + EXACT boundary-tie
+            # repair: a plain argpartition keeps an arbitrary tied
+            # neighbor, so rows where the (kk+1)-th value ties the
+            # kk-th (the tie straddles the cutoff) fall back to a full
+            # stable argsort; ties are measure-zero for real cosines,
+            # so the repair almost never runs but exactness never
+            # depends on that.
+            part = np.argpartition(-sims, kk, axis=1)[:, : kk + 1]
+            part.sort(axis=1)  # ascending col idx == ascending id
+            vals = np.take_along_axis(sims, part, axis=1)
+            ord2 = np.argsort(-vals, axis=1, kind="stable")
+            part = np.take_along_axis(part, ord2, axis=1)
+            vals = np.take_along_axis(vals, ord2, axis=1)
+            bad = vals[:, kk] == vals[:, kk - 1]
+            part = part[:, :kk].copy()
+            if bad.any():
+                part[bad] = np.argsort(
+                    -sims[bad], axis=1, kind="stable"
+                )[:, :kk]
+        else:
+            part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
         rows = np.repeat(side_ids, kk)
         cols = other_ids[part.ravel()]
         vals = np.take_along_axis(sims, part, axis=1).ravel()
@@ -394,7 +417,7 @@ def knn_self_join(
         replicated,
         ["pair_key"],
         cands_block,
-        num_partitions=max(2, min(n_groups, 64)),
+        num_partitions=max(2, min(n_groups, cluster_cpus())),
     )
     return grouped_apply(
         cands,
