@@ -1,16 +1,26 @@
 """Corpus curation pipelines (training-data extensions).
 
-- ``cap_per_group``: per-key quota cap — keep at most ``n`` rows per
-  group (the standard "cap documents per domain" crawl-curation rule,
-  hot-domain skew defused by construction: the cap bounds every
-  group's contribution).
+- ``cap_per_group``: per-key quota cap with a local head pre-prune
+  (the "cap documents per domain" crawl rule; hot-domain skew bounded
+  by construction).
+- ``hash_sample``: deterministic bottom-k uniform sample.
+- ``mixture_sample``: source-weighted subsampling, hash-independent of
+  the split.
+- ``dedup_against``: incremental exact dedup of a new crawl against an
+  ingested reference corpus (hash-keyed, text-verified).
+- ``token_shard_assignment``: fixed-token-budget shard packing via a
+  distributed prefix-sum scan.
+- ``dedup_lines_rebuild``: C4-style corpus-wide line dedup with
+  document reassembly.
+- ``curation_funnel``: quality gate -> line dedup -> split composed as
+  one streaming pipeline.
 - ``hash_split``: deterministic train/validation assignment from a
-  multiplicative hash of the id — reproducible across runs, engines and
+  multiplicative id hash — reproducible across runs, engines and
   partitionings (no RNG state), expressible in SQL for oracle parity.
 
-Both are single-pass: cap_per_group is one key-aligned block pass
-(stages.groups.grouped_apply — each key lands entirely in one block),
-hash_split is pure per-batch arithmetic with no shuffle at all.
+Shuffle-free ops (hash_split, mixture_sample) are pure per-batch
+arithmetic; the keyed ops ride stages.groups.grouped_apply with
+data-sized partition counts (stages.groups.partitions_for).
 """
 
 from __future__ import annotations
@@ -92,11 +102,8 @@ def hash_sample(
     import numpy as np
     import polars as pl
 
-    schema = ds.schema().base_schema
-    out_fields = [schema.field(i) for i in range(len(schema.names))]
-    aug_schema = pa.schema(out_fields + [pa.field("_h", pa.int64())])
-
     def local_bottomk(t: pa.Table) -> pa.Table:
+        # per-block schema (no upfront ds.schema() — None when lazy/empty)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = ((ids & (_M32 - 1)) * _KNUTH) & (_M32 - 1)
         aug = t.append_column("_h", pa.array(h.astype(np.int64)))
@@ -105,7 +112,7 @@ def hash_sample(
             .sort(["_h", id_col])
             .head(k)
             .to_arrow()
-            .cast(aug_schema)
+            .cast(aug.schema)
         )
 
     cands = ds.map_batches(local_bottomk, batch_format="pyarrow")
