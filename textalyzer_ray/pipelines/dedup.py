@@ -160,7 +160,9 @@ def minhash_duplicate_pairs(
         grouped_apply,
     )
 
-    id_type = ds.schema().base_schema.field(id_col).type
+    from textalyzer_ray.stages.groups import id_type_of
+
+    id_type = id_type_of(ds, id_col)
     pair_schema = pa.schema(
         [
             pa.field("id_a", id_type),
@@ -555,7 +557,9 @@ def simhash_duplicate_pairs(
     from textalyzer_ray.sources.tables import cluster_cpus
     from textalyzer_ray.stages.groups import grouped_apply
 
-    id_type = ds.schema().base_schema.field(id_col).type
+    from textalyzer_ray.stages.groups import id_type_of
+
+    id_type = id_type_of(ds, id_col)
     pair_schema = pa.schema(
         [
             pa.field("id_a", id_type),
@@ -815,7 +819,9 @@ def winnow_duplicate_pairs(
         key_counts,
     )
 
-    id_type = ds.schema().base_schema.field(id_col).type
+    from textalyzer_ray.stages.groups import id_type_of
+
+    id_type = id_type_of(ds, id_col)
     pair_schema = pa.schema(
         [
             pa.field("id_a", id_type),

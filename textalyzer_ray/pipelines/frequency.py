@@ -316,7 +316,9 @@ def tfidf_top_terms(
     from textalyzer_ray.stages.tokenize import exploded_tokens
 
     n_docs = ds.count()
-    id_type = ds.schema().base_schema.field(id_col).type
+    from textalyzer_ray.stages.groups import id_type_of
+
+    id_type = id_type_of(ds, id_col)
     tf_schema = pa.schema(
         [
             pa.field(id_col, id_type),

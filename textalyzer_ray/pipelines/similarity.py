@@ -189,7 +189,9 @@ def cosine_pairs_exact(
         # ~4096 vectors per side per group bounds the per-group matmul
         n_buckets = max(2, -(-2 * n // 4096))
     nb = n_buckets
-    id_type = ds.schema().base_schema.field(id_col).type
+    from textalyzer_ray.stages.groups import id_type_of
+
+    id_type = id_type_of(ds, id_col)
     pair_schema = pa.schema(
         [
             pa.field("id_a", id_type),
@@ -286,7 +288,9 @@ def knn_self_join(
     if n_buckets is None:
         n_buckets = max(2, -(-2 * n // 4096))
     nb = n_buckets
-    id_type = ds.schema().base_schema.field(id_col).type
+    from textalyzer_ray.stages.groups import id_type_of
+
+    id_type = id_type_of(ds, id_col)
     cand_schema = pa.schema(
         [
             pa.field(id_col, id_type),
@@ -453,7 +457,9 @@ def embedding_near_dup_pairs(
         lambda t: IvfAssigner(cref, emb_col=emb_col, n_assign=n_assign)(t),
         batch_format="pyarrow",
     )
-    id_type = ds.schema().base_schema.field(id_col).type
+    from textalyzer_ray.stages.groups import id_type_of
+
+    id_type = id_type_of(ds, id_col)
     pair_schema = pa.schema(
         [
             pa.field("id_a", id_type),

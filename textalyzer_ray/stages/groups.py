@@ -188,3 +188,11 @@ def grouped_apply(
     pipe = ds.repartition(num_partitions, keys=list(keys))
     pipe.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     return pipe.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def id_type_of(ds, col: str) -> "pa.DataType":
+    """Arrow type of ``col`` with an int64 fallback: Dataset.schema()
+    is None for lazy-empty lineages (filter stages emit schema-less
+    empty tables), and every id column in this repo is int64."""
+    sch = ds.schema()
+    return sch.base_schema.field(col).type if sch is not None else pa.int64()
