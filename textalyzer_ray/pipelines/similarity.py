@@ -7,7 +7,12 @@
 - ``ivf_topk``: IVF approximation — deterministic centroids from a
   sample, assign cells (actor pool), probe the closest cells only.
 - ``embedding_near_dup_pairs``: cosine >= threshold pairs within IVF
-  cells (embedding-space near-duplicate detection).
+  cells (embedding-space near-duplicate detection, multi-assignment).
+- ``cosine_pairs_exact`` / ``knn_self_join``: EXACT all-pairs threshold
+  pairs and the exact top-k neighbor graph via triangle partitioning
+  (_triangle_replicate) — each bucket-pair group computes one block of
+  the similarity matrix; every pair scored exactly once; the oracles
+  for the approximate paths.
 """
 
 from __future__ import annotations
