@@ -894,6 +894,31 @@ def _q_compression_ratio(sf_dir: str):
     return compression_ratio(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 25 == 0 play the
+    eval set; training docs sharing any token 5-gram with them are
+    dropped (string-exact, hash-free)."""
+    import pyarrow as pa
+
+    from textalyzer_ray.pipelines.curation import decontaminate
+    from textalyzer_ray.sources.tables import read_table
+
+    def eval_slice(t):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 25 == 0))
+
+    def train_slice(t):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 25 != 0))
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ev = docs.map_batches(eval_slice, batch_format="pyarrow")
+    tr = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        train_slice, batch_format="pyarrow"
+    )
+    return decontaminate(tr, ev, n=5)
+
+
 def _q_mixture_sample(sf_dir: str):
     """Source-weighted mixture: even-numbered sources kept at 25%,
     odd at 100%."""
@@ -1216,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shards": _q_token_shards,
         "mixture_sample": _q_mixture_sample,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "decontaminate": _q_decontaminate,
         "compression_ratio": _q_compression_ratio,
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
@@ -1516,6 +1542,19 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": gopher_sql,
         "jsonl_roundtrip": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
+        ),
+        "decontaminate": (
+            "WITH tok AS (SELECT doc_id, list_filter("
+            f"regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'), "
+            "x -> x <> '') AS ws FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(ws[i : i+4], ' ') AS gram "
+            "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-4)) "
+            "AS i FROM tok WHERE len(ws) >= 5)), "
+            "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0), "
+            "bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) "
+            "WHERE g.doc_id % 25 <> 0) "
+            "SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0 "
+            "AND doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"
         ),
         "mixture_sample": (
             "SELECT doc_id, source FROM documents WHERE "

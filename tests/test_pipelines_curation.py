@@ -404,3 +404,54 @@ class TestEmptyInputs:
         e = self._empty_docs().drop_columns(["source"])
         top, cert = approx_top_words(e, k=5)
         assert top.count() == 0 and cert is True
+
+
+class TestDecontaminate:
+    def test_overlap_dropped_exactly(self):
+        from textalyzer_ray.pipelines.curation import decontaminate
+
+        eval_ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([100], pa.int64()),
+                    "text": ["alpha beta gamma delta epsilon zeta"],
+                }
+            )
+        )
+        train = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": [
+                        # shares the 5-gram "beta gamma delta epsilon zeta"
+                        "intro beta gamma delta epsilon zeta outro",
+                        # shares only a 4-gram -> clean at n=5
+                        "beta gamma delta epsilon other words here",
+                        "completely unrelated text with no overlap at all",
+                    ],
+                }
+            )
+        )
+        got = [r["doc_id"] for r in decontaminate(train, eval_ds, n=5).take_all()]
+        assert got == [1, 2]
+
+    def test_no_eval_overlap_keeps_all(self):
+        from textalyzer_ray.pipelines.curation import decontaminate
+
+        eval_ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([9], pa.int64()),
+                    "text": ["qq ww ee rr tt yy"],
+                }
+            )
+        )
+        train = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": ["aa bb cc dd ee ff", "gg hh ii jj kk ll"],
+                }
+            )
+        )
+        assert decontaminate(train, eval_ds, n=5).count() == 2

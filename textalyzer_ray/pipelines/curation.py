@@ -409,6 +409,119 @@ def token_shard_assignment(
     ).sort(id_col)
 
 
+def _ngram_explode(n: int, id_col: str, text_col: str):
+    """map_batches fn: (id, text) -> (id, gram) — one row per token
+    n-gram occurrence (reference tokenization), vectorized via polars
+    shifted-column concat (the bigram pattern generalized)."""
+    import polars as pl
+
+    from textalyzer_ray.stages.tokenize import exploded_tokens
+
+    out_schema = pa.schema(
+        [pa.field(id_col, pa.int64()), pa.field("gram", pa.string())]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        pairs = exploded_tokens(t, id_col, text_col)
+        if pairs.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(pairs)
+        cols = [pl.col("word")] + [
+            pl.col("word").shift(-i).over(id_col) for i in range(1, n)
+        ]
+        df = (
+            df.with_columns(
+                pl.concat_str(cols, separator=" ", ignore_nulls=False)
+                .alias("gram")
+            )
+            .drop_nulls("gram")
+            .select([id_col, "gram"])
+        )
+        return df.to_arrow().cast(out_schema)
+
+    return explode
+
+
+def decontaminate(
+    train: Dataset,
+    eval_ds: Dataset,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Benchmark decontamination: drop every training document sharing
+    at least one token ``n``-gram with the evaluation corpus (the
+    GPT-3/PaLM-style overlap rule). Returns the CLEAN (id, text) rows
+    sorted by id.
+
+    Comparison is on the ACTUAL n-gram strings (no hashes), so the
+    decision is bit-exact against the SQL oracle — a hash collision can
+    never drop a clean document. Scale shape: eval sets are small by
+    nature, so their distinct n-grams are collected once and broadcast
+    (``ray.put`` + per-worker cache, the filter_to_keys pattern); each
+    training batch explodes to n-grams and semi-joins locally — the
+    only corpus-wide data movement is the contaminated id list. For an
+    eval side too big to broadcast, swap the semi-join for a bucketed
+    join on the gram."""
+    import pyarrow.compute as pc
+    import ray
+
+    from textalyzer_ray.stages.groups import (
+        _worker_object_cache,
+        filter_to_keys,
+        key_counts,
+    )
+
+    explode = _ngram_explode(n, id_col, text_col)
+    eval_grams = (
+        key_counts(
+            eval_ds.select_columns([id_col, text_col]).map_batches(
+                explode, batch_format="pyarrow"
+            ),
+            ["gram"],
+        )
+        .select_columns(["gram"])
+        .take_all()
+    )
+    gram_table = pa.table(
+        {"gram": pa.array([r["gram"] for r in eval_grams], pa.string())}
+    )
+    gref = ray.put(gram_table)
+
+    train_grams = train.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    contaminated = (
+        key_counts(
+            filter_to_keys(train_grams, ["gram"], gref),
+            [id_col],
+        )
+        .select_columns([id_col])
+        .take_all()
+    )
+    bad_ids = pa.table(
+        {id_col: pa.array([r[id_col] for r in contaminated], pa.int64())}
+    )
+    bref = ray.put(bad_ids)
+
+    def drop_bad(t: pa.Table) -> pa.Table:
+        cache = _worker_object_cache()
+        key = bref.hex() if hasattr(bref, "hex") else str(bref)
+        bad = cache.get(key)
+        if bad is None:
+            bad = cache[key] = ray.get(bref)[id_col]
+        mask = pc.invert(
+            pc.is_in(t[id_col], value_set=bad.combine_chunks().cast(t[id_col].type))
+        )
+        return t.filter(mask)
+
+    return (
+        train.select_columns([id_col, text_col])
+        .map_batches(drop_bad, batch_format="pyarrow")
+        .sort(id_col)
+    )
+
+
 def curation_funnel(
     ds: Dataset,
     explode_fn,
