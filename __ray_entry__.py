@@ -894,6 +894,36 @@ def _q_compression_ratio(sf_dir: str):
     return compression_ratio(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def _q_scrub_pii(sf_dir: str):
+    """PII redaction over docs with planted contact lines (synthesized
+    identically on both sides from doc_id, like url_dedup): emails and
+    phone runs become placeholders; per-doc counts audited."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from textalyzer_ray.pipelines.curation import scrub_pii
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        tail = pc.utf8_lpad(
+            pc.cast(pc.bit_wise_and(t["doc_id"], 8191), pa.string()), 4, "0"
+        )
+        txt = pc.binary_join_element_wise(
+            t["text"],
+            " contact user",
+            ids,
+            "@example.com or call 555-000-",
+            tail,
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    planted = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return scrub_pii(planted)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 25 == 0 play the
     eval set; training docs sharing any token 5-gram with them are
@@ -1242,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "decontaminate": _q_decontaminate,
+        "scrub_pii": _q_scrub_pii,
         "compression_ratio": _q_compression_ratio,
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
@@ -1266,6 +1297,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from textalyzer_ray.pipelines.curation import (
+        PII_EMAIL_RE as _PII_EMAIL,
+        PII_PHONE_RE as _PII_PHONE,
+    )
+
     tokens_cte = (
         "SELECT doc_id, word FROM (SELECT doc_id, "
         f"unnest(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}')) AS word "
@@ -1542,6 +1578,22 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": gopher_sql,
         "jsonl_roundtrip": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
+        ),
+        "scrub_pii": (
+            "WITH p AS (SELECT doc_id, text || ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@example.com or call 555-000-' || "
+            "lpad(CAST(doc_id % 8192 AS VARCHAR), 4, '0') AS text "
+            "FROM documents), "
+            "s1 AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '" + _PII_EMAIL + "')) AS BIGINT) "
+            "AS n_emails, "
+            "regexp_replace(text, '" + _PII_EMAIL + "', '<EMAIL>', 'g') AS t1 "
+            "FROM p) "
+            "SELECT doc_id, "
+            "regexp_replace(t1, '" + _PII_PHONE + "', '<PHONE>', 'g') AS text, "
+            "n_emails, "
+            "CAST(len(regexp_extract_all(t1, '" + _PII_PHONE + "')) AS BIGINT) "
+            "AS n_phones FROM s1 ORDER BY doc_id"
         ),
         "decontaminate": (
             "WITH tok AS (SELECT doc_id, list_filter("

@@ -455,3 +455,28 @@ class TestDecontaminate:
             )
         )
         assert decontaminate(train, eval_ds, n=5).count() == 2
+
+
+class TestScrubPii:
+    def test_redaction_and_counts(self):
+        from textalyzer_ray.pipelines.curation import scrub_pii
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": [
+                        "mail j.doe+x@ex-a.co.uk and a@b.io now",
+                        "call +1 (555) 123-4567 ok",
+                        "nothing sensitive",
+                    ],
+                }
+            )
+        )
+        rows = scrub_pii(ds).take_all()
+        assert rows[0]["text"] == "mail <EMAIL> and <EMAIL> now"
+        assert rows[0]["n_emails"] == 2 and rows[0]["n_phones"] == 0
+        assert rows[1]["text"] == "call <PHONE> ok"
+        assert rows[1]["n_phones"] == 1
+        assert rows[2]["text"] == "nothing sensitive"
+        assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0

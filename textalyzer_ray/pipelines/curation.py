@@ -522,6 +522,43 @@ def decontaminate(
     )
 
 
+# RE2-only redaction patterns (no lookahead/backrefs) shared verbatim
+# with the SQL oracle: Arrow's replace_substring_regex and DuckDB's
+# regexp_replace(..., 'g') both run RE2, so redactions are bit-equal.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\-\. ]{6,}[0-9]"
+
+
+def scrub_pii(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Redact emails and phone-shaped digit runs to <EMAIL> / <PHONE>
+    placeholders — the standard pre-training PII scrub pass. One
+    vectorized RE2 substitution chain per batch, no shuffle; also
+    returns per-doc redaction counts (n_emails, n_phones BIGINT) so a
+    pipeline can audit scrub volume without a second pass."""
+    import pyarrow.compute as pc
+
+    def scrub(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        n_e = pc.count_substring_regex(txt, PII_EMAIL_RE)
+        step1 = pc.replace_substring_regex(txt, PII_EMAIL_RE, "<EMAIL>")
+        n_p = pc.count_substring_regex(step1, PII_PHONE_RE)
+        out = pc.replace_substring_regex(step1, PII_PHONE_RE, "<PHONE>")
+        return pa.table(
+            {
+                id_col: t[id_col],
+                text_col: out,
+                "n_emails": pc.cast(n_e, pa.int64()),
+                "n_phones": pc.cast(n_p, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow").sort(id_col)
+
+
 def curation_funnel(
     ds: Dataset,
     explode_fn,
