@@ -253,13 +253,39 @@ def _q_extract_text(sf_dir: str):
     return extracted.select_columns(["doc_id", "text"]).sort("doc_id")
 
 
+def _cached_shard_dir(sf_dir: str, kind: str, n_shards: int, build):
+    """Deterministic on-disk shard cache. The key covers the input
+    parquet's identity (path + mtime + size), so regenerated testdata
+    invalidates the cache; the shards are built into a temp dir and
+    atomically renamed into place, so a killed build can never leave a
+    truncated directory that passes the completeness check."""
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    final = f"/tmp/textalyzer_{kind}_{tag}"
+    if os.path.isdir(final) and len(os.listdir(final)) == n_shards:
+        return final
+    tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    build(tmp, src, n_shards)
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+    return final
+
+
 def _q_warc_extract(sf_dir: str):
     """Common-Crawl-shaped ingestion: documents -> WARC response shards
     on disk (deterministic, cached per sf_dir) -> read_warc ->
     main-content extraction -> (doc_id, text) byte-identical to the
     source. Exercises the length-prefix WARC parser + the extractor
     over the on-disk container format the north rule names."""
-    import hashlib
     import os
 
     import pyarrow as pa
@@ -269,38 +295,25 @@ def _q_warc_extract(sf_dir: str):
     from textalyzer_ray.sources.warc import read_warc, write_warc_file
     from textalyzer_ray.sources.webgen import pages_from_documents
 
-    # cache key covers the INPUT parquet's identity (path + mtime +
-    # size), so regenerated testdata under the same path invalidates
-    # the shards instead of silently reusing stale pages
-    src = f"{sf_dir}/documents.parquet"
-    st = os.stat(src)
-    tag = hashlib.sha1(
-        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:12]
-    shard_dir = f"/tmp/textalyzer_warc_{tag}"
-    n_shards = 4
-    if not os.path.isdir(shard_dir) or len(os.listdir(shard_dir)) != n_shards:
-        os.makedirs(shard_dir, exist_ok=True)
-        for f in os.listdir(shard_dir):
-            os.unlink(os.path.join(shard_dir, f))
+    def build(tmp_dir, src, n_shards):
         import pyarrow.parquet as pq
 
-        docs = pq.read_table(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-        )
+        docs = pq.read_table(src, columns=["doc_id", "text", "lang"])
         pages = pages_from_documents(docs)
         urls = pages["url"].to_pylist()
         tss = pages["warc_ts"].combine_chunks().cast(pa.int64()).to_pylist()
         htmls = pages["html"].to_pylist()
         for s in range(n_shards):
             write_warc_file(
-                os.path.join(shard_dir, f"part-{s}.warc"),
+                os.path.join(tmp_dir, f"part-{s}.warc"),
                 [
                     (u, t, h)
                     for i, (u, t, h) in enumerate(zip(urls, tss, htmls))
                     if i % n_shards == s
                 ],
             )
+
+    shard_dir = _cached_shard_dir(sf_dir, "warc", 4, build)
     pages_ds = read_warc(shard_dir)
     extracted = extract_pages(pages_ds)
 
@@ -859,31 +872,20 @@ def _q_parts_by_supplier_nation(sf_dir: str):
 
 def _q_jsonl_roundtrip(sf_dir: str):
     """Line-delimited-JSON ingestion: documents -> .jsonl shards on
-    disk (cached on the parquet's identity) -> read_jsonl ->
-    (doc_id, text) identical to the source."""
-    import hashlib
-    import os
-
-    import pyarrow.parquet as pq
-
+    disk (cached on the parquet's identity, atomic build) ->
+    read_jsonl -> (doc_id, text) identical to the source."""
     from textalyzer_ray.sources.tables import read_jsonl, write_jsonl_shards
 
-    src = f"{sf_dir}/documents.parquet"
-    st = os.stat(src)
-    tag = hashlib.sha1(
-        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:12]
-    shard_dir = f"/tmp/textalyzer_jsonl_{tag}"
-    n_shards = 4
-    if not os.path.isdir(shard_dir) or len(os.listdir(shard_dir)) != n_shards:
-        os.makedirs(shard_dir, exist_ok=True)
-        for f in os.listdir(shard_dir):
-            os.unlink(os.path.join(shard_dir, f))
+    def build(tmp_dir, src, n_shards):
+        import pyarrow.parquet as pq
+
         write_jsonl_shards(
-            shard_dir,
+            tmp_dir,
             pq.read_table(src, columns=["doc_id", "text"]),
             n_shards=n_shards,
         )
+
+    shard_dir = _cached_shard_dir(sf_dir, "jsonl", 4, build)
     return read_jsonl(shard_dir, columns=["doc_id", "text"]).sort("doc_id")
 
 

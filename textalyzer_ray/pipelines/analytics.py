@@ -260,12 +260,12 @@ def column_quantiles(
 def compression_ratio(
     ds: Dataset, id_col: str = "doc_id", text_col: str = "text", level: int = 6
 ) -> Dataset:
-    """(doc_id, n_bytes, n_compressed, ratio_pct): per-document zlib
+    """(doc_id, n_bytes, n_compressed, ratio_bp): per-document zlib
     compression ratio — the classic cheap redundancy/quality signal
     (highly repetitive or templated text compresses far below prose;
     C4/Gopher-era pipelines threshold on it). Per-row zlib is inherent
     (no vectorized kernel exists), so this runs as plain task-pool
-    batches; ratio_pct is integer basis points *100 so the column stays
+    batches; ratio_bp is integer basis points so the column stays
     BIGINT (floats only in rows-only queries — driver contract)."""
     import zlib
 

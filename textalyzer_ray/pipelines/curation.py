@@ -152,14 +152,18 @@ def mixture_sample(
         }
     )
     default_thr = int(default_weight * _M32)
-    in_schema = None
 
     def keep(t: pa.Table) -> pa.Table:
         import numpy as np
 
         if t.num_rows == 0:
             return t
-        df = pl.from_arrow(t).join(wt, on=source_col, how="left")
+        # maintain_order="left" is REQUIRED: the joined _thr column is
+        # zipped positionally against ids from the pre-join table, and
+        # polars does not otherwise guarantee left row order
+        df = pl.from_arrow(t).join(
+            wt, on=source_col, how="left", maintain_order="left"
+        )
         thr = df["_thr"].fill_null(default_thr).to_numpy()
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = ((ids & (_M32 - 1)) * _MIX_MULT) & (_M32 - 1)
@@ -191,10 +195,9 @@ def dedup_against(
     from textalyzer_ray.stages.dedup import add_content_hash
     from textalyzer_ray.stages.groups import grouped_apply
 
-    sch = ds.schema()
-    id_type = (
-        sch.base_schema.field(id_col).type if sch is not None else pa.int64()
-    )
+    from textalyzer_ray.stages.groups import id_type_of
+
+    id_type = id_type_of(ds, id_col)
     out_schema = pa.schema(
         [pa.field(id_col, id_type), pa.field(text_col, pa.string())]
     )
@@ -499,8 +502,14 @@ def decontaminate(
         .select_columns([id_col])
         .take_all()
     )
+    from textalyzer_ray.stages.groups import id_type_of
+
     bad_ids = pa.table(
-        {id_col: pa.array([r[id_col] for r in contaminated], pa.int64())}
+        {
+            id_col: pa.array(
+                [r[id_col] for r in contaminated], id_type_of(train, id_col)
+            )
+        }
     )
     bref = ray.put(bad_ids)
 

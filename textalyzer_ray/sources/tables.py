@@ -104,7 +104,10 @@ def write_jsonl_shards(
     cols = table.column_names
     rows = [dict(zip(cols, r)) for r in zip(*(table[c].to_pylist() for c in cols))]
     files = [
-        open(os.path.join(out_dir, f"part-{s}.jsonl"), "w") for s in range(n_shards)
+        open(
+            os.path.join(out_dir, f"part-{s}.jsonl"), "w", encoding="utf-8"
+        )
+        for s in range(n_shards)
     ]
     try:
         for i, r in enumerate(rows):
