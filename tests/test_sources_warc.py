@@ -80,3 +80,30 @@ def test_read_warc_extraction_byte_identity(tmp_path):
     for r in rows:
         did = int(r["url"].rsplit("/", 1)[1])
         assert r["text"] == orig[did]
+
+
+def test_write_warc_shards_roundtrip(tmp_path):
+    import ray.data as rd
+
+    from textalyzer_ray.sources.warc import write_warc_shards
+    from textalyzer_ray.sources.webgen import pages_from_documents
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    pages = pages_from_documents(docs).select(["url", "warc_ts", "html"])
+    ds = rd.from_arrow(pages).repartition(3)
+    out = str(tmp_path / "rewritten")
+    n = write_warc_shards(ds, out)
+    assert n == docs.num_rows
+    back = read_warc(out)
+    got = {r["url"]: r["html"] for r in back.take_all()}
+    exp = dict(zip(pages["url"].to_pylist(), pages["html"].to_pylist()))
+    assert got == exp
+    # idempotence: same pipeline -> same shard names, no accumulation
+    import os
+
+    before = sorted(os.listdir(out))
+    assert write_warc_shards(rd.from_arrow(pages).repartition(3), out) == n
+    assert sorted(os.listdir(out)) == before

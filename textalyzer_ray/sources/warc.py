@@ -175,3 +175,43 @@ def read_warc(paths: str | list[str]):
         return pa.concat_tables(tables)
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def write_warc_shards(ds, out_dir: str) -> int:
+    """Distributed WARC sink: each BLOCK of a (url, warc_ts, html)
+    Dataset becomes one .warc shard written by its own task (the
+    re-packaging side of crawl processing: filter/scrub -> rewrite).
+    Shard names derive from the block content (sha1 of the first url +
+    row count), so re-running the same pipeline overwrites the same
+    shards instead of accumulating duplicates — the same idempotence
+    contract as the parquet sink. Returns the total record count via a
+    tiny per-block manifest (one row per shard to the driver)."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_schema = pa.schema(
+        [pa.field("path", pa.string()), pa.field("n_records", pa.int64())]
+    )
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return manifest_schema.empty_table()
+        first = t["url"][0].as_py()
+        tag = hashlib.sha1(f"{first}:{t.num_rows}".encode()).hexdigest()[:12]
+        path = os.path.join(out_dir, f"shard-{tag}.warc")
+        tss = t["warc_ts"].combine_chunks().cast(pa.int64()).to_pylist()
+        n = write_warc_file(
+            path,
+            zip(t["url"].to_pylist(), tss, t["html"].to_pylist()),
+        )
+        return pa.table(
+            {"path": [path], "n_records": pa.array([n], pa.int64())}
+        )
+
+    rows = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    return sum(r["n_records"] for r in rows)
