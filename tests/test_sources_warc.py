@@ -107,3 +107,28 @@ def test_write_warc_shards_roundtrip(tmp_path):
     before = sorted(os.listdir(out))
     assert write_warc_shards(rd.from_arrow(pages).repartition(3), out) == n
     assert sorted(os.listdir(out)) == before
+
+
+def test_read_warc_gz_member_per_record(tmp_path):
+    """Common Crawl layout: each WARC record its own gzip member."""
+    import gzip
+
+    from textalyzer_ray.sources.warc import write_warc_file
+
+    plain = str(tmp_path / "src.warc")
+    recs = [
+        ("https://g.example/1", 0, b"<html>one</html>"),
+        ("https://g.example/2", 1_000_000, b"<html>two</html>"),
+    ]
+    write_warc_file(plain, recs)
+    data = open(plain, "rb").read()
+    assert parse_warc_bytes(data).num_rows == 2  # sanity
+    # two concatenated gzip members (split at an arbitrary byte — the
+    # reader must treat the stream as one logical file)
+    mid = len(data) // 2
+    gz = gzip.compress(data[:mid]) + gzip.compress(data[mid:])
+    gz_path = str(tmp_path / "cc.warc.gz")
+    open(gz_path, "wb").write(gz)
+    ds = read_warc(str(tmp_path / "cc.warc.gz"))
+    rows = {r["url"]: r["html"] for r in ds.take_all()}
+    assert rows == {u: h for u, _, h in recs}

@@ -159,17 +159,41 @@ def parse_warc_bytes(data: bytes) -> pa.Table:
     )
 
 
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a gzip stream of CONCATENATED MEMBERS (Common Crawl
+    compresses each WARC record as its own gzip member so records are
+    independently seekable); plain single-member gzip decompresses the
+    same way."""
+    import zlib
+
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+        out.append(d.decompress(data))
+        data = d.unused_data
+        if not d.eof:
+            break  # truncated member: keep what decoded
+    return b"".join(out)
+
+
 def read_warc(paths: str | list[str]):
-    """Directory or file list of .warc shards -> Dataset
+    """Directory or file list of .warc / .warc.gz shards -> Dataset
     (url, warc_ts, html). One parse task per shard; shards are the
     parallelism unit, so feed one shard per ~block-size of pages (as
-    Common Crawl does) rather than one giant file."""
+    Common Crawl does) rather than one giant file. Gzipped shards
+    (1f 8b magic) are decompressed transparently, including the
+    member-per-record layout Common Crawl uses."""
     import ray.data as rd
 
-    ds = rd.read_binary_files(paths, file_extensions=["warc"])
+    ds = rd.read_binary_files(paths, file_extensions=["warc", "gz"])
 
     def parse(batch: pa.Table) -> pa.Table:
-        tables = [parse_warc_bytes(b.as_py()) for b in batch["bytes"]]
+        tables = []
+        for b in batch["bytes"]:
+            data = b.as_py()
+            if data[:2] == b"\x1f\x8b":
+                data = _gunzip_members(data)
+            tables.append(parse_warc_bytes(data))
         if not tables:
             return WARC_SCHEMA.empty_table()
         return pa.concat_tables(tables)
