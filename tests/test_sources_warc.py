@@ -132,3 +132,60 @@ def test_read_warc_gz_member_per_record(tmp_path):
     ds = read_warc(str(tmp_path / "cc.warc.gz"))
     rows = {r["url"]: r["html"] for r in ds.take_all()}
     assert rows == {u: h for u, _, h in recs}
+
+
+def test_sink_durability_contract(tmp_path):
+    """Collision-free names with duplicate URLs, stale-shard sweep on
+    rerun with different partitioning, null tolerance."""
+    import os
+
+    import ray.data as rd
+
+    from textalyzer_ray.sources.warc import write_warc_shards
+
+    t = pa.table(
+        {
+            "url": ["https://d/x"] * 6,  # duplicate urls everywhere
+            "warc_ts": pa.array([None, 1, 2, 3, 4, 5], pa.timestamp("us")),
+            "html": [b"a", b"bb", b"ccc", b"d", b"ee", None],
+        }
+    )
+    out = str(tmp_path / "sink")
+    n = write_warc_shards(rd.from_arrow(t).repartition(3), out)
+    assert n == 6
+    rows = read_warc(out).take_all()
+    assert len(rows) == 6  # no shard-name collision lost records
+    # rerun with DIFFERENT block boundaries: no stale accumulation
+    assert write_warc_shards(rd.from_arrow(t).repartition(2), out) == 6
+    assert read_warc(out).count() == 6
+    assert not [f for f in os.listdir(out) if ".tmp-" in f]
+
+
+def test_gz_trailing_junk_salvage(tmp_path):
+    import gzip
+
+    from textalyzer_ray.sources.warc import write_warc_file
+
+    p = str(tmp_path / "s.warc")
+    write_warc_file(p, [("https://j/1", 0, b"ok1"), ("https://j/2", 0, b"ok2")])
+    data = open(p, "rb").read()
+    gz = gzip.compress(data) + b"\x00" * 64  # zero padding after last member
+    open(str(tmp_path / "s.warc.gz"), "wb").write(gz)
+    os_path = str(tmp_path / "s.warc.gz")
+    t = read_warc(os_path).take_all()
+    assert [r["url"] for r in t] == ["https://j/1", "https://j/2"]
+
+
+def test_gz_extension_filter(tmp_path):
+    import gzip
+    import json
+
+    from textalyzer_ray.sources.warc import write_warc_file
+
+    sub = tmp_path / "mixed"
+    sub.mkdir()
+    write_warc_file(str(sub / "a.warc"), [("https://m/1", 0, b"x")])
+    # decoy non-WARC gz must not be swallowed
+    (sub / "logs.json.gz").write_bytes(gzip.compress(json.dumps({"a": 1}).encode()))
+    rows = read_warc(str(sub)).take_all()
+    assert [r["url"] for r in rows] == ["https://m/1"]

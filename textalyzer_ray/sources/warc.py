@@ -162,14 +162,25 @@ def parse_warc_bytes(data: bytes) -> pa.Table:
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress a gzip stream of CONCATENATED MEMBERS (Common Crawl
     compresses each WARC record as its own gzip member so records are
-    independently seekable); plain single-member gzip decompresses the
-    same way."""
+    independently seekable). Fast path: stdlib gzip.decompress, which
+    is multi-member-aware and linear-time. Damaged streams (truncated
+    member, junk between/after members) fall back to a member-by-member
+    salvage loop that keeps everything that decoded — matching
+    parse_warc_bytes's tolerate-trailing-damage design."""
+    import gzip
     import zlib
 
+    try:
+        return gzip.decompress(data)
+    except (EOFError, zlib.error, gzip.BadGzipFile):
+        pass
     out = []
     while data:
         d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
-        out.append(d.decompress(data))
+        try:
+            out.append(d.decompress(data))
+        except zlib.error:
+            break  # junk where a member should start: keep what decoded
         data = d.unused_data
         if not d.eof:
             break  # truncated member: keep what decoded
@@ -178,19 +189,45 @@ def _gunzip_members(data: bytes) -> bytes:
 
 def read_warc(paths: str | list[str]):
     """Directory or file list of .warc / .warc.gz shards -> Dataset
-    (url, warc_ts, html). One parse task per shard; shards are the
-    parallelism unit, so feed one shard per ~block-size of pages (as
-    Common Crawl does) rather than one giant file. Gzipped shards
-    (1f 8b magic) are decompressed transparently, including the
-    member-per-record layout Common Crawl uses."""
+    (url, warc_ts, html). The file LIST is built on the driver (cheap —
+    one string per shard) and each shard's bytes are read and parsed by
+    its own task, so shards are the parallelism unit exactly as in
+    Common Crawl processing.
+
+    The ".warc.gz" suffix filter (not bare ".gz") keeps metadata like
+    logs.json.gz out of the corpus; a dir holding both foo.warc and
+    foo.warc.gz reads both — keep one form per directory. Gzip
+    decompression is done by _gunzip_members, NOT Arrow's extension
+    inference, so damaged streams (trailing junk, truncated members)
+    salvage what decoded instead of crashing the task. Reads are plain
+    POSIX opens; for an object store, swap the open for an
+    fsspec/pyarrow-fs handle in the task."""
+    import os
+
     import ray.data as rd
 
-    ds = rd.read_binary_files(paths, file_extensions=["warc", "gz"])
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, fs in os.walk(p):
+                files.extend(
+                    os.path.join(root, f)
+                    for f in sorted(fs)
+                    if f.endswith(".warc") or f.endswith(".warc.gz")
+                )
+        else:
+            files.append(p)
+    files.sort()
+    if not files:
+        return rd.from_arrow(WARC_SCHEMA.empty_table())
 
     def parse(batch: pa.Table) -> pa.Table:
         tables = []
-        for b in batch["bytes"]:
-            data = b.as_py()
+        for p in batch["item"].to_pylist():
+            with open(p, "rb") as f:
+                data = f.read()
             if data[:2] == b"\x1f\x8b":
                 data = _gunzip_members(data)
             tables.append(parse_warc_bytes(data))
@@ -198,24 +235,46 @@ def read_warc(paths: str | list[str]):
             return WARC_SCHEMA.empty_table()
         return pa.concat_tables(tables)
 
-    return ds.map_batches(parse, batch_format="pyarrow")
+    return (
+        rd.from_items(files, override_num_blocks=len(files))
+        .map_batches(parse, batch_format="pyarrow")
+    )
 
 
-def write_warc_shards(ds, out_dir: str) -> int:
+def write_warc_shards(ds, out_dir: str, clean: bool = True) -> int:
     """Distributed WARC sink: each BLOCK of a (url, warc_ts, html)
     Dataset becomes one .warc shard written by its own task (the
     re-packaging side of crawl processing: filter/scrub -> rewrite).
-    Shard names derive from the block content (sha1 of the first url +
-    row count), so re-running the same pipeline overwrites the same
-    shards instead of accumulating duplicates — the same idempotence
-    contract as the parquet sink. Returns the total record count via a
-    tiny per-block manifest (one row per shard to the driver)."""
+
+    Durability contract:
+    - shard names derive from the FULL record content of the block
+      (sha1 over every url + every html length), so distinct blocks
+      cannot collide on a path even with duplicate URLs, and the same
+      logical block always lands on the same name;
+    - each shard is written to a ``.tmp-`` name and atomically renamed
+      (a killed task can never leave a truncated shard at a final
+      name — the same contract as state/manifest.py's parquet sink);
+    - ``clean=True`` (default) sweeps pre-existing ``shard-*.warc`` and
+      leaked ``*.tmp-*`` from ``out_dir`` first, so a rerun with
+      different block boundaries cannot leave stale shards that a
+      recursive ``read_warc`` would double-count.
+
+    Null tolerance: a null warc_ts writes as epoch 0 and a null url as
+    the empty string (both legal per WARC_SCHEMA's nullable fields)
+    rather than crashing the task. Returns the total record count via a
+    one-row-per-shard manifest."""
     import hashlib
     import os
+    import uuid
 
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     os.makedirs(out_dir, exist_ok=True)
+    if clean:
+        for f in os.listdir(out_dir):
+            if (f.startswith("shard-") and f.endswith(".warc")) or ".tmp-" in f:
+                os.unlink(os.path.join(out_dir, f))
     manifest_schema = pa.schema(
         [pa.field("path", pa.string()), pa.field("n_records", pa.int64())]
     )
@@ -223,14 +282,19 @@ def write_warc_shards(ds, out_dir: str) -> int:
     def write_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return manifest_schema.empty_table()
-        first = t["url"][0].as_py()
-        tag = hashlib.sha1(f"{first}:{t.num_rows}".encode()).hexdigest()[:12]
-        path = os.path.join(out_dir, f"shard-{tag}.warc")
-        tss = t["warc_ts"].combine_chunks().cast(pa.int64()).to_pylist()
-        n = write_warc_file(
-            path,
-            zip(t["url"].to_pylist(), tss, t["html"].to_pylist()),
-        )
+        urls = pc.fill_null(t["url"], "").to_pylist()
+        tss = pc.fill_null(
+            t["warc_ts"].combine_chunks().cast(pa.int64()), 0
+        ).to_pylist()
+        htmls = [h if h is not None else b"" for h in t["html"].to_pylist()]
+        h = hashlib.sha1()
+        for u, b in zip(urls, htmls):
+            h.update(u.encode())
+            h.update(len(b).to_bytes(8, "little"))
+        path = os.path.join(out_dir, f"shard-{h.hexdigest()[:16]}.warc")
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        n = write_warc_file(tmp, zip(urls, tss, htmls))
+        os.replace(tmp, path)
         return pa.table(
             {"path": [path], "n_records": pa.array([n], pa.int64())}
         )
