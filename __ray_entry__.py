@@ -896,6 +896,32 @@ def _q_compression_ratio(sf_dir: str):
     return compression_ratio(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def _q_purchase_view_range_join(sf_dir: str):
+    """Banded range join: all views by the same user within the hour
+    before each purchase (attribution-window shape)."""
+    import pyarrow.compute as pc
+
+    from textalyzer_ray.pipelines.joins import range_join_by_key
+    from textalyzer_ray.sources.tables import read_table
+
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+        batch_format="pyarrow",
+    )
+    views = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "view")),
+        batch_format="pyarrow",
+    )
+    return range_join_by_key(
+        purchases, views, key="user_id", lower_s=3600, upper_s=0
+    )
+
+
 def _q_scrub_pii(sf_dir: str):
     """PII redaction over docs with planted contact lines (synthesized
     identically on both sides from doc_id, like url_dedup): emails and
@@ -1275,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "decontaminate": _q_decontaminate,
         "scrub_pii": _q_scrub_pii,
+        "purchase_view_range_join": _q_purchase_view_range_join,
         "compression_ratio": _q_compression_ratio,
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
@@ -1580,6 +1607,13 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": gopher_sql,
         "jsonl_roundtrip": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
+        ),
+        "purchase_view_range_join": (
+            "SELECT p.event_id, v.event_id AS event_id_right "
+            "FROM events p JOIN events v ON p.user_id = v.user_id "
+            "AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts "
+            "WHERE p.event_type = 'purchase' AND v.event_type = 'view' "
+            "ORDER BY p.event_id, event_id_right"
         ),
         "scrub_pii": (
             "WITH p AS (SELECT doc_id, text || ' contact user' || "

@@ -232,3 +232,45 @@ class TestColumnQuantiles:
         ds = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
         t = column_quantiles(ds, "x", [0.5])
         assert t.num_rows == 0
+
+
+class TestRangeJoin:
+    def test_band_semantics(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.joins import range_join_by_key
+
+        US = 1_000_000
+
+        def evs(rows):
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "ts": pa.array(
+                            [r[1] * US for r in rows], pa.timestamp("us")
+                        ),
+                        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    }
+                )
+            )
+
+        left = evs([(1, 100, 7), (2, 500, 7), (3, 100, 8)])
+        right = evs(
+            [
+                (10, 40, 7),   # 60s before left 1 -> in band (<=60)
+                (11, 100, 7),  # same instant -> in (upper inclusive 0)
+                (12, 101, 7),  # after -> out
+                (13, 39, 7),   # 61s before -> out
+                (14, 100, 9),  # other user -> out
+                (15, 95, 8),   # user 8, 5s before left 3 -> in
+            ]
+        )
+        got = [
+            (r["event_id"], r["event_id_right"])
+            for r in range_join_by_key(
+                left, right, key="user_id", lower_s=60, upper_s=0
+            ).take_all()
+        ]
+        assert got == [(1, 10), (1, 11), (3, 15)]

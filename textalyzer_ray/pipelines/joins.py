@@ -158,3 +158,87 @@ def asof_join_by_key(
         return out.select(names).to_arrow().cast(out_schema)
 
     return grouped_apply(both, [key], merge_block)
+
+
+def range_join_by_key(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    ts_col: str = "ts",
+    lower_s: int = 3600,
+    upper_s: int = 0,
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+) -> Dataset:
+    """Banded RANGE join: every (left, right) pair sharing ``key`` with
+    ``left.ts - lower_s <= right.ts <= left.ts + upper_s`` (defaults:
+    right events in the hour BEFORE each left event — the
+    "views leading up to each purchase" attribution shape). Returns
+    (left_id, right_id_right) pairs sorted by (left_id, right_id).
+
+    Same partitioning as the as-of join: both sides hash-align on the
+    key, and each block resolves the band with ONE vectorized polars
+    inequality join over all its keys at once — no per-group Python.
+    Output size is inherently |matching pairs|; the band bounds it
+    (each left row matches only right rows inside a fixed window).
+    Partitioning assumption: one key's rows fit one block (per-user
+    event streams; a hot key needs time-bucketed sub-splits)."""
+    import polars as pl
+    import pyarrow as pa_
+
+    from textalyzer_ray.stages.groups import grouped_apply, id_type_of
+
+    lo_us = lower_s * 1_000_000
+    hi_us = upper_s * 1_000_000
+    out_schema = pa_.schema(
+        [
+            pa_.field(left_id, id_type_of(left, left_id)),
+            pa_.field(right_id + "_right", id_type_of(right, right_id)),
+        ]
+    )
+
+    def tag(side: str, id_name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa_.table(
+                {
+                    key: t[key],
+                    "__id": t[id_name],
+                    "__ts": t[ts_col].combine_chunks().cast(pa_.int64()),
+                    "__side": pa_.array([side] * t.num_rows),
+                }
+            )
+
+        return fn
+
+    both = left.map_batches(tag("l", left_id), batch_format="pyarrow").union(
+        right.map_batches(tag("r", right_id), batch_format="pyarrow")
+    )
+
+    def band_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t)
+        l = df.filter(pl.col("__side") == "l").select(
+            [key, pl.col("__id").alias("__lid"), pl.col("__ts").alias("__lts")]
+        )
+        r = df.filter(pl.col("__side") == "r").select(
+            [key, pl.col("__id").alias("__rid"), pl.col("__ts").alias("__rts")]
+        )
+        out = (
+            l.join(r, on=key, how="inner")
+            .filter(
+                (pl.col("__rts") >= pl.col("__lts") - lo_us)
+                & (pl.col("__rts") <= pl.col("__lts") + hi_us)
+            )
+            .select(
+                [
+                    pl.col("__lid").alias(left_id),
+                    pl.col("__rid").alias(right_id + "_right"),
+                ]
+            )
+        )
+        return out.to_arrow().cast(out_schema)
+
+    return grouped_apply(both, [key], band_block).sort(
+        [left_id, right_id + "_right"]
+    )
