@@ -189,3 +189,60 @@ def test_gz_extension_filter(tmp_path):
     (sub / "logs.json.gz").write_bytes(gzip.compress(json.dumps({"a": 1}).encode()))
     rows = read_warc(str(sub)).take_all()
     assert [r["url"] for r in rows] == ["https://m/1"]
+
+
+class TestWarcFuzz:
+    def test_arbitrary_bytes_never_crash(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from textalyzer_ray.sources.warc import parse_warc_bytes
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.binary(max_size=2048))
+        def run(data):
+            t = parse_warc_bytes(data)  # must return, never raise
+            assert t.num_rows >= 0
+
+        run()
+
+    def test_arbitrary_records_roundtrip(self, tmp_path):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from textalyzer_ray.sources.warc import (
+            parse_warc_bytes,
+            write_warc_file,
+        )
+
+        # exclude CR/LF (framing) and trailing SP/HTAB (the spec's OWS
+        # trim makes those unround-trippable by design)
+        url_st = st.text(
+            alphabet=st.characters(
+                codec="ascii", exclude_characters="\r\n"
+            ),
+            max_size=50,
+        ).map(lambda s: "https://f.example/" + s.rstrip(" \t"))
+
+        @settings(max_examples=50, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    url_st,
+                    st.integers(min_value=0, max_value=2**48),
+                    st.binary(max_size=512),  # any payload incl. CRLFs
+                ),
+                max_size=5,
+            )
+        )
+        def run(recs):
+            p = str(tmp_path / "fuzz.warc")
+            write_warc_file(p, recs)
+            t = parse_warc_bytes(open(p, "rb").read())
+            assert t["url"].to_pylist() == [r[0] for r in recs]
+            assert t["html"].to_pylist() == [r[2] for r in recs]
+            # WARC-Date truncates to seconds
+            got = [x.timestamp() for x in t["warc_ts"].to_pylist()]
+            assert got == [r[1] // 1_000_000 for r in recs]
+
+        run()

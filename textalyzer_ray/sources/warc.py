@@ -127,7 +127,9 @@ def parse_warc_bytes(data: bytes) -> pa.Table:
         fields: dict[bytes, bytes] = {}
         for ln in lines[1:]:
             k, _, v = ln.partition(b":")
-            fields[k.strip().lower()] = v.strip()
+            # spec-correct OWS trim: SP and HTAB only (Python's default
+            # strip would also eat \x0c/\x0b that belong to the value)
+            fields[k.strip(b" \t").lower()] = v.strip(b" \t")
         try:
             clen = int(fields.get(b"content-length", b""))
         except ValueError:
