@@ -274,3 +274,30 @@ class TestRangeJoin:
             ).take_all()
         ]
         assert got == [(1, 10), (1, 11), (3, 15)]
+
+
+class TestRangeJoinEmpty:
+    def test_empty_sides(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.joins import range_join_by_key
+
+        def evs(rows):
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "ts": pa.array(
+                            [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+                        ),
+                        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    }
+                )
+            )
+
+        empty = evs([])
+        one = evs([(1, 100, 7)])
+        assert range_join_by_key(empty, one, key="user_id").count() == 0
+        assert range_join_by_key(one, empty, key="user_id").count() == 0
+        assert range_join_by_key(empty, empty, key="user_id").count() == 0
