@@ -319,3 +319,60 @@ class TestConnectedComponentsEdgeCases:
             pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
         )
         assert connected_components(pairs).take_all() == []
+
+
+class TestConnectedComponentsPaths:
+    """Both CC mechanisms must agree: the small-graph union-find task
+    and the distributed label-propagation loop."""
+
+    def _random_pairs(self, seed=11, n_nodes=200, n_edges=150):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        rng = np.random.RandomState(seed)
+        a = rng.randint(0, n_nodes, n_edges)
+        b = rng.randint(0, n_nodes, n_edges)
+        keep = a != b
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(np.minimum(a, b)[keep], pa.int64()),
+                    "id_b": pa.array(np.maximum(a, b)[keep], pa.int64()),
+                }
+            )
+        ).repartition(4)
+
+    def test_small_path_equals_distributed(self):
+        from textalyzer_ray.pipelines.dedup import connected_components
+
+        fast = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(self._random_pairs()).take_all()
+        }
+        slow = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(
+                self._random_pairs(), small_threshold=0
+            ).take_all()
+        }
+        assert fast == slow and len(fast) > 0
+
+    def test_small_path_long_chain(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.dedup import connected_components
+
+        # 30-hop path: exercises path compression + min-root labeling
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(list(range(30)), pa.int64()),
+                    "id_b": pa.array(list(range(1, 31)), pa.int64()),
+                }
+            )
+        )
+        rows = connected_components(edges).take_all()
+        assert {r["cluster_id"] for r in rows} == {0}
+        assert len(rows) == 31
