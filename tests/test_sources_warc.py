@@ -23,9 +23,16 @@ def test_roundtrip(tmp_path):
     t = parse_warc_bytes(open(p, "rb").read())
     assert t["url"].to_pylist() == [r[0] for r in recs]
     assert t["html"].to_pylist() == [r[2] for r in recs]
-    # WARC-Date is second-precision: microsecond fraction truncated
-    assert t["warc_ts"].to_pylist()[0].timestamp() == 1_700_000_000
-    assert t["warc_ts"].to_pylist()[1].timestamp() == 1_700_000_001
+    # WARC-Date is second-precision: microsecond fraction truncated.
+    # Compare naive datetimes (pa.timestamp('us') is tz-naive; calling
+    # .timestamp() would shift by the box's local timezone)
+    import datetime as _dt
+
+    def _naive(sec):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=sec)
+
+    assert t["warc_ts"].to_pylist()[0] == _naive(1_700_000_000)
+    assert t["warc_ts"].to_pylist()[1] == _naive(1_700_000_001)
 
 
 def test_binary_payload_with_fake_record_marker(tmp_path):
@@ -241,8 +248,22 @@ class TestWarcFuzz:
             t = parse_warc_bytes(open(p, "rb").read())
             assert t["url"].to_pylist() == [r[0] for r in recs]
             assert t["html"].to_pylist() == [r[2] for r in recs]
-            # WARC-Date truncates to seconds
-            got = [x.timestamp() for x in t["warc_ts"].to_pylist()]
-            assert got == [r[1] // 1_000_000 for r in recs]
+            # WARC-Date truncates to seconds; compare tz-naive
+            import datetime as _dt
+
+            exp = [
+                _dt.datetime(1970, 1, 1)
+                + _dt.timedelta(seconds=r[1] // 1_000_000)
+                for r in recs
+            ]
+            assert t["warc_ts"].to_pylist() == exp
 
         run()
+
+
+def test_negative_content_length_terminates():
+    from textalyzer_ray.sources.warc import parse_warc_bytes
+
+    # int() accepts b"-37"; the scan must stop, not loop forever
+    assert parse_warc_bytes(b"WARC/1.0\r\nContent-Length: -37\r\n\r\n").num_rows == 0
+    assert parse_warc_bytes(b"WARC/1.0\r\nContent-Length: +5\r\n\r\nabcde\r\n\r\n").num_rows == 0

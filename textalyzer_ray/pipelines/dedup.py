@@ -387,6 +387,13 @@ def connected_components(
         import ray
         import ray.data as rd
 
+        from textalyzer_ray.stages.groups import id_type_of
+
+        # preserve the input edge id type (the distributed path below
+        # builds label_schema from it too — output must not switch
+        # types at the threshold)
+        edge_id_type = id_type_of(edges, "id_a")
+
         @ray.remote
         def union_find(*blocks: pa.Table) -> pa.Table:
             parent: dict[int, int] = {}
@@ -415,9 +422,9 @@ def connected_components(
             nodes = sorted(seen)
             return pa.table(
                 {
-                    "doc_id": pa.array(nodes, pa.int64()),
+                    "doc_id": pa.array(nodes, edge_id_type),
                     "cluster_id": pa.array(
-                        [find(n_) for n_ in nodes], pa.int64()
+                        [find(n_) for n_ in nodes], edge_id_type
                     ),
                 }
             )

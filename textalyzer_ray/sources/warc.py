@@ -130,10 +130,12 @@ def parse_warc_bytes(data: bytes) -> pa.Table:
             # spec-correct OWS trim: SP and HTAB only (Python's default
             # strip would also eat \x0c/\x0b that belong to the value)
             fields[k.strip(b" \t").lower()] = v.strip(b" \t")
-        try:
-            clen = int(fields.get(b"content-length", b""))
-        except ValueError:
+        clen_raw = fields.get(b"content-length", b"")
+        # digits-only: int() would also accept b"-37" (negative clen
+        # drives pos BACKWARDS -> infinite loop), b"+5" and b"1_2"
+        if not clen_raw.isdigit():
             break
+        clen = int(clen_raw)
         body_start = head_end + 4
         body_end = body_start + clen
         if body_end > size:
