@@ -1486,7 +1486,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": (
             "SELECT doc_id, n_chars FROM ("
             "SELECT doc_id, n_chars FROM documents "
-            "ORDER BY (doc_id % 4294967296) * 2654435761 % 4294967296, doc_id "
+            "ORDER BY CAST((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761 "
+            "AS HUGEINT) % 4294967296, doc_id "
             "LIMIT 100) ORDER BY doc_id"
         ),
         "dedup_against": (
@@ -1646,7 +1647,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mixture_sample": (
             "SELECT doc_id, source FROM documents WHERE "
-            "(doc_id % 4294967296) * 2246822519 % 4294967296 < "
+            "CAST((CAST(doc_id AS HUGEINT) % 4294967296) * 2246822519 "
+            "AS HUGEINT) % 4294967296 < "
             "CAST(floor(CASE WHEN "
             "CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 2 = 0 "
             "THEN 0.25 ELSE 1.0 END * 4294967296) AS BIGINT) "

@@ -75,6 +75,15 @@ class TestDecoders:
         with pytest.raises(UnsupportedMediaError):
             decode_wav(b"ID3\x03junk")
 
+    def test_truncated_payload_raises_media_error(self):
+        # r3 ADVICE fix: truncated pixel data must raise the module's
+        # documented UnsupportedMediaError, not a bare numpy ValueError.
+        with pytest.raises(UnsupportedMediaError, match="truncated"):
+            decode_ppm(b"P6\n4 4\n255\n" + bytes(5))
+        full = make_bmp(2, 2, [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (9, 9, 9)]])
+        with pytest.raises(UnsupportedMediaError, match="truncated"):
+            decode_bmp(full[:-5])
+
     def test_resize_nearest(self):
         img = np.arange(16, dtype=np.uint8).reshape(4, 4)
         out = resize_nearest(img, 2, 2)

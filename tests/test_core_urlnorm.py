@@ -24,6 +24,11 @@ CASES = [
     ("ftp://example.com/x", "ftp://example.com/x"),
     ("not a url", "not a url"),
     ("", ""),
+    # malformed / out-of-range ports must not raise (r3 ADVICE fix:
+    # urlsplit succeeds but .hostname/.port access raises ValueError)
+    ("http://host:abc/x", "http://host:abc/x"),
+    ("http://host:99999/x", "http://host:99999/x"),
+    ("http://host:-1/x", "http://host:-1/x"),
 ]
 
 

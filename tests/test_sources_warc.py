@@ -168,6 +168,34 @@ def test_sink_durability_contract(tmp_path):
     assert not [f for f in os.listdir(out) if ".tmp-" in f]
 
 
+def test_sink_names_distinguish_content_and_ts(tmp_path):
+    """r3 ADVICE fix: blocks agreeing on (url, len(html)) per row but
+    differing in bytes or timestamp (recrawl of a same-size page) must
+    land on DIFFERENT shard names — clean=False must keep both."""
+    import os
+
+    import ray.data as rd
+
+    from textalyzer_ray.sources.warc import write_warc_shards
+
+    out = str(tmp_path / "sink")
+    a = pa.table(
+        {
+            "url": ["https://d/x"],
+            "warc_ts": pa.array([1], pa.timestamp("us")),
+            "html": [b"aaaa"],
+        }
+    )
+    b_bytes = a.set_column(2, "html", pa.array([b"bbbb"], pa.binary()))
+    b_ts = a.set_column(1, "warc_ts", pa.array([2], pa.timestamp("us")))
+    assert write_warc_shards(rd.from_arrow(a), out) == 1
+    assert write_warc_shards(rd.from_arrow(b_bytes), out, clean=False) == 1
+    assert write_warc_shards(rd.from_arrow(b_ts), out, clean=False) == 1
+    shards = [f for f in os.listdir(out) if f.endswith(".warc")]
+    assert len(shards) == 3  # no silent overwrite
+    assert read_warc(out).count() == 3
+
+
 def test_gz_trailing_junk_salvage(tmp_path):
     import gzip
 

@@ -59,6 +59,8 @@ def decode_ppm(data: bytes) -> np.ndarray:
         raise UnsupportedMediaError("16-bit netpbm not supported")
     ch = 3 if magic == b"P6" else 1
     need = w * h * ch
+    if len(data) - off < need:
+        raise UnsupportedMediaError("truncated netpbm payload")
     px = np.frombuffer(data, dtype=np.uint8, count=need, offset=off)
     return px.reshape((h, w, 3)) if ch == 3 else px.reshape((h, w))
 
@@ -80,6 +82,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
     h = abs(h)
     bytes_pp = bpp // 8
     stride = (w * bytes_pp + 3) & ~3
+    if len(data) - off < stride * h:
+        raise UnsupportedMediaError("truncated BMP payload")
     rows = np.frombuffer(
         data, dtype=np.uint8, count=stride * h, offset=off
     ).reshape((h, stride))[:, : w * bytes_pp].reshape((h, w, bytes_pp))

@@ -27,26 +27,30 @@ _TRACKING_KEYS = {"fbclid", "gclid", "msclkid", "mc_eid"}
 
 
 def canonical_url(url: str) -> str:
+    # The whole body sits inside the try: urlsplit() itself rarely raises,
+    # but the lazy .hostname/.port property accessors raise ValueError on
+    # malformed or out-of-range ports ('http://h:abc/', 'http://h:99999/').
+    # One bad URL must not crash a whole add_canonical_url batch.
     try:
         parts = urlsplit(url)
+        scheme = parts.scheme.lower()
+        if scheme not in ("http", "https") or not parts.hostname:
+            return url
+        host = parts.hostname.lower().rstrip(".")
+        netloc = host
+        if parts.port is not None and str(parts.port) != _DEFAULT_PORTS.get(scheme):
+            netloc = f"{host}:{parts.port}"
+        if parts.username:
+            cred = parts.username + (f":{parts.password}" if parts.password else "")
+            netloc = f"{cred}@{netloc}"
+        path = parts.path or "/"
+        pairs = [
+            (k, v)
+            for k, v in parse_qsl(parts.query, keep_blank_values=True)
+            if not k.lower().startswith(_TRACKING_PREFIXES)
+            and k.lower() not in _TRACKING_KEYS
+        ]
+        query = urlencode(sorted(pairs)) if pairs else ""
+        return urlunsplit((scheme, netloc, path, query, ""))
     except ValueError:
         return url
-    scheme = parts.scheme.lower()
-    if scheme not in ("http", "https") or not parts.hostname:
-        return url
-    host = parts.hostname.lower().rstrip(".")
-    netloc = host
-    if parts.port is not None and str(parts.port) != _DEFAULT_PORTS.get(scheme):
-        netloc = f"{host}:{parts.port}"
-    if parts.username:
-        cred = parts.username + (f":{parts.password}" if parts.password else "")
-        netloc = f"{cred}@{netloc}"
-    path = parts.path or "/"
-    pairs = [
-        (k, v)
-        for k, v in parse_qsl(parts.query, keep_blank_values=True)
-        if not k.lower().startswith(_TRACKING_PREFIXES)
-        and k.lower() not in _TRACKING_KEYS
-    ]
-    query = urlencode(sorted(pairs)) if pairs else ""
-    return urlunsplit((scheme, netloc, path, query, ""))

@@ -252,9 +252,11 @@ def write_warc_shards(ds, out_dir: str, clean: bool = True) -> int:
 
     Durability contract:
     - shard names derive from the FULL record content of the block
-      (sha1 over every url + every html length), so distinct blocks
-      cannot collide on a path even with duplicate URLs, and the same
-      logical block always lands on the same name;
+      (sha1 over every url + warc_ts + html length + html bytes), so
+      distinct blocks cannot collide on a path — even two recrawls of
+      the same url with same-length but different bytes, or differing
+      only in timestamp — and the same logical block always lands on
+      the same name;
     - each shard is written to a ``.tmp-`` name and atomically renamed
       (a killed task can never leave a truncated shard at a final
       name — the same contract as state/manifest.py's parquet sink);
@@ -292,9 +294,11 @@ def write_warc_shards(ds, out_dir: str, clean: bool = True) -> int:
         ).to_pylist()
         htmls = [h if h is not None else b"" for h in t["html"].to_pylist()]
         h = hashlib.sha1()
-        for u, b in zip(urls, htmls):
+        for u, ts, b in zip(urls, tss, htmls):
             h.update(u.encode())
+            h.update(ts.to_bytes(8, "little", signed=True))
             h.update(len(b).to_bytes(8, "little"))
+            h.update(b)
         path = os.path.join(out_dir, f"shard-{h.hexdigest()[:16]}.warc")
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         n = write_warc_file(tmp, zip(urls, tss, htmls))

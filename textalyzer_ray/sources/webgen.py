@@ -201,7 +201,15 @@ def pdfs_from_documents(
     parity) so both decode paths run. Round-trip oracle: extracted text
     must equal documents.text byte-for-byte (the ADVERSARIAL coverage —
     escapes, filters, hex strings, broken streams — is pinned by
-    tests/test_core_pdftext.py, non-circular)."""
+    tests/test_core_pdftext.py, non-circular).
+
+    PRECONDITION (asserted, not silently violated): each text must be
+    latin-1-encodable, single-line, and free of leading/trailing
+    whitespace — extract_text_from_content strips each shown line and
+    drops blank ones, so text outside this subset cannot round-trip
+    byte-for-byte and would silently fail the driver gate. The sf*
+    documents.text inputs satisfy this; a future testdata change that
+    does not will fail HERE with a clear message instead of there."""
     import zlib
 
     import pyarrow as pa
@@ -210,12 +218,26 @@ def pdfs_from_documents(
     texts = batch[text_col].to_pylist()
     pdfs = []
     for i, txt in zip(ids, texts):
+        t = txt or ""
+        if ("\n" in t or "\r" in t) or t != t.strip():
+            raise ValueError(
+                f"pdfs_from_documents precondition violated for {id_col}={i}: "
+                "text must be single-line with no leading/trailing whitespace "
+                "for the byte-for-byte round-trip oracle"
+            )
+        try:
+            t.encode("latin-1")
+        except UnicodeEncodeError as e:
+            raise ValueError(
+                f"pdfs_from_documents precondition violated for {id_col}={i}: "
+                "text must be latin-1-encodable for the round-trip oracle"
+            ) from e
         esc = (
-            (txt or "")
+            t
             .replace("\\", "\\\\")
             .replace("(", "\\(")
             .replace(")", "\\)")
-            .encode("latin-1", errors="replace")
+            .encode("latin-1")
         )
         content = b"BT /F1 12 Tf 72 720 Td (" + esc + b") Tj ET"
         if i % 2 == 0:
