@@ -65,6 +65,27 @@ class TestMinHash:
         )
         assert minhash_duplicate_pairs(ds).take_all() == []
 
+    def test_dedup_distributed_anti_join_equals_broadcast(self):
+        """r3 auto-switch: forcing broadcast_threshold=0 routes the keep
+        filter through the distributed left_anti join; the kept set must
+        equal the broadcast path's bit for bit (same rows, same schema)."""
+        kwargs = dict(jaccard_threshold=0.5, bands=32)
+        via_broadcast = sorted(
+            (r["doc_id"], r["text"])
+            for r in minhash_dedup(corpus_ds(), **kwargs).take_all()
+        )
+        via_join = sorted(
+            (r["doc_id"], r["text"])
+            for r in minhash_dedup(
+                corpus_ds(), broadcast_threshold=0, **kwargs
+            ).take_all()
+        )
+        assert via_join == via_broadcast == [
+            (0, BASE),
+            (3, OTHER),
+            (5, "tiny"),
+        ]
+
 
 class TestConnectedComponents:
     def test_chain_converges(self):
@@ -257,6 +278,72 @@ class TestSimHashMultiTable:
         ds = rd.from_arrow(pa.table({"doc_id": [1, 2], "text": [base, near]}))
         rows = simhash_duplicate_pairs(ds, max_hamming=3).take_all()
         assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in rows), rows
+
+    def test_poly_hash_pipeline_equals_brute_force(self):
+        """hash_fn="poly" (the SQL-recomputable token hash behind the r3
+        simhash_pairs driver oracle): the pipeline's hamming<=3 pair set
+        must equal the brute-force all-pairs recomputation, and poly
+        simhashes must differ from stable ones (really a different hash)."""
+        from textalyzer_ray.core.fingerprint import (
+            hamming64,
+            polyhash64,
+            simhash64,
+        )
+        from textalyzer_ray.core.textmetrics import frequency_map
+        from textalyzer_ray.pipelines.dedup import simhash_duplicate_pairs
+
+        base = (
+            "him bus bel des dan cur cat bun gom bos ham fol ben bem bot "
+            "cum cut ger has hur got con hor fit cun ful hal det bam ces "
+            "hol dur han cer hin dun hos hir fem bul"
+        )
+        texts = {
+            1: base,
+            2: base.replace("hor", "pip"),  # poly-hamming 3 (measured)
+            3: base,  # hamming 0 twin
+            4: "one two three four five six seven eight nine ten eleven",
+            5: "completely unrelated text about sorting networks and heaps",
+        }
+        sketches = {
+            i: simhash64(frequency_map(t), polyhash64) for i, t in texts.items()
+        }
+        assert sketches[1] != simhash64(frequency_map(texts[1]))
+        want = sorted(
+            (a, b)
+            for a in texts
+            for b in texts
+            if a < b and hamming64(sketches[a], sketches[b]) <= 3
+        )
+        ds = rd.from_arrow(
+            pa.table(
+                {"doc_id": list(texts), "text": [texts[i] for i in texts]}
+            )
+        )
+        rows = simhash_duplicate_pairs(ds, max_hamming=3, hash_fn="poly").take_all()
+        got = sorted((r["id_a"], r["id_b"]) for r in rows)
+        assert got == want and len(want) >= 1, (got, want)
+
+    def test_polyhash64_known_values(self):
+        """Pin polyhash64's exact arithmetic (the SQL oracle re-derives
+        these same numbers in HUGEINT): rolling B=1000003 poly, odd mix
+        C=0x2545F4914F6CDD1D, high-half xor fold."""
+        from textalyzer_ray.core.fingerprint import polyhash64
+
+        B, C, M = 1_000_003, 0x2545F4914F6CDD1D, 1 << 64
+        for s in ("a", "the", "zebra", "x" * 40):
+            h = 0
+            for byte in s.encode():
+                h = (h * B + byte) % M
+            m = (h * C) % M
+            hi, lo = m >> 32, (m & 0xFFFFFFFF) ^ (m >> 32)
+            assert polyhash64(s) == (hi << 32) | lo
+        # all 64 bit positions exercised across a small vocabulary
+        import itertools
+
+        union = 0
+        for s in ("".join(p) for p in itertools.permutations("abcde", 3)):
+            union |= polyhash64(s)
+        assert union == (1 << 64) - 1
 
 
 class TestWinnowPairs:

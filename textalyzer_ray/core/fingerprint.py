@@ -123,13 +123,41 @@ def jaccard(tokens_a: list[str], tokens_b: list[str], k: int) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def simhash64(token_counts: dict[str, int]) -> int:
-    """Charikar SimHash: per-token 64-bit hash, count-weighted bit votes."""
+_POLY_B = 1_000_003
+_POLY_C = 0x2545F4914F6CDD1D  # odd, < 2^62 so h*C fits signed 128-bit
+
+
+def polyhash64(data: bytes | str) -> int:
+    """SQL-expressible deterministic 64-bit string hash: rolling
+    polynomial over UTF-8 bytes (h = h*B + byte mod 2^64), one odd
+    multiplicative mix, then the high half XOR-folded into the low half
+    so short strings still populate all 64 bits. Every step (powers of
+    B via a recursive CTE, HUGEINT modular products, 32-bit-half xor)
+    runs verbatim in DuckDB — this is the hash that lets a SimHash
+    driver query be verified by a pure-SQL oracle. NOT a replacement
+    for ``stable_hash_u64`` where adversarial spread matters."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    h = 0
+    for byte in data:
+        h = (h * _POLY_B + byte) & _MAXU64
+    m = (h * _POLY_C) & _MAXU64
+    hi = m >> 32
+    lo = (m & 0xFFFFFFFF) ^ hi
+    return (hi << 32) | lo
+
+
+def simhash64(token_counts: dict[str, int], hash_fn=stable_hash_u64) -> int:
+    """Charikar SimHash: per-token 64-bit hash, count-weighted bit votes.
+
+    ``hash_fn`` picks the per-token hash: ``stable_hash_u64`` (default,
+    blake2b) or ``polyhash64`` (SQL-recomputable, used by driver-gated
+    queries so DuckDB can verify the pair set exactly)."""
     if not token_counts:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for tok, cnt in token_counts.items():
-        h = stable_hash_u64(tok)
+        h = hash_fn(tok)
         bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits.astype(bool), cnt, -cnt)
     out = 0

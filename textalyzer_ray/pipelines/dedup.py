@@ -546,17 +546,23 @@ def minhash_dedup(
     ds: Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_threshold: int = 5_000_000,
     **kwargs,
 ) -> Dataset:
     """Full near-dedup: docs -> verified pairs -> clusters -> keep one
     representative (min id) per cluster. Returns the KEPT (id, text).
 
-    The drop list (doc_id != cluster_id — the redundant members) is
-    broadcast ONCE as an Arrow table and each corpus batch is filtered by
-    a vectorized polars anti-join; no per-row Python. At a drop fraction
-    where even the id list outgrows a broadcast (extreme 100 TB corpora),
-    swap the broadcast for a distributed anti ``bucketed_join`` of the
-    corpus against the labels dataset on ``id_col``.
+    Keep-filter mechanism is picked from the MEASURED drop count (the
+    same auto-switch pattern as connected_components small_threshold):
+
+    - drop count <= ``broadcast_threshold`` (~40 MB of int64 ids at the
+      5M default): the drop-id list is broadcast ONCE as an Arrow table
+      and each corpus batch is filtered by a vectorized polars
+      anti-join — no shuffle of the corpus at all.
+    - above it (high-dup-fraction 100 TB corpora where even the id list
+      is object-store-sized): a distributed ``left_anti`` hash join of
+      the corpus against the drop-id DATASET on ``id_col`` — the drop
+      list never lands on the driver; both sides hash-partition.
     """
     import polars as pl
     import pyarrow.compute as pc
@@ -564,18 +570,42 @@ def minhash_dedup(
 
     pairs = minhash_duplicate_pairs(ds, id_col, text_col, **kwargs)
     labels = connected_components(pairs)
-    drop_parts = [
-        b.filter(pc.invert(pc.equal(b["doc_id"], b["cluster_id"]))).select(
-            ["doc_id"]
+
+    def to_drop(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.invert(pc.equal(b["doc_id"], b["cluster_id"]))
+        ).select(["doc_id"]).rename_columns([id_col])
+
+    drop_ds = labels.map_batches(to_drop, batch_format="pyarrow").materialize()
+    n_drop = drop_ds.count()
+
+    if n_drop > broadcast_threshold:
+        from textalyzer_ray.pipelines.joins import bucketed_join
+        from textalyzer_ray.stages.groups import partitions_for
+
+        logger.info(
+            "minhash_dedup: %d drop ids > broadcast_threshold=%d — "
+            "distributed anti join", n_drop, broadcast_threshold,
         )
-        for b in labels.iter_batches(batch_size=None, batch_format="pyarrow")
+        return bucketed_join(
+            ds,
+            drop_ds,
+            id_col,
+            num_partitions=partitions_for(n_drop, rows_per_part=2_000_000),
+            how="left_anti",
+        )
+
+    drop_parts = [
+        b
+        for b in drop_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
     ]
     drop_table = (
         pa.concat_tables(drop_parts)
         if drop_parts
-        else pa.schema([pa.field("doc_id", pa.int64())]).empty_table()
+        else pa.schema([pa.field(id_col, pa.int64())]).empty_table()
     )
-    drop_ref = ray.put(drop_table.rename_columns([id_col]))
+    drop_ref = ray.put(drop_table)
 
     class Keep:
         def __init__(self, ref):
@@ -602,6 +632,7 @@ def simhash_duplicate_pairs(
     max_hamming: int = 3,
     max_group: int = 2000,
     n_tables: int = 4,
+    hash_fn: str = "stable",
 ) -> Dataset:
     """(id_a, id_b, hamming) near-dup pairs: simhash per doc, bucketed by
     each of ``n_tables`` disjoint 16-bit chunks of the 64-bit sketch
@@ -631,7 +662,7 @@ def simhash_duplicate_pairs(
     )
 
     def sim_and_explode(batch: pa.Table) -> pa.Table:
-        sim = SimHasher(id_col=id_col, text_col=text_col)(batch)
+        sim = SimHasher(id_col=id_col, text_col=text_col, hash_fn=hash_fn)(batch)
         h = sim["simhash"].to_numpy(zero_copy_only=False)
         n = len(h)
         ids = sim[id_col].combine_chunks() if isinstance(sim[id_col], pa.ChunkedArray) else sim[id_col]

@@ -150,15 +150,28 @@ class MinHashFeatures:
 class SimHasher:
     """Actor-pool stage: append a 64-bit simhash + a prefix bucket used
     to co-locate near-dup candidates (hamming neighbors usually share a
-    16-bit prefix under small perturbations of low-weight tokens)."""
+    16-bit prefix under small perturbations of low-weight tokens).
 
-    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+    ``hash_fn``: "stable" (blake2b, default) or "poly"
+    (core.fingerprint.polyhash64 — SQL-recomputable, lets a DuckDB
+    oracle verify the resulting pair set exactly)."""
+
+    def __init__(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        hash_fn: str = "stable",
+    ):
+        from textalyzer_ray.core.fingerprint import polyhash64, stable_hash_u64
+
         self.id_col = id_col
         self.text_col = text_col
+        self.hash_fn = polyhash64 if hash_fn == "poly" else stable_hash_u64
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hashes = [
-            simhash64(frequency_map(t or "")) for t in batch[self.text_col].to_pylist()
+            simhash64(frequency_map(t or ""), self.hash_fn)
+            for t in batch[self.text_col].to_pylist()
         ]
         arr = np.array(hashes, dtype=np.uint64)
         return (
