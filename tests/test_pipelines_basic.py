@@ -69,6 +69,33 @@ class TestWordHistogram:
             (r["word"], r["count"]) for r in salted
         ]
 
+    def test_key_counts_auto_distributed_same_result(self):
+        """r3 auto-probe: forcing auto_threshold=0 routes key_counts
+        through the key-aligned final merge; counts must equal the tree
+        path's and the result must arrive in >1 partition-ready form."""
+        from textalyzer_ray.stages.groups import key_counts
+        from textalyzer_ray.stages.tokenize import partial_word_counts
+
+        def partials():
+            return docs_ds().map_batches(
+                lambda t: partial_word_counts(t, "text"),
+                batch_format="pyarrow",
+            )
+
+        tree = {
+            (r["word"], r["sum_count"])
+            for r in key_counts(
+                partials(), ["word"], sum_cols=["count"], distributed=False
+            ).take_all()
+        }
+        auto_dist = {
+            (r["word"], r["sum_count"])
+            for r in key_counts(
+                partials(), ["word"], sum_cols=["count"], auto_threshold=0
+            ).take_all()
+        }
+        assert auto_dist == tree and len(tree) > 0
+
     def test_by_lang(self):
         rows = word_histogram_by_lang(docs_ds()).take_all()
         zh = [(r["word"], r["count"]) for r in rows if r["lang"] == "zh"]

@@ -456,6 +456,46 @@ class TestDecontaminate:
         )
         assert decontaminate(train, eval_ds, n=5).count() == 2
 
+    def test_distributed_semi_join_equals_broadcast(self):
+        """r3 auto-switch: broadcast_threshold=0 forces the distributed
+        left_semi gram join; clean set must equal the broadcast path's."""
+        from textalyzer_ray.pipelines.curation import decontaminate
+
+        eval_ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([100], pa.int64()),
+                    "text": ["alpha beta gamma delta epsilon zeta"],
+                }
+            )
+        )
+
+        def train():
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array([0, 1, 2], pa.int64()),
+                        "text": [
+                            "intro beta gamma delta epsilon zeta outro",
+                            "beta gamma delta epsilon other words here",
+                            "completely unrelated text with no overlap at all",
+                        ],
+                    }
+                )
+            )
+
+        want = [
+            (r["doc_id"], r["text"])
+            for r in decontaminate(train(), eval_ds, n=5).take_all()
+        ]
+        got = [
+            (r["doc_id"], r["text"])
+            for r in decontaminate(
+                train(), eval_ds, n=5, broadcast_threshold=0
+            ).take_all()
+        ]
+        assert got == want and [i for i, _ in want] == [1, 2]
+
 
 class TestScrubPii:
     def test_redaction_and_counts(self):

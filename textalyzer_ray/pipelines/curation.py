@@ -25,8 +25,12 @@ data-sized partition counts (stages.groups.partitions_for).
 
 from __future__ import annotations
 
+import logging
+
 import pyarrow as pa
 from ray.data import Dataset
+
+logger = logging.getLogger(__name__)
 
 # Knuth multiplicative hash constant (2654435761 = 2^32 / phi).
 _KNUTH = 2654435761
@@ -451,6 +455,7 @@ def decontaminate(
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_threshold: int = 20_000_000,
 ) -> Dataset:
     """Benchmark decontamination: drop every training document sharing
     at least one token ``n``-gram with the evaluation corpus (the
@@ -459,13 +464,19 @@ def decontaminate(
 
     Comparison is on the ACTUAL n-gram strings (no hashes), so the
     decision is bit-exact against the SQL oracle — a hash collision can
-    never drop a clean document. Scale shape: eval sets are small by
-    nature, so their distinct n-grams are collected once and broadcast
-    (``ray.put`` + per-worker cache, the filter_to_keys pattern); each
-    training batch explodes to n-grams and semi-joins locally — the
-    only corpus-wide data movement is the contaminated id list. For an
-    eval side too big to broadcast, swap the semi-join for a bucketed
-    join on the gram."""
+    never drop a clean document. Scale shape, picked from the MEASURED
+    distinct eval-gram count (the connected_components small_threshold
+    pattern):
+
+    - <= ``broadcast_threshold`` grams (eval sets are small by nature —
+      20M grams is ~1 GB of strings): collected once and broadcast
+      (``ray.put`` + per-worker cache, the filter_to_keys pattern); each
+      training batch explodes to n-grams and semi-joins locally — the
+      only corpus-wide data movement is the contaminated id list.
+    - above it (eval side too big to broadcast): a distributed
+      ``left_semi`` hash join of the training grams against the
+      eval-gram DATASET on ``gram`` — the eval grams never land on the
+      driver; both sides hash-partition."""
     import pyarrow.compute as pc
     import ray
 
@@ -476,7 +487,7 @@ def decontaminate(
     )
 
     explode = _ngram_explode(n, id_col, text_col)
-    eval_grams = (
+    eval_gram_ds = (
         key_counts(
             eval_ds.select_columns([id_col, text_col]).map_batches(
                 explode, batch_format="pyarrow"
@@ -484,23 +495,52 @@ def decontaminate(
             ["gram"],
         )
         .select_columns(["gram"])
-        .take_all()
+        .materialize()
     )
-    gram_table = pa.table(
-        {"gram": pa.array([r["gram"] for r in eval_grams], pa.string())}
-    )
-    gref = ray.put(gram_table)
+    n_grams = eval_gram_ds.count()
 
     train_grams = train.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow"
     )
-    contaminated = (
-        key_counts(
-            filter_to_keys(train_grams, ["gram"], gref),
-            [id_col],
+    if n_grams > broadcast_threshold:
+        from textalyzer_ray.pipelines.joins import bucketed_join
+        from textalyzer_ray.stages.groups import partitions_for
+
+        logger.info(
+            "decontaminate: %d eval grams > broadcast_threshold=%d — "
+            "distributed semi join", n_grams, broadcast_threshold,
         )
-        .select_columns([id_col])
-        .take_all()
+
+        def to_large_gram(t: pa.Table) -> pa.Table:
+            # acero rejects string-vs-large_string join keys; polars
+            # stages emit large_string, so normalize both sides to it
+            i = t.schema.get_field_index("gram")
+            return t.set_column(i, "gram", t["gram"].cast(pa.large_string()))
+
+        matched = bucketed_join(
+            train_grams.map_batches(to_large_gram, batch_format="pyarrow"),
+            eval_gram_ds.map_batches(to_large_gram, batch_format="pyarrow"),
+            "gram",
+            num_partitions=partitions_for(n_grams, rows_per_part=5_000_000),
+            how="left_semi",
+        )
+    else:
+        gram_parts = [
+            b
+            for b in eval_gram_ds.iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+            if b.num_rows
+        ]
+        gram_table = (
+            pa.concat_tables(gram_parts)
+            if gram_parts
+            else pa.schema([pa.field("gram", pa.string())]).empty_table()
+        )
+        gref = ray.put(gram_table)
+        matched = filter_to_keys(train_grams, ["gram"], gref)
+    contaminated = (
+        key_counts(matched, [id_col]).select_columns([id_col]).take_all()
     )
     from textalyzer_ray.stages.groups import id_type_of
 

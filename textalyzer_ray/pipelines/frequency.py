@@ -31,15 +31,16 @@ def word_histogram(
     sort: bool = True,
     salted: bool = False,
     num_salts: int = 16,
-    distributed: bool = False,
+    distributed: bool | None = None,
 ) -> Dataset:
     """Dataset[.., text] -> Dataset[word, count] (count desc, word asc).
 
-    ``distributed=True`` switches the final merge to the key-aligned
-    hash partition (no single-node merge) — worth it only when the
-    vocabulary itself is too big for one block (measured: at a 31-word
-    vocab the extra shuffle costs 2.6s on 143 MB; at ~10^7+ distinct
-    words the single-block merge is the bottleneck instead)."""
+    ``distributed=None`` (default, r3): AUTO — key_counts probes the
+    measured partial cardinality and picks the merge itself (tree below
+    its auto_threshold, key-aligned hash partition above), so a 10^7+
+    vocabulary can never silently funnel into the single-block merge
+    while a 31-word vocab never pays the extra shuffle (measured 2.6s
+    on 143 MB). Explicit True/False still forces a mechanism."""
     partials = ds.map_batches(
         lambda t: partial_word_counts(t, text_col),
         batch_format="pyarrow",
@@ -137,7 +138,7 @@ def word_doc_frequency(
     text_col: str = "text",
     id_col: str = "doc_id",
     sort: bool = True,
-    distributed: bool = False,
+    distributed: bool | None = None,
 ) -> Dataset:
     """(word, df) — number of documents containing each word (the IDF
     numerator for TF-IDF). Partial stage emits per-batch DISTINCT

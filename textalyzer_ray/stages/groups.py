@@ -45,16 +45,26 @@ def key_counts(
     sum_cols: list[str] | None = None,
     fanout: int = 8,
     levels: int = 2,
-    distributed: bool = False,
+    distributed: bool | None = None,
+    auto_threshold: int = 20_000_000,
 ) -> Dataset:
     """-> Dataset[keys..., count:int64 (+ min_<c> / sum_<c>)], one row
     per distinct key combination. All merging is polars.
 
-    ``distributed=False`` (default): tree merge ending in ONE block —
-    right when the result is collected anyway (dup-key sets) and fine to
-    ~10^8 distinct keys per node. ``distributed=True``: final merge via
+    ``distributed=None`` (default, r3): AUTO — the per-block partials
+    are materialized and their MEASURED total row count picks the merge:
+    tree below ``auto_threshold`` partial rows, key-aligned above (so a
+    10^7-vocabulary corpus can never silently funnel into the
+    single-block final merge). The probe is one metadata count over
+    blocks the merge was about to read anyway.
+
+    ``distributed=False``: tree merge ending in ONE block — right when
+    the result is collected anyway (dup-key sets) and fine to ~10^8
+    distinct keys per node. ``distributed=True``: final merge via
     key-aligned ``grouped_apply`` — no single-node bottleneck, the
     10^12-scale path (result stays partitioned)."""
+    import logging
+
     min_cols = list(min_cols or [])
     sum_cols = list(sum_cols or [])
 
@@ -81,8 +91,23 @@ def key_counts(
         )
 
     cur = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    n_partial = None
+    if distributed is None:
+        cur = cur.materialize()
+        n_partial = cur.count()
+        distributed = n_partial > auto_threshold
+        if distributed:
+            logging.getLogger(__name__).info(
+                "key_counts: %d partial rows > auto_threshold=%d — "
+                "key-aligned final merge", n_partial, auto_threshold,
+            )
     if distributed:
-        return grouped_apply(cur, keys, merge)
+        num_partitions = (
+            partitions_for(n_partial, rows_per_part=5_000_000)
+            if n_partial is not None
+            else None
+        )
+        return grouped_apply(cur, keys, merge, num_partitions=num_partitions)
     # tree merge: each level coalesces blocks by `fanout` and merges
     # whole blocks (batch_size=None = one batch per block)
     for level in range(levels - 1):
