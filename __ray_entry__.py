@@ -1251,7 +1251,15 @@ def _q_extract_fixtures(sf_dir: str):
         os.path.dirname(os.path.abspath(__file__)),
         "tests", "fixtures", "extraction", "fixtures.parquet",
     )
-    pages = rd.read_parquet(path, columns=["page_id", "html"])
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    fsch = _pq.read_schema(path).remove_metadata()
+    pages = rd.read_parquet(
+        path,
+        columns=["page_id", "html"],
+        schema=_pa.schema([fsch.field("page_id"), fsch.field("html")]),
+    )
     return (
         pages.map_batches(HtmlExtractor, batch_format="pyarrow", concurrency=2)
         .select_columns(["page_id", "text", "ok", "drop_reason"])

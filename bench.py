@@ -10,6 +10,12 @@ Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
 - single_dups: derived-line exact duplication groups (hash groupby)
 - minhash    : MinHash/LSH near-dup candidate pairs + verification
 - topk       : brute-force cosine top-10 over embeddings
+- near_dedup : full near-dedup chain (pairs -> connected components ->
+               anti-join keep) — r3, tracks the r2 30.8->4.7 s fix
+- funnel     : composite curation funnel (Gopher gate -> C4 line dedup
+               + doc rebuild -> hash split) — r3
+- cosine_pairs: exact all-pairs cosine >= threshold via triangle
+               partitioning — r3, the exact-similarity kernel
 
 ``--scaling`` reruns the whole bench in two fresh processes
 (RAY_GRAFT_CPUS=8 and 32), reporting both wall times and the scaling
@@ -140,6 +146,22 @@ def run_bench() -> dict:
         return brute_force_topk(ds, q, k=10).count()
 
     timed("topk", topk)
+
+    # r3 additions (VERDICT #10): the formerly-session-note-only fast
+    # components, now regression-tracked by the driver bench.
+    from textalyzer_ray.pipelines.dedup import minhash_dedup
+
+    timed(
+        "near_dedup",
+        lambda: minhash_dedup(
+            docs(cpu_heavy=True).select_columns(["doc_id", "text"]), bands=32
+        ).count(),
+    )
+    timed("funnel", lambda: contract._q_curation_funnel(sf_dir).count())
+    timed(
+        "cosine_pairs",
+        lambda: contract._q_cosine_pairs(sf_dir).count(),
+    )
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)

@@ -135,3 +135,97 @@ def test_min_lines_filter():
     assert apply_min_lines(dups, 3) == [dups[0]]
     assert duplication_pipeline([FILE1_SINGLE, FILE2_SINGLE], min_lines=1) == \
         find_duplicate_lines([FILE1_SINGLE, FILE2_SINGLE])
+
+
+def test_suppress_overlaps_mixed_equivalence():
+    """r3 pre-suppression: running truly-clean blocks through the
+    mixed suppressor as interacting=False must give the original
+    suppress_overlaps result — including the reference's quirk where a
+    NON-kept block's claims activate once the emitted count grows (so
+    clean emissions must still count)."""
+    import itertools
+
+    from textalyzer_ray.core.duplication import (
+        suppress_overlaps,
+        suppress_overlaps_mixed,
+    )
+
+    def spans_overlap(c1, l1, c2, l2):
+        n1, n2 = c1.count("\n") + 1, c2.count("\n") + 1
+        return l1 <= l2 + n2 - 1 and l2 <= l1 + n1 - 1
+
+    # Deterministic pseudo-random block sets (no RNG: parametric grid).
+    cases = []
+    for seed in range(12):
+        blocks = []
+        for b in range(6):
+            n_lines = 1 + (seed + b) % 4
+            content = "\n".join(f"l{seed}b{b}x{i}" for i in range(n_lines))
+            locs = [
+                (f"f{(seed + b + k) % 3}", 1 + ((seed * 7 + b * 5 + k * 3) % 15))
+                for k in range(2 + (b % 2))
+            ]
+            blocks.append((content, sorted(set(locs))))
+        blocks.sort(key=lambda cl: (-(cl[0].count("\n") + 1), -len(cl[0]), cl[0]))
+        cases.append(blocks)
+    for blocks in cases:
+        # ground-truth interaction: any location sharing a span with a
+        # location of ANY candidate (conservative same-block marking
+        # mirrors the pipeline's sweep)
+        interacting = set()
+        for (i, (c1, ls1)), (j, (c2, ls2)) in itertools.combinations(
+            enumerate(blocks), 2
+        ):
+            for f1, l1 in ls1:
+                for f2, l2 in ls2:
+                    if f1 == f2 and spans_overlap(c1, l1, c2, l2):
+                        interacting.add(i)
+                        interacting.add(j)
+        want = suppress_overlaps(blocks)
+        got = suppress_overlaps_mixed(
+            (c, ls, i in interacting) for i, (c, ls) in enumerate(blocks)
+        )
+        assert got == want
+
+
+def test_suppress_overlaps_mixed_counts_clean_emissions():
+    """A clean block emitted between a non-kept claimer and a later
+    overlapping block must activate the pending claim (duplication.rs
+    315-318 semantics) — the exact case that forbids skipping clean
+    blocks from the emission count."""
+    from textalyzer_ray.core.duplication import (
+        suppress_overlaps,
+        suppress_overlaps_mixed,
+    )
+
+    # D kept (claims f:1-3); A loses (f,2) to D, left with ONE valid
+    # location -> NOT kept, but its claim on f:20-21 is recorded at
+    # idx=1; clean C's emission grows the result to 2, ACTIVATING that
+    # claim; B's (f,20) must then be blocked. A mixed runner that skips
+    # clean blocks from the emitted count would wrongly keep B.
+    blocks = [
+        ("d1\nd2\nd3", [("f", 1), ("g", 1)]),
+        ("a1\na2", [("f", 2), ("f", 20)]),
+        ("c1\nc2", [("x", 1), ("y", 1)]),  # clean: paths x/y untouched
+        ("b1", [("f", 20), ("f", 30)]),
+    ]
+    want = suppress_overlaps(blocks)
+    assert [c for c, _ in want] == ["d1\nd2\nd3", "c1\nc2"]  # B suppressed
+    got = suppress_overlaps_mixed(
+        [
+            (blocks[0][0], blocks[0][1], True),
+            (blocks[1][0], blocks[1][1], True),
+            (blocks[2][0], blocks[2][1], False),  # clean
+            (blocks[3][0], blocks[3][1], True),
+        ]
+    )
+    assert got == want
+    # the discriminating negative: NOT counting the clean emission keeps B
+    broken = suppress_overlaps_mixed(
+        [
+            (blocks[0][0], blocks[0][1], True),
+            (blocks[1][0], blocks[1][1], True),
+            (blocks[3][0], blocks[3][1], True),
+        ]
+    )
+    assert any(c == "b1" for c, _ in broken)

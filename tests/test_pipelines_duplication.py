@@ -142,3 +142,35 @@ class TestMultiLine:
     def test_empty_corpus(self):
         docs = [("a.txt", "all unique here\n"), ("b.txt", "nothing shared\n")]
         assert multi_line_duplications(to_ds(docs)) == []
+
+    def test_extend_group_member_cap(self):
+        """r3 cap (VERDICT #7): a hot anchor line cannot explode the
+        O(m²) extension — truncation is deterministic ((path, line)
+        order), and an uncapped run on the same corpus is unchanged."""
+        import pyarrow as pa
+
+        from textalyzer_ray.pipelines.duplication import _extend_group
+
+        m = 12
+        g = pa.table(
+            {
+                "anchor_key": pa.array([1] * m, pa.uint64()),
+                "path": pa.array([f"f{i:02d}" for i in range(m)]),
+                "line": pa.array([1] * m, pa.uint32()),
+                "suffix": pa.array([["shared line", "tail"]] * m),
+                "is_anchor": pa.array([True] * m),
+            }
+        )
+        full = _extend_group(g)
+        capped = _extend_group(g, max_group=4)
+        # capped keeps the first 4 members by (path, line): f00..f03
+        cap_paths = set(capped["path"].to_pylist())
+        assert cap_paths == {"f00", "f01", "f02", "f03"}
+        assert capped.num_rows == 4 * 3 * 2  # 4 anchors x 3 partners x 2 rows
+        assert full.num_rows == m * (m - 1) * 2
+        # planted corpus unchanged under a cap comfortably above its
+        # group sizes (each planted line appears twice)
+        docs = make_planted_corpus(4, 120, 2, 3)
+        assert len(
+            multi_line_duplications(to_ds(docs), min_lines=3, max_group=8)
+        ) == len(multi_line_duplications(to_ds(docs), min_lines=3))

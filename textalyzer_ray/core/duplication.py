@@ -90,9 +90,33 @@ def suppress_overlaps(
     span was claimed by an *earlier-emitted* block; spans claimed by other
     locations of the same block do not conflict (`idx < result.len()`
     check at duplication.rs:315-318). Blocks keep >= 2 survivors."""
+    return suppress_overlaps_mixed(
+        (content, locations, True) for content, locations in sorted_blocks
+    )
+
+
+def suppress_overlaps_mixed(
+    sorted_entries,
+) -> DupResult:
+    """``suppress_overlaps`` over a mixed stream of
+    ``(content, locations, interacting)`` entries in global sorted order.
+
+    ``interacting=False`` marks a block PROVEN (by the distributed
+    per-path overlap sweep) to share no line span with any other
+    candidate location on any of its paths: such a block is emitted
+    as-is — every location is trivially valid, nothing can claim its
+    spans and its claims can block nobody. It still increments the
+    emitted count, which matters: claims recorded by an earlier
+    NON-kept block activate as soon as ``len(result)`` grows past their
+    recording index (the reference's duplication.rs:315-318 semantics),
+    so skipping clean emissions would change later decisions. With every
+    entry marked interacting this is exactly ``suppress_overlaps``."""
     result: DupResult = []
     used: dict[Location, int] = {}
-    for content, locations in sorted_blocks:
+    for content, locations, interacting in sorted_entries:
+        if not interacting:
+            result.append((content, list(locations)))
+            continue
         lines_count = content.count("\n") + 1
         valid: list[Location] = []
         for fname, line_num in locations:

@@ -268,16 +268,35 @@ def _member_records(
     )
 
 
-def _extend_group(g: pa.Table) -> pa.Table:
+def _extend_group(g: pa.Table, max_group: int = 10_000) -> pa.Table:
     """Stage 3: pairwise forward extension within one anchor group.
 
     Members: every occurrence of this trimmed line, with is_anchor
     marking the flush-left ones; only anchors start blocks, all members
-    can be partners (see _member_records)."""
+    can be partners (see _member_records).
+
+    ``max_group`` bounds the O(m²) extension against a pathological hot
+    line (VERDICT r2 #7): groups larger than it keep the first
+    ``max_group`` members in (path, line) order — deterministic — and
+    the truncation is logged, the same contract as the sketch family's
+    bucket caps."""
     paths = g["path"].to_pylist()
     lns = g["line"].to_pylist()
     suffixes = g["suffix"].to_pylist()
     anchors = g["is_anchor"].to_pylist()
+    if len(paths) > max_group:
+        logger.warning(
+            "anchor group truncated: %d members > max_group=%d",
+            len(paths),
+            max_group,
+        )
+        order = sorted(range(len(paths)), key=lambda i: (paths[i], lns[i]))[
+            :max_group
+        ]
+        paths = [paths[i] for i in order]
+        lns = [lns[i] for i in order]
+        suffixes = [suffixes[i] for i in order]
+        anchors = [anchors[i] for i in order]
     m = len(paths)
     out_block, out_path, out_line = [], [], []
     for a in range(m):
@@ -321,14 +340,28 @@ def multi_line_duplications(
     min_lines: int = 3,
     max_block_lines: int = 500,
     max_blocks: int = 100_000,
+    max_group: int = 10_000,
 ) -> list[tuple[str, list[tuple[str, int]]]]:
     """G4 end-to-end. Returns the reference result shape (block ->
     surviving locations) after driver-side overlap suppression and the
     min_lines retain filter (lib.rs:122-129).
 
+    Pre-suppression (r3, VERDICT #4): before the inherently-sequential
+    driver pass, a shuffle-local per-path sweep (locations can only
+    conflict with spans on their OWN path) splits candidates into
+    INTERACTING blocks (some location's span overlaps another
+    candidate's span on the same path) and CLEAN blocks (provably
+    conflict-free — emitted as-is). Only interacting blocks feed the
+    exact sequential algorithm; clean ones stream past it while still
+    counting as emissions (core.duplication.suppress_overlaps_mixed).
+    The sweep over-marks conservatively (same-block overlaps also mark),
+    which only shrinks the saving, never correctness. Both counts are
+    logged.
+
     Caps: ``max_block_lines`` bounds suffix shipping (blocks longer than
-    this are truncated — logged); ``max_blocks`` bounds the driver
-    collect for suppression (logged when hit).
+    this are truncated — logged); ``max_blocks`` bounds the candidate
+    set entering suppression (logged when hit); ``max_group`` bounds the
+    O(m²) anchor-group extension (logged, deterministic truncation).
     """
     dup_hashes, _ = duplicate_line_hashes(ds, id_col, text_col)
     if not dup_hashes:
@@ -361,8 +394,11 @@ def multi_line_duplications(
     )
 
     # Shuffle #2: group by anchor line hash, pairwise extend per group.
+    import functools
+
     pair_rows = members.groupby("anchor_key").map_groups(
-        _extend_group, batch_format="pyarrow"
+        functools.partial(_extend_group, max_group=max_group),
+        batch_format="pyarrow",
     )
 
     # Stage 4: block aggregation — distinct locations + sortable stats.
@@ -395,19 +431,100 @@ def multi_line_duplications(
         .map_groups(finalize_block, batch_format="pyarrow")
         .sort(["non_empty_lines", "byte_len", "block"], descending=[True, True, False])
         .limit(max_blocks)
+        .materialize()
     )
-    rows = candidates.take_all()
-    if len(rows) == max_blocks:
+    n_cand = candidates.count()
+    if n_cand == max_blocks:
         logger.warning("candidate blocks truncated at max_blocks=%d", max_blocks)
 
-    sorted_blocks = [
-        (
-            r["block"],
-            list(zip(r["paths"], [int(l) for l in r["lines"]])),
+    # Per-path pre-suppression sweep: explode candidate locations to
+    # (path, start, end, block_hash) rows and detect span overlaps
+    # inside path-aligned blocks — one small shuffle keyed by path; only
+    # blocks owning an overlapping location must enter the sequential
+    # driver pass.
+    def explode_locations(t: pa.Table) -> pa.Table:
+        bh = _hash_strs(t["block"].to_pylist())
+        n_lines = np.array(
+            [b.count("\n") + 1 for b in t["block"].to_pylist()], dtype=np.int64
         )
-        for r in rows
-    ]
-    result = suppress_overlaps(sorted_blocks)
+        out_bh, out_path, out_start, out_end = [], [], [], []
+        for i, (paths_i, lines_i) in enumerate(
+            zip(t["paths"].to_pylist(), t["lines"].to_pylist())
+        ):
+            for p, ln in zip(paths_i, lines_i):
+                out_bh.append(int(bh[i]))
+                out_path.append(p)
+                out_start.append(int(ln))
+                out_end.append(int(ln) + int(n_lines[i]) - 1)
+        return pa.table(
+            {
+                "bh": pa.array(out_bh, pa.uint64()),
+                "path": pa.array(out_path, pa.string()),
+                "start": pa.array(out_start, pa.int64()),
+                "end": pa.array(out_end, pa.int64()),
+            }
+        )
+
+    def detect_interactions(t: pa.Table) -> pa.Table:
+        """Whole-path blocks (grouped_apply): sort by start per path;
+        row i interacts backward iff start_i <= cummax(end) of earlier
+        rows, forward iff the NEXT start (sorted => min of later starts)
+        <= end_i. Conservative: same-block overlaps also mark."""
+        if t.num_rows == 0:
+            return pa.table({"bh": pa.array([], pa.uint64())})
+        df = (
+            pl.from_arrow(t)
+            .sort(["path", "start"])
+            .with_columns(
+                pl.col("end").cum_max().shift(1).over("path").alias("cm"),
+                pl.col("start").shift(-1).over("path").alias("nxt"),
+            )
+            .with_columns(
+                (
+                    (pl.col("start") <= pl.col("cm")).fill_null(False)
+                    | (pl.col("nxt") <= pl.col("end")).fill_null(False)
+                ).alias("inter")
+            )
+        )
+        hit = df.filter(pl.col("inter"))["bh"].unique()
+        return pa.table({"bh": pa.array(hit.to_numpy(), pa.uint64())})
+
+    from textalyzer_ray.stages.groups import grouped_apply, partitions_for
+
+    loc_rows = candidates.map_batches(explode_locations, batch_format="pyarrow")
+    interacting_bh: set[int] = set()
+    for b in grouped_apply(
+        loc_rows,
+        ["path"],
+        detect_interactions,
+        num_partitions=partitions_for(n_cand, rows_per_part=500_000),
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        interacting_bh.update(int(x) for x in b["bh"].to_pylist())
+
+    rows = candidates.take_all()
+    entries = []
+    n_inter_blocks = n_inter_locs = total_locs = 0
+    for r in rows:
+        locs = list(zip(r["paths"], [int(l) for l in r["lines"]]))
+        bh = int(_hash_strs([r["block"]])[0])
+        interacting = bh in interacting_bh
+        total_locs += len(locs)
+        if interacting:
+            n_inter_blocks += 1
+            n_inter_locs += len(locs)
+        entries.append((r["block"], locs, interacting))
+    logger.info(
+        "multi_line_duplications pre-suppression: %d/%d blocks "
+        "(%d/%d locations) interacting — only those enter the "
+        "sequential pass",
+        n_inter_blocks,
+        len(rows),
+        n_inter_locs,
+        total_locs,
+    )
+    from textalyzer_ray.core.duplication import suppress_overlaps_mixed
+
+    result = suppress_overlaps_mixed(entries)
     return [
         (content, locs)
         for content, locs in result

@@ -55,6 +55,8 @@ def read_table(
     num_blocks: int | None = None,
     min_blocks: int | None = None,
 ) -> Dataset:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -64,11 +66,23 @@ def read_table(
         num_blocks = max(num_blocks, min_blocks)
         # never shatter a small table into <128-row blocks — per-block
         # overhead would dominate whatever min_blocks was buying
-        import pyarrow.parquet as pq
-
         n_rows = pq.read_metadata(path).num_rows
         num_blocks = min(num_blocks, max(1, n_rows // 128))
-    return rd.read_parquet(path, columns=columns, override_num_blocks=num_blocks)
+    # Explicit metadata-FREE schema: parquet written via pandas carries
+    # b'pandas' schema metadata, and pyarrow 16.1 Schema.__hash__ fails
+    # on it ("unhashable type: 'dict'") — every downstream
+    # unify_schemas() then logs a warning and loses its early-exit
+    # schema dedup (VERDICT r2 #8). Stripping here fixes the whole
+    # lineage at zero per-row cost.
+    file_schema = pq.read_schema(path).remove_metadata()
+    schema = (
+        pa.schema([file_schema.field(c) for c in columns])
+        if columns
+        else file_schema
+    )
+    return rd.read_parquet(
+        path, columns=columns, schema=schema, override_num_blocks=num_blocks
+    )
 
 
 def cpu_heavy_min_blocks() -> int:
