@@ -1282,17 +1282,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_pairs": _q_simhash_pairs,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "sessionize": _q_sessionize,
         "line_width_histogram_chunks": _q_line_width_histogram_chunks,
         "lang_rollup": _q_lang_rollup,
         "source_rollup": _q_source_rollup,
         "top_k_longest": _q_top_k_longest,
-        "exact_dedup": _q_exact_dedup,
         "exact_dedup_distributed": _q_exact_dedup_distributed,
         "single_line_dups": _q_single_line_dups,
         "events_hourly": _q_events_hourly,
-        "events_hopping": _q_events_hopping,
         "similarity_topk": _q_similarity_topk,
         "cosine_pairs": _q_cosine_pairs,
         "knn_graph": _q_knn_graph,
@@ -1327,6 +1327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pdf_text": _q_extract_pdf_text,
         # SQL-oracled, redundant coverage (same families as entries
         # above) — first to fall past a driver cap
+        "exact_dedup": _q_exact_dedup,
+        "events_hopping": _q_events_hopping,
         "mixture_sample": _q_mixture_sample,
         "hash_sample": _q_hash_sample,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -1339,8 +1341,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": _q_readability,
         "langid": _q_langid,
         "ivf_topk": _q_ivf_topk,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_pairs": _q_winnow_pairs,
         "approx_distinct_words": _q_approx_distinct_words,
         "resumable_extract": _q_resumable_extract,
     }
@@ -1482,7 +1482,65 @@ def oracle_sql() -> dict[str, str]:
         "SUM(CASE WHEN v_hi > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) "
         "AS s_hi FROM svotes GROUP BY doc_id)"
     )
+    # Winnowing recomputed in pure SQL (r3): the k=8 Karp-Rabin rolling
+    # hash as ONE inline expression per position (B^j mod 2^64 constants
+    # precomputed and inlined — 6x faster than a powers-CTE join),
+    # 4-hash sliding-window minimum via a window frame, consecutive-pick
+    # dedup via lag(). Bit-identical to core.fingerprint
+    # winnowed_fingerprints on ASCII text (ascii(substr()) == the UTF-8
+    # byte; the sf corpora are ASCII, asserted by tests). The <=window
+    # "one fingerprint" small-doc branch is reproduced via the npos<=4
+    # split.
+    def winnow_fps_ctes(src: str) -> str:
+        return (
+            "wkh AS (SELECT doc_id, i, "
+            "(ascii(substr(text, i + 0, 1)) * CAST(12924618581234127435 AS HUGEINT) "
+            "+ ascii(substr(text, i + 1, 1)) * CAST(10923514805226455897 AS HUGEINT) "
+            "+ ascii(substr(text, i + 2, 1)) * CAST(14453212906556403763 AS HUGEINT) "
+            "+ ascii(substr(text, i + 3, 1)) * CAST(14003818205314896721 AS HUGEINT) "
+            "+ ascii(substr(text, i + 4, 1)) * CAST(1000009000027000027 AS HUGEINT) "
+            "+ ascii(substr(text, i + 5, 1)) * CAST(1000006000009 AS HUGEINT) "
+            "+ ascii(substr(text, i + 6, 1)) * CAST(1000003 AS HUGEINT) "
+            "+ ascii(substr(text, i + 7, 1))) % 18446744073709551616 AS h "
+            "FROM (SELECT doc_id, text, "
+            "unnest(generate_series(1, length(text) - 7)) AS i "
+            f"FROM {src} WHERE length(text) >= 8)), "
+            "wnp AS (SELECT doc_id, count(*) AS npos FROM wkh GROUP BY doc_id), "
+            "wsmall AS (SELECT k.doc_id, 1 AS ord, min(k.h) AS fp "
+            "FROM wkh k JOIN wnp USING (doc_id) WHERE wnp.npos <= 4 "
+            "GROUP BY k.doc_id), "
+            "wmins AS (SELECT k.doc_id, k.i, "
+            "min(k.h) OVER (PARTITION BY k.doc_id ORDER BY k.i "
+            "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin, wnp.npos "
+            "FROM wkh k JOIN wnp USING (doc_id) WHERE wnp.npos > 4), "
+            "wpicks AS (SELECT doc_id, i AS ord, wmin AS fp, "
+            "lag(wmin) OVER (PARTITION BY doc_id ORDER BY i) AS prev "
+            "FROM wmins WHERE i <= npos - 3), "
+            "wfps AS (SELECT doc_id, ord, fp FROM wpicks "
+            "WHERE prev IS NULL OR fp <> prev "
+            "UNION ALL SELECT doc_id, ord, fp FROM wsmall)"
+        )
+
     return {
+        "winnow_fingerprints": (
+            f"WITH {winnow_fps_ctes('documents')} "
+            "SELECT doc_id, count(*) AS n_fingerprints FROM wfps "
+            "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "winnow_pairs": (
+            f"WITH {aug_cte}, {winnow_fps_ctes('aug')}, "
+            "wdfp AS (SELECT DISTINCT doc_id, fp FROM wfps), "
+            "wcnt AS (SELECT doc_id, count(*) AS n FROM wdfp GROUP BY doc_id), "
+            "wshared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS n_shared FROM wdfp a JOIN wdfp b "
+            "ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, n_shared FROM wshared "
+            "JOIN wcnt ca ON ca.doc_id = id_a "
+            "JOIN wcnt cb ON cb.doc_id = id_b "
+            "WHERE n_shared >= 3 "
+            "AND CAST(n_shared AS DOUBLE) / least(ca.n, cb.n) >= 0.5 "
+            "ORDER BY id_a, id_b"
+        ),
         "word_histogram": (
             f"SELECT word, count(*) AS count FROM ({tokens_cte}) t "
             "GROUP BY word ORDER BY count DESC, word ASC"

@@ -128,7 +128,12 @@ def duplicate_keys(
     """Collected table of key combinations appearing >= min_count times."""
     import pyarrow.compute as pc
 
-    counts = key_counts(ds, keys, min_cols=min_cols)
+    # distributed=False explicitly: the result is COLLECTED right below,
+    # so the tree-to-one-block final is inherent to this helper's
+    # contract and the r3 auto-probe's materialize+count would be pure
+    # overhead on this path (it exists for callers that keep the counts
+    # distributed).
+    counts = key_counts(ds, keys, min_cols=min_cols, distributed=False)
     dup = counts.map_batches(
         lambda t: t.filter(pc.greater_equal(t["count"], min_count)),
         batch_format="pyarrow",
