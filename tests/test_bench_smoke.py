@@ -35,5 +35,8 @@ def test_bench_emits_single_json_line():
         "single_dups",
         "minhash",
         "topk",
+        "near_dedup",
+        "funnel",
+        "cosine_pairs",
     }
     assert data["n_docs"] == 500
