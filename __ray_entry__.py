@@ -1108,10 +1108,15 @@ def _q_winnow_pairs(sf_dir: str):
 
 
 def _q_resumable_extract(sf_dir: str):
-    """Partitioned flagship with checkpoint resume (rows-only): returns
-    per-partition (pid, row_count, fingerprint) from the lineage
-    manifests. Output lands under /tmp; a second driver run resumes and
-    returns identical rows (deterministic fingerprints)."""
+    """Partitioned flagship with checkpoint resume: returns
+    per-partition (pid, row_count) from the lineage manifests, SQL-
+    oracled against the row-range partitioning plan (dense doc_ids;
+    step = ceil(n/8)). The content fingerprints are polars row hashes
+    (not SQL-recomputable); their determinism and resume-equality are
+    pinned by tests/test_resumable_flagship.py instead — the driver's
+    rows-only check recorded only the row count anyway, so projecting
+    them out trades no evidence for a full rows+schema+hash gate.
+    Output lands under /tmp; a second driver run resumes."""
     import hashlib
     import pandas as pd
 
@@ -1125,7 +1130,6 @@ def _q_resumable_extract(sf_dir: str):
         {
             "pid": [p for p, _ in rows],
             "row_count": pd.Series([m["row_count"] for _, m in rows], dtype="int64"),
-            "fingerprint": [m["fingerprint"] for _, m in rows],
         }
     )
 
@@ -1309,7 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_components": _q_quality_components,
         "readability": _q_readability,
         "langid": _q_langid,
-        "word_doc_frequency": _q_word_doc_frequency,
+        "resumable_extract": _q_resumable_extract,
         "bigram_histogram": _q_bigram_histogram,
         "cust_orders_by_segment": _q_cust_orders_by_segment,
         "lineitem_priority_join": _q_lineitem_priority_join,
@@ -1332,18 +1336,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "distinct_word_count": _q_distinct_word_count,
         "top_words_per_lang": _q_top_words_per_lang,
+        "word_doc_frequency": _q_word_doc_frequency,
         "mixture_sample": _q_mixture_sample,
         "hash_sample": _q_hash_sample,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
         # rows-only (non-SQL-expressible: sketches, zlib, partition-
-        # dependent centroids, checkpoint state)
+        # dependent centroids, global greedy suppression)
         "compression_ratio": _q_compression_ratio,
         "multi_line_dups": _q_multi_line_dups,
         "ivf_topk": _q_ivf_topk,
         "approx_distinct_words": _q_approx_distinct_words,
-        "resumable_extract": _q_resumable_extract,
     }
 
 
@@ -2020,5 +2024,16 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s_es >= s_fr THEN 'es' "
             "ELSE 'fr' END AS lang_pred "
             "FROM s ORDER BY doc_id"
+        ),
+        # The partition plan re-derived: dense doc_ids split into 8
+        # row ranges of step ceil(n/8); every synthesized page extracts
+        # successfully (bench asserts count == n_docs), so row_count per
+        # partition is a pure range count.
+        "resumable_extract": (
+            "WITH c AS (SELECT count(*) AS n FROM documents), "
+            "s AS (SELECT greatest(1, (n + 7) // 8) AS step FROM c) "
+            "SELECT lpad(CAST(doc_id // step AS VARCHAR), 5, '0') AS pid, "
+            "CAST(count(*) AS BIGINT) AS row_count "
+            "FROM documents, s GROUP BY pid, step ORDER BY pid"
         ),
     }

@@ -165,6 +165,19 @@ def run_bench() -> dict:
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)
+    # In-run hardware control: this shared VM intermittently loses 2-20x
+    # of its CPU to the hypervisor (measured: the same suite 5 s on a
+    # quiet box, 112-125 s minutes later with load average ~3/32 — the
+    # cycles were stolen, not queued). A fixed multiprocessing burn
+    # measured in the SAME process run lets any recorded suite number be
+    # normalized: compare hw_burn_jobs_per_sec across rounds before
+    # comparing wall times.
+    import multiprocessing as mp
+
+    with mp.Pool(8) as pool:
+        t0 = time.monotonic()
+        pool.map(_hw_burn, [8_000_000] * 16)
+        hw_jobs_per_sec = round(16 / (time.monotonic() - t0), 2)
     return {
         "metric": "extraction+metrics pipeline suite wall time",
         "value": total,
@@ -173,6 +186,7 @@ def run_bench() -> dict:
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "n_docs": n_docs,
+        "hw_burn_jobs_per_sec": hw_jobs_per_sec,
         **extra,
     }
 
