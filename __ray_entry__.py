@@ -31,6 +31,28 @@ _STOPWORDS_SQL = (
 
 _TOKEN_SPLIT_SQL = "[^a-z]+"  # == Unicode split on this ASCII corpus
 
+# The full outlink set of a webgen page, re-derived in SQL: 17 root-
+# relative boilerplate hrefs (8 nav /cat/i + 6 sidebar /rel/i + 3
+# footer) that resolve against the page host docs.example, plus 3
+# sidebar cross-site links that are pure doc_id arithmetic
+# (sources/webgen.py cross_links_for: t_j = (doc_id*31+7+101*j) % 10000
+# on site{t_j % 50}.example).
+_LINKS_CTE = (
+    "links AS ("
+    "SELECT d.doc_id, 'https://docs.example' || p.path AS out_url, "
+    "'docs.example' AS out_host FROM documents d CROSS JOIN ("
+    "SELECT '/cat/' || CAST(i AS VARCHAR) AS path FROM range(8) t(i) "
+    "UNION ALL SELECT '/rel/' || CAST(i AS VARCHAR) FROM range(6) t(i) "
+    "UNION ALL SELECT unnest(['/about', '/terms', '/privacy'])) p "
+    "UNION ALL "
+    "SELECT doc_id, "
+    "'https://site' || CAST(t % 50 AS VARCHAR) || '.example/page/' || "
+    "CAST(t AS VARCHAR), "
+    "'site' || CAST(t % 50 AS VARCHAR) || '.example' "
+    "FROM (SELECT doc_id, (doc_id * 31 + 7 + 101 * j) % 10000 AS t "
+    "FROM documents CROSS JOIN range(3) r(j)))"
+)
+
 
 def _docs(sf_dir: str, columns: list | None = None):
     from textalyzer_ray.sources.tables import read_table
@@ -278,6 +300,37 @@ def _cached_shard_dir(sf_dir: str, kind: str, n_shards: int, build):
     shutil.rmtree(final, ignore_errors=True)
     os.rename(tmp, final)
     return final
+
+
+def _pages(sf_dir: str):
+    from textalyzer_ray.sources.webgen import pages_batch
+
+    return _docs(sf_dir).map_batches(
+        pages_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_outlinks(sf_dir: str):
+    """Link-graph extraction: synthesized pages -> one row per href
+    (vectorized polars extract_all; html dies in the batch). The 17
+    boilerplate hrefs resolve to the page host; the 3 sidebar cross
+    links are pure doc_id arithmetic (webgen.cross_links_for), so the
+    oracle re-derives every row."""
+    from textalyzer_ray.pipelines.links import extract_outlinks
+
+    return extract_outlinks(_pages(sf_dir)).sort(["doc_id", "out_url"])
+
+
+def _q_host_outdegree(sf_dir: str):
+    from textalyzer_ray.pipelines.links import host_outdegree
+
+    return host_outdegree(_pages(sf_dir)).sort("out_host")
+
+
+def _q_site_linkgraph(sf_dir: str):
+    from textalyzer_ray.pipelines.links import site_linkgraph
+
+    return site_linkgraph(_pages(sf_dir)).sort(["src_host", "dst_host"])
 
 
 def _q_warc_extract(sf_dir: str):
@@ -1293,8 +1346,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "line_width_histogram_chunks": _q_line_width_histogram_chunks,
         "lang_rollup": _q_lang_rollup,
-        "source_rollup": _q_source_rollup,
-        "top_k_longest": _q_top_k_longest,
         "exact_dedup_distributed": _q_exact_dedup_distributed,
         "single_line_dups": _q_single_line_dups,
         "events_hourly": _q_events_hourly,
@@ -1310,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "extract_text": _q_extract_text,
         "warc_extract": _q_warc_extract,
+        "outlinks": _q_outlinks,
         "quality_components": _q_quality_components,
         "readability": _q_readability,
         "langid": _q_langid,
@@ -1320,6 +1372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_region_nation": _q_orders_by_region_nation,
         "purchase_asof_view": _q_purchase_asof_view,
         "readability_components": _q_readability_components,
+        "host_outdegree": _q_host_outdegree,
+        "site_linkgraph": _q_site_linkgraph,
         "gopher_quality": _q_gopher_quality,
         "curation_funnel": _q_curation_funnel,
         "chars_quantiles": _q_chars_quantiles,
@@ -1327,11 +1381,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shards": _q_token_shards,
         "decontaminate": _q_decontaminate,
         "scrub_pii": _q_scrub_pii,
-        "purchase_view_range_join": _q_purchase_view_range_join,
         "extract_fixtures": _q_extract_fixtures,
         "extract_pdf_text": _q_extract_pdf_text,
         # SQL-oracled, redundant coverage (same families as entries
         # above) — first to fall past a driver cap
+        "purchase_view_range_join": _q_purchase_view_range_join,
+        "source_rollup": _q_source_rollup,
+        "top_k_longest": _q_top_k_longest,
         "exact_dedup": _q_exact_dedup,
         "events_hopping": _q_events_hopping,
         "distinct_word_count": _q_distinct_word_count,
@@ -2024,6 +2080,27 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s_es >= s_fr THEN 'es' "
             "ELSE 'fr' END AS lang_pred "
             "FROM s ORDER BY doc_id"
+        ),
+        # Link-graph family: webgen pages carry 17 boilerplate hrefs
+        # (root-relative, resolving to the page host) + 3 sidebar cross
+        # links that are pure doc_id arithmetic (cross_links_for:
+        # t_j = (doc_id*31 + 7 + 101*j) % 10000 on site{t%50}.example),
+        # so the oracle re-derives the full link set.
+        "outlinks": (
+            f"WITH {_LINKS_CTE} "
+            "SELECT doc_id, out_url, out_host FROM links "
+            "ORDER BY doc_id, out_url"
+        ),
+        "host_outdegree": (
+            f"WITH {_LINKS_CTE} "
+            "SELECT out_host, CAST(count(*) AS BIGINT) AS n_links "
+            "FROM links GROUP BY out_host ORDER BY out_host"
+        ),
+        "site_linkgraph": (
+            f"WITH {_LINKS_CTE} "
+            "SELECT 'docs.example' AS src_host, out_host AS dst_host, "
+            "CAST(count(*) AS BIGINT) AS n_links "
+            "FROM links GROUP BY dst_host ORDER BY src_host, dst_host"
         ),
         # The partition plan re-derived: dense doc_ids split into 8
         # row ranges of step ceil(n/8); every synthesized page extracts

@@ -1,0 +1,112 @@
+"""Link-graph pipeline tests: outlink extraction, host rollups —
+checked against a pure-Python re-derivation of the webgen link set."""
+
+import re
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from textalyzer_ray.pipelines.links import (
+    extract_outlinks,
+    host_outdegree,
+    site_linkgraph,
+)
+from textalyzer_ray.sources.webgen import cross_links_for, pages_from_documents
+
+pytestmark = pytest.mark.usefixtures("quiet_data_context")
+
+# The boilerplate hrefs every webgen page carries (webgen._NAV /
+# _SIDEBAR / _FOOTER), all root-relative.
+BOILERPLATE = (
+    [f"/cat/{i}" for i in range(8)]
+    + [f"/rel/{i}" for i in range(6)]
+    + ["/about", "/terms", "/privacy"]
+)
+
+
+def pages_ds(n=7):
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array([f"doc body number {i} words" for i in range(n)]),
+            "lang": pa.array(["en"] * n),
+        }
+    )
+    return rd.from_arrow(pages_from_documents(docs)), n
+
+
+def expected_links(doc_id):
+    base = "https://docs.example"
+    out = [(base + p, "docs.example") for p in BOILERPLATE]
+    for href, _anchor in cross_links_for(doc_id):
+        host = re.match(r"^https?://([^/]+)", href).group(1)
+        out.append((href, host))
+    return out
+
+
+def test_extract_outlinks_matches_oracle():
+    ds, n = pages_ds()
+    got = extract_outlinks(ds).to_pandas()
+    assert set(got.columns) == {"doc_id", "out_url", "out_host"}
+    for d in range(n):
+        rows = got[got.doc_id == d]
+        assert (
+            sorted(zip(rows.out_url, rows.out_host))
+            == sorted(expected_links(d))
+        ), f"doc {d} link set mismatch"
+    # 17 boilerplate + 3 cross links, all distinct
+    assert len(got) == 20 * n
+
+
+def test_extract_outlinks_schema_is_native_string():
+    ds, _ = pages_ds(2)
+    schema = extract_outlinks(ds).schema()
+    # joins reject large_string vs string keys; the stage must normalize
+    assert schema.base_schema.field("out_url").type == pa.string()
+    assert schema.base_schema.field("out_host").type == pa.string()
+
+
+def test_host_outdegree_totals():
+    ds, n = pages_ds()
+    got = host_outdegree(ds).to_pandas().set_index("out_host")["n_links"]
+    assert got.loc["docs.example"] == 17 * n
+    cross = {h for d in range(n) for _u, h in expected_links(d)[17:]}
+    assert got.drop("docs.example").sum() == 3 * n
+    assert set(got.index) == {"docs.example"} | cross
+
+
+def test_site_linkgraph_src_is_page_host():
+    ds, n = pages_ds()
+    got = site_linkgraph(ds).to_pandas()
+    assert (got.src_host == "docs.example").all()
+    assert got.n_links.sum() == 20 * n
+    self_edge = got[(got.dst_host == "docs.example")]
+    assert self_edge.n_links.iloc[0] == 17 * n
+
+
+def test_outlinks_crawl_garbage_relative_href():
+    # malformed / relative crawl hrefs still produce deterministic rows
+    html = (
+        b'<html><body><a href="nopath">x</a>'
+        b'<a href="https://other.example/a">y</a>'
+        b"<a href='single-quoted-ignored'>z</a></body></html>"
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "url": pa.array(["https://host.example/p/1"]),
+                "html": pa.array([html], pa.binary()),
+            }
+        )
+    )
+    got = extract_outlinks(ds).to_pandas().sort_values("out_url")
+    # double-quoted hrefs only (webgen emits double quotes; the regex
+    # contract is documented in pipelines/links.py)
+    assert list(got.out_url) == [
+        "https://host.example/nopath",
+        "https://other.example/a",
+    ]
+    assert list(got.out_host) == ["host.example", "other.example"]

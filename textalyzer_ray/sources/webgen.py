@@ -77,23 +77,52 @@ def paragraphs_for(text: str, words_per_para: int | None = 40) -> list[str]:
     ]
 
 
+def cross_links_for(doc_id: int) -> list[tuple[str, str]]:
+    """Deterministic cross-site outlinks for a page: pure doc_id
+    arithmetic (no corpus-size dependence, no RNG), so a DuckDB oracle
+    can re-derive every link — targets t_j = (doc_id*31 + 7 + 101*j)
+    mod 10000, hosted on site{t_j mod 50}.example. Dangling targets
+    (pages that do not exist in the corpus) are intentional: real link
+    graphs have them."""
+    out = []
+    for j in range(3):
+        t = (int(doc_id) * 31 + 7 + 101 * j) % 10_000
+        out.append((f"https://site{t % 50}.example/page/{t}", f"Linked page {t}"))
+    return out
+
+
 def render_page(
-    text: str, title: str = "A page", words_per_para: int | None = 40
+    text: str,
+    title: str = "A page",
+    words_per_para: int | None = 40,
+    extra_links: list[tuple[str, str]] | None = None,
 ) -> bytes:
     """text -> full HTML page whose main-content extraction equals
-    ``"\\n".join(paragraphs_for(text, words_per_para))`` byte-for-byte."""
+    ``"\\n".join(paragraphs_for(text, words_per_para))`` byte-for-byte.
+
+    ``extra_links`` (href, anchor) pairs are injected into the link-
+    dense <aside> — boilerplate the Arc90 scorer rejects — so they are
+    visible to outlink extraction but can never change the extracted
+    main content."""
     paras = "".join(
         f"<p>{_html.escape(p, quote=False)}</p>"
         for p in paragraphs_for(text, words_per_para)
         if p
     )
+    sidebar = _SIDEBAR
+    if extra_links:
+        injected = "".join(
+            f'<li><a href="{href}">{_html.escape(anchor, quote=False)}</a></li>'
+            for href, anchor in extra_links
+        )
+        sidebar = sidebar.replace("</ul></aside>", injected + "</ul></aside>")
     doc = (
         "<!DOCTYPE html><html>"
         + _HEAD.format(title=_html.escape(title, quote=False))
         + "<body>"
         + _NAV
         + f'<div id="content"><article>{paras}</article></div>'
-        + _SIDEBAR
+        + sidebar
         + _FOOTER
         + "</body></html>"
     )
@@ -174,9 +203,17 @@ def pages_from_documents(doc_table: pa.Table) -> pa.Table:
     texts = doc_table["text"].to_pylist()
     langs = doc_table["lang"].to_pylist()
     # single-paragraph wrap: extraction is byte-identical to the original
-    # doc text, which is what the driver's DuckDB oracle checks.
+    # doc text, which is what the driver's DuckDB oracle checks. Each
+    # page carries 3 deterministic cross-site links in the sidebar
+    # (cross_links_for) for the link-graph pipelines — sidebar-only, so
+    # extraction byte-identity is untouched.
     htmls = [
-        render_page(t, title=f"doc {d}", words_per_para=None)
+        render_page(
+            t,
+            title=f"doc {d}",
+            words_per_para=None,
+            extra_links=cross_links_for(d),
+        )
         for d, t in zip(doc_ids, texts)
     ]
     return pa.table(
