@@ -64,6 +64,29 @@ class TestIvf:
         # vec 0's clones live in its own cell -> must be found
         assert {0, 1, 2} <= ids
 
+    def test_ivf_oracle_setting_is_exact_at_sf001(self):
+        # The driver oracle for ivf_topk asserts equality with the
+        # exact top-10 (— __ray_entry__._q_ivf_topk); that only holds
+        # while n_probe=4/8 keeps measured recall 1 on the sf0.01
+        # embeddings. Pin it here so a parameter or testdata change
+        # fails fast in CI instead of at the driver gate.
+        import pyarrow.parquet as pq
+
+        emb = pq.read_table(
+            "/root/testdata/sf0.01/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        )
+        idx = emb["vec_id"].to_pylist().index(0)
+        q = np.asarray([emb["embedding"][idx].as_py()], dtype=np.float64)
+        ds = rd.from_arrow(emb)
+        ivf = [
+            r["vec_id"]
+            for r in ivf_topk(ds, q, k=10, n_centroids=8, n_probe=4).take_all()
+        ]
+        ds = rd.from_arrow(emb)
+        bf = [r["vec_id"] for r in brute_force_topk(ds, q, k=10).take_all()]
+        assert ivf == bf
+
     def test_near_dup_pairs(self):
         ds, m = emb_ds(n=64)
         rows = embedding_near_dup_pairs(ds, threshold=0.98, n_centroids=4).take_all()
