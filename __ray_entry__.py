@@ -1108,6 +1108,69 @@ def _q_gopher_quality(sf_dir: str):
     )
 
 
+def _q_rep_signals(sf_dir: str):
+    """Gopher repetition-removal signals over a planted-repetition
+    corpus: docs with doc_id % 5 == 0 get their first-12-word prefix
+    appended twice (pure doc_id arithmetic, so the oracle re-derives the
+    corpus), then every doc is chunked into 6-word newline-joined lines
+    (the derived line view shared with the dup queries). The 12-word
+    repeat is a multiple of the 6-word chunk width, so planted docs show
+    duplicate LINES as well as duplicate 5-grams regardless of where the
+    repeat lands — all three signal families are exercised nontrivially.
+    """
+    import polars as pl
+    import pyarrow as pa
+
+    from textalyzer_ray.pipelines.curation import rep_signals
+
+    def plant_and_chunk(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select(["doc_id", "text"]))
+            .with_columns(
+                pl.col("text")
+                .str.split(" ")
+                .list.slice(0, 12)
+                .list.join(" ")
+                .alias("_rep")
+            )
+            .with_columns(
+                pl.when(pl.col("doc_id") % 5 == 0)
+                .then(
+                    pl.col("text") + " " + pl.col("_rep") + " " + pl.col("_rep")
+                )
+                .otherwise(pl.col("text"))
+                .alias("_t2")
+            )
+        )
+        ex = (
+            df.select("doc_id", pl.col("_t2").str.split(" ").alias("w"))
+            .explode("w")
+            .with_columns(
+                ((pl.col("w").cum_count().over("doc_id") - 1) // WORDS_PER_LINE)
+                .alias("ci")
+            )
+        )
+        doc = (
+            ex.group_by(["doc_id", "ci"], maintain_order=True)
+            .agg(pl.col("w").str.join(" ").alias("chunk"))
+            .sort(["doc_id", "ci"])
+            .group_by("doc_id", maintain_order=True)
+            .agg(pl.col("chunk").str.join("\n").alias("text"))
+        )
+        return doc.to_arrow().cast(
+            pa.schema(
+                [
+                    pa.field("doc_id", t.schema.field("doc_id").type),
+                    pa.field("text", pa.string()),
+                ]
+            )
+        )
+
+    planted = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        plant_and_chunk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return rep_signals(planted).sort("doc_id")
+
 
 def _q_url_dedup(sf_dir: str):
     """Crawl-level URL dedup: two deterministic variants per doc (case,
@@ -1382,6 +1445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_outdegree": _q_host_outdegree,
         "site_linkgraph": _q_site_linkgraph,
         "gopher_quality": _q_gopher_quality,
+        "rep_signals": _q_rep_signals,
         "curation_funnel": _q_curation_funnel,
         "chars_quantiles": _q_chars_quantiles,
         "parts_by_supplier_nation": _q_parts_by_supplier_nation,
@@ -1883,6 +1947,58 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id, rank"
         ),
         "gopher_quality": gopher_sql,
+        # Repetition signals over the planted corpus (_q_rep_signals):
+        # re-derive the planting (first-12-word prefix appended twice
+        # for doc_id % 5 == 0), then duplicate 6-word chunk lines, the
+        # top bigram (ties bigram-ascending) and duplicate 5-grams, with
+        # the kept rule in the same exact integer arithmetic as the
+        # pipeline. n_chars of the newline-joined chunk text equals
+        # length(t2): both separators are one char.
+        "rep_signals": (
+            "WITH rep0 AS (SELECT doc_id, text, array_to_string("
+            "(regexp_split_to_array(text, ' '))[1:12], ' ') AS rep FROM documents), "
+            "d0 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+            "text || ' ' || rep || ' ' || rep ELSE text END AS t2 FROM rep0), "
+            "w AS (SELECT doc_id, t2, regexp_split_to_array(t2, ' ') AS ws FROM d0), "
+            "idx AS (SELECT doc_id, ws, unnest(generate_series(0, "
+            f"CAST(ceil(len(ws)/{WORDS_PER_LINE}.0) AS INT)-1)) AS i FROM w), "
+            "c AS (SELECT doc_id, array_to_string("
+            f"ws[i*{WORDS_PER_LINE}+1 : i*{WORDS_PER_LINE}+{WORDS_PER_LINE}], ' ') AS content FROM idx), "
+            "lg AS (SELECT doc_id, content, count(*) AS c FROM c GROUP BY 1, 2), "
+            "lsig AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, "
+            "CAST(sum(c-1) AS BIGINT) AS dup_line_count, "
+            "CAST(sum((c-1)*length(content)) AS BIGINT) AS dup_line_chars "
+            "FROM lg GROUP BY doc_id), "
+            "tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(t2), "
+            f"'{_TOKEN_SPLIT_SQL}'), x -> x <> '') AS tws FROM d0), "
+            "bi AS (SELECT doc_id, tws[i] || ' ' || tws[i+1] AS g FROM "
+            "(SELECT doc_id, tws, unnest(generate_series(1, len(tws)-1)) AS i "
+            "FROM tok WHERE len(tws) >= 2)), "
+            "bg AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2), "
+            "btop AS (SELECT doc_id, g AS top_bigram, CAST(c AS BIGINT) AS "
+            "top_bigram_count FROM (SELECT doc_id, g, c, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM bg) WHERE rn = 1), "
+            "g5 AS (SELECT doc_id, tws[i]||' '||tws[i+1]||' '||tws[i+2]||' '"
+            "||tws[i+3]||' '||tws[i+4] AS g FROM (SELECT doc_id, tws, "
+            "unnest(generate_series(1, len(tws)-4)) AS i FROM tok WHERE len(tws) >= 5)), "
+            "d5 AS (SELECT doc_id, CAST(sum(c-1) AS BIGINT) AS dup5_excess FROM "
+            "(SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2) GROUP BY doc_id) "
+            "SELECT d.doc_id, l.n_lines, CAST(length(w.t2) AS BIGINT) AS n_chars, "
+            "CAST(coalesce(len(tok.tws), 0) AS BIGINT) AS n_tokens, "
+            "l.dup_line_count, l.dup_line_chars, "
+            "coalesce(b.top_bigram, '') AS top_bigram, "
+            "coalesce(b.top_bigram_count, 0) AS top_bigram_count, "
+            "coalesce(f.dup5_excess, 0) AS dup5_excess, "
+            "CAST(CASE WHEN 10*l.dup_line_count <= 3*l.n_lines "
+            "AND 5*coalesce(b.top_bigram_count, 0)*length(coalesce(b.top_bigram, '')) "
+            "<= length(w.t2) "
+            "AND 20*coalesce(f.dup5_excess, 0) <= "
+            "3*greatest(coalesce(len(tok.tws), 0)-4, 0) "
+            "THEN 1 ELSE 0 END AS BIGINT) AS kept "
+            "FROM documents d JOIN lsig l USING (doc_id) JOIN w USING (doc_id) "
+            "JOIN tok USING (doc_id) LEFT JOIN btop b USING (doc_id) "
+            "LEFT JOIN d5 f USING (doc_id) ORDER BY d.doc_id"
+        ),
         "jsonl_roundtrip": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
         ),

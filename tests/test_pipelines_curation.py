@@ -520,3 +520,86 @@ class TestScrubPii:
         assert rows[1]["n_phones"] == 1
         assert rows[2]["text"] == "nothing sensitive"
         assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
+
+
+class TestRepSignals:
+    def _run(self, texts, ids=None):
+        from textalyzer_ray.pipelines.curation import rep_signals
+
+        ids = ids or list(range(len(texts)))
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+        )
+        return {r["doc_id"]: r for r in rep_signals(ds).take_all()}
+
+    def test_duplicate_lines_counted_beyond_first(self):
+        # "spam spam" appears 3 times -> 2 duplicate occurrences of 9 chars
+        r = self._run(["spam spam\nunique line\nspam spam\nspam spam"])[0]
+        assert r["n_lines"] == 4
+        assert r["dup_line_count"] == 2
+        assert r["dup_line_chars"] == 2 * len("spam spam")
+
+    def test_top_bigram_and_tie_break(self):
+        # "a b" x2 and "b a" x2 tie on count -> lexicographically smaller wins
+        r = self._run(["a b a b a"])[0]
+        assert r["top_bigram"] == "a b"
+        assert r["top_bigram_count"] == 2
+
+    def test_dup5_excess(self):
+        # a 6-token phrase repeated twice -> 2 repeated 5-grams, 1 extra
+        # occurrence each
+        phrase = "one two three four five six"
+        r = self._run([phrase + " stop " + phrase])[0]
+        assert r["dup5_excess"] == 2
+        # 13 tokens: 20*2 > 3*(13-4), so half-the-doc repetition
+        # correctly fails the 0.15 duplicate-5-gram rule
+        assert r["kept"] == 0
+
+    def test_heavy_repetition_fails_kept(self):
+        r = self._run(["junk line\n" * 10 + "junk line"])[0]
+        assert r["dup_line_count"] == 10
+        assert r["kept"] == 0
+
+    def test_empty_and_tokenless_docs(self):
+        rows = self._run(["", "!!! ???"])
+        assert rows[0]["n_lines"] == 0 and rows[0]["n_tokens"] == 0
+        assert rows[0]["kept"] == 1  # nothing repeated -> passes
+        assert rows[1]["n_tokens"] == 0 and rows[1]["top_bigram"] == ""
+
+    def test_matches_pure_python_oracle(self):
+        from collections import Counter
+
+        from textalyzer_ray.core.textmetrics import split_lines, tokenize
+
+        texts = [
+            "the cat sat on the mat the cat sat again",
+            "alpha beta\nalpha beta\ngamma delta",
+            "x",
+        ]
+        rows = self._run(texts)
+        for i, text in enumerate(texts):
+            r = rows[i]
+            lines = split_lines(text)
+            lc = Counter(lines)
+            assert r["n_lines"] == len(lines)
+            assert r["dup_line_count"] == sum(c - 1 for c in lc.values())
+            assert r["dup_line_chars"] == sum(
+                (c - 1) * len(l) for l, c in lc.items()
+            )
+            toks = tokenize(text)
+            assert r["n_tokens"] == len(toks)
+            bigrams = Counter(
+                " ".join(toks[j : j + 2]) for j in range(len(toks) - 1)
+            )
+            if bigrams:
+                top = min(
+                    bigrams, key=lambda g: (-bigrams[g], g)
+                )
+                assert (r["top_bigram"], r["top_bigram_count"]) == (
+                    top,
+                    bigrams[top],
+                )
+            fives = Counter(
+                " ".join(toks[j : j + 5]) for j in range(len(toks) - 4)
+            )
+            assert r["dup5_excess"] == sum(c - 1 for c in fives.values())

@@ -571,6 +571,151 @@ def decontaminate(
     )
 
 
+def rep_signals(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> Dataset:
+    """Gopher-style repetition-removal signals per document (Rae et al.
+    2021, table A1 "repetitious text" family) — the within-doc
+    counterpart of the corpus-wide dedup pipelines. All counts are
+    integers so a DuckDB oracle verifies every column exactly:
+
+    - ``n_lines`` / ``dup_line_count`` / ``dup_line_chars``: duplicate
+      lines (Rust ``lines()`` semantics via stages.lines.explode_lines);
+      dup_* count occurrences beyond each content's first.
+    - ``n_tokens`` / ``top_bigram`` / ``top_bigram_count``: the most
+      frequent token 2-gram (exact tokenizer; ties break
+      bigram-ascending, same total order as doc_top_bigram).
+    - ``dup5_excess``: occurrences beyond the first of repeated token
+      5-grams. Occurrence-count form of Gopher's duplicate-n-gram
+      signal — the char-marking variant needs per-doc interval union,
+      deliberately not implemented (documented deviation).
+    - ``kept``: all three rules pass, thresholds 0.30 / 0.20 / 0.15 in
+      EXACT integer arithmetic (10*dup_lines <= 3*n_lines;
+      5*count*len(top_bigram) <= n_chars;
+      20*dup5_excess <= 3*max(n_tokens-4, 0)).
+
+    Doc-local by construction: one vectorized polars pass per batch, no
+    shuffle, embarrassingly parallel at any corpus size.
+    """
+    import polars as pl
+
+    from textalyzer_ray.stages.lines import explode_lines
+    from textalyzer_ray.stages.tokenize import exploded_tokens
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("n_lines", pa.int64()),
+            pa.field("n_chars", pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("dup_line_count", pa.int64()),
+            pa.field("dup_line_chars", pa.int64()),
+            pa.field("top_bigram", pa.string()),
+            pa.field("top_bigram_count", pa.int64()),
+            pa.field("dup5_excess", pa.int64()),
+            pa.field("kept", pa.int64()),
+        ]
+    )
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        base = (
+            pl.from_arrow(t.select([id_col, text_col]))
+            .with_columns(
+                pl.col(text_col).str.len_chars().cast(pl.Int64).alias("n_chars")
+            )
+            .select(id_col, "n_chars")
+        )
+        # duplicate-line signals: (c-1) per content group is 0 for
+        # unique lines, so plain sums need no c>1 filter
+        lg = (
+            pl.from_arrow(explode_lines(t, id_col, text_col))
+            .group_by([id_col, "content"])
+            .len()
+            .rename({"len": "c"})
+        )
+        lsig = lg.group_by(id_col).agg(
+            pl.col("c").sum().cast(pl.Int64).alias("n_lines"),
+            (pl.col("c") - 1).sum().cast(pl.Int64).alias("dup_line_count"),
+            ((pl.col("c") - 1) * pl.col("content").str.len_chars())
+            .sum()
+            .cast(pl.Int64)
+            .alias("dup_line_chars"),
+        )
+        toks = pl.from_arrow(exploded_tokens(t, id_col, text_col))
+        ntok = toks.group_by(id_col).len().rename({"len": "n_tokens"})
+        grams = toks
+        for k in range(1, 5):
+            grams = grams.with_columns(
+                pl.col("word").shift(-k).over(id_col).alias(f"_w{k}")
+            )
+        bg = (
+            grams.drop_nulls("_w1")
+            .with_columns((pl.col("word") + " " + pl.col("_w1")).alias("g"))
+            .group_by([id_col, "g"])
+            .len()
+            .rename({"len": "c"})
+        )
+        btop = (
+            bg.sort([id_col, "c", "g"], descending=[False, True, False])
+            .group_by(id_col, maintain_order=True)
+            .head(1)
+            .select(
+                id_col,
+                pl.col("g").alias("top_bigram"),
+                pl.col("c").cast(pl.Int64).alias("top_bigram_count"),
+            )
+        )
+        d5 = (
+            grams.drop_nulls(["_w1", "_w2", "_w3", "_w4"])
+            .with_columns(
+                (
+                    pl.col("word") + " " + pl.col("_w1") + " " + pl.col("_w2")
+                    + " " + pl.col("_w3") + " " + pl.col("_w4")
+                ).alias("g")
+            )
+            .group_by([id_col, "g"])
+            .len()
+            .rename({"len": "c"})
+            .group_by(id_col)
+            .agg((pl.col("c") - 1).sum().cast(pl.Int64).alias("dup5_excess"))
+        )
+        out = (
+            base.join(lsig, on=id_col, how="left")
+            .join(ntok, on=id_col, how="left")
+            .join(btop, on=id_col, how="left")
+            .join(d5, on=id_col, how="left")
+            .with_columns(
+                pl.col("n_lines", "dup_line_count", "dup_line_chars",
+                       "dup5_excess").fill_null(0),
+                pl.col("n_tokens").fill_null(0).cast(pl.Int64),
+                pl.col("top_bigram").fill_null(""),
+                pl.col("top_bigram_count").fill_null(0),
+            )
+            .with_columns(
+                (
+                    (10 * pl.col("dup_line_count") <= 3 * pl.col("n_lines"))
+                    & (
+                        5
+                        * pl.col("top_bigram_count")
+                        * pl.col("top_bigram").str.len_chars().cast(pl.Int64)
+                        <= pl.col("n_chars")
+                    )
+                    & (
+                        20 * pl.col("dup5_excess")
+                        <= 3 * (pl.col("n_tokens") - 4).clip(lower_bound=0)
+                    )
+                )
+                .cast(pl.Int64)
+                .alias("kept")
+            )
+        )
+        return out.select(out_schema.names).to_arrow().cast(out_schema)
+
+    return ds.map_batches(per_doc, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # RE2-only redaction patterns (no lookahead/backrefs) shared verbatim
 # with the SQL oracle: Arrow's replace_substring_regex and DuckDB's
 # regexp_replace(..., 'g') both run RE2, so redactions are bit-equal.
