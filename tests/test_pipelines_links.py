@@ -110,3 +110,67 @@ def test_outlinks_crawl_garbage_relative_href():
         "https://other.example/a",
     ]
     assert list(got.out_host) == ["host.example", "other.example"]
+
+
+class TestHostPagerank:
+    def _edges(self, rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src_host": pa.array([r[0] for r in rows], pa.string()),
+                    "dst_host": pa.array([r[1] for r in rows], pa.string()),
+                    "n_links": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            )
+        )
+
+    def test_two_node_cycle_analytic(self):
+        from textalyzer_ray.pipelines.links import host_pagerank
+
+        # a <-> b symmetric cycle: stationary distribution is uniform
+        # and every iterate stays exactly (0.5, 0.5)
+        rows = host_pagerank(
+            self._edges([("a", "b", 1), ("b", "a", 1)]), n_iter=7
+        ).take_all()
+        assert {r["host"]: r["pr"] for r in rows} == {"a": 0.5, "b": 0.5}
+        # tie on pr -> rank breaks host-ascending
+        assert {r["host"]: r["pr_rank"] for r in rows} == {"a": 1, "b": 2}
+
+    def test_mass_conserved_with_dangling(self):
+        from textalyzer_ray.pipelines.links import host_pagerank
+
+        # c is dangling (no out-edges); total rank mass must stay 1
+        rows = host_pagerank(
+            self._edges([("a", "b", 2), ("a", "c", 1), ("b", "c", 3)]),
+            n_iter=10,
+        ).take_all()
+        assert abs(sum(r["pr"] for r in rows) - 1.0) < 1e-12
+        # c receives from both a and b -> highest rank
+        assert sorted(rows, key=lambda r: r["pr_rank"])[0]["host"] == "c"
+
+    def test_distributed_path_matches_small(self):
+        from textalyzer_ray.pipelines.links import host_pagerank
+
+        edges = [
+            ("a", "b", 2), ("a", "c", 1), ("b", "c", 3),
+            ("c", "a", 1), ("d", "a", 5), ("b", "d", 1),
+        ]
+        small = {
+            r["host"]: (r["pr"], r["pr_rank"])
+            for r in host_pagerank(self._edges(edges), n_iter=6).take_all()
+        }
+        big = {
+            r["host"]: (r["pr"], r["pr_rank"])
+            for r in host_pagerank(
+                self._edges(edges), n_iter=6, small_threshold=0
+            ).take_all()
+        }
+        assert set(small) == set(big)
+        for h in small:
+            assert small[h][1] == big[h][1]
+            assert abs(small[h][0] - big[h][0]) < 1e-14
+
+    def test_empty_edges(self):
+        from textalyzer_ray.pipelines.links import host_pagerank
+
+        assert host_pagerank(self._edges([])).count() == 0

@@ -19,7 +19,14 @@ from __future__ import annotations
 
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 from ray.data import Dataset
+
+
+@ray.remote
+def _num_rows(block: pa.Table) -> int:
+    return block.num_rows
 
 _HREF_RE = r'href="([^"]*)"'
 _HOST_RE = r"^(https?://[^/]+)"
@@ -95,10 +102,401 @@ def host_outdegree(pages: Dataset) -> Dataset:
 
     links = extract_outlinks(pages).select_columns(["out_host"])
     counts = key_counts(links, ["out_host"])
+    schema = pa.schema(
+        [pa.field("out_host", pa.string()), pa.field("n_links", pa.int64())]
+    )
+    # cast large_string -> string (key_counts goes through polars);
+    # downstream joins reject mixed string widths
     return counts.map_batches(
-        lambda t: t.rename_columns(["out_host", "n_links"]),
+        lambda t: t.rename_columns(["out_host", "n_links"]).cast(schema),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def host_pagerank(
+    edges: Dataset,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    small_threshold: int = 2_000_000,
+) -> Dataset:
+    """Weighted PageRank over a host-level edge rollup
+    (src_host, dst_host, n_links) -> (host, pr: double, pr_rank:
+    bigint) — the link-authority prior a web-curation funnel uses for
+    domain quality weighting. Fixed ``n_iter`` power iterations with
+    uniform dangling-mass redistribution:
+
+        pr' = (1-d)/N + d * (sum_in pr[s]*w/W[s] + dangling/N)
+
+    ``pr_rank`` orders by (pr DESC, host ASC) — a total order, so the
+    int column is oracle-safe even where pr floats are not.
+
+    Mechanism sized to the MEASURED edge count (the
+    connected_components pattern):
+    - ``n_edges <= small_threshold``: ONE remote numpy task over the
+      edge block refs (host graphs are tiny relative to the corpus —
+      a power iteration per round through dataset joins pays ~1.5 s of
+      shuffle-actor startup for kilobytes of rank mass). Edges never
+      touch the driver.
+    - larger graphs: the transition weight w/W[s] is prejoined ONCE,
+      then each round is one hash-partitioned join (edges ⋈ pr on src)
+      + one key-aligned grouped sum per dst + a per-block dangling-mass
+      probe (one float per block to the driver). Shuffles are sized to
+      the measured edge count.
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    edges = edges.select_columns(
+        ["src_host", "dst_host", "n_links"]
+    ).materialize()
+    edges.context.shuffle_strategy = DataContext.get_current().shuffle_strategy
+    n_edges = edges.count()
+    out_schema = pa.schema(
+        [
+            pa.field("host", pa.string()),
+            pa.field("pr", pa.float64()),
+            pa.field("pr_rank", pa.int64()),
+        ]
+    )
+    if n_edges == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    if n_edges <= small_threshold:
+
+        @ray.remote
+        def pagerank_task(*blocks: pa.Table) -> pa.Table:
+            df = pl.concat([pl.from_arrow(b) for b in blocks])
+            srcs = df["src_host"].to_list()
+            dsts = df["dst_host"].to_list()
+            hosts = sorted(set(srcs) | set(dsts))
+            idx = {h: i for i, h in enumerate(hosts)}
+            src = np.fromiter((idx[h] for h in srcs), np.int64, len(srcs))
+            dst = np.fromiter((idx[h] for h in dsts), np.int64, len(dsts))
+            w = df["n_links"].to_numpy().astype(np.float64)
+            n = len(hosts)
+            outw = np.zeros(n)
+            np.add.at(outw, src, w)
+            dangling = outw == 0.0
+            pr = np.full(n, 1.0 / n)
+            frac = w / outw[src]
+            for _ in range(n_iter):
+                contrib = np.zeros(n)
+                np.add.at(contrib, dst, pr[src] * frac)
+                dang = pr[dangling].sum()
+                pr = (1.0 - damping) / n + damping * (contrib + dang / n)
+            order = np.lexsort((np.array(hosts), -pr))
+            rank = np.empty(n, np.int64)
+            rank[order] = np.arange(1, n + 1)
+            return pa.table(
+                {
+                    "host": pa.array(hosts, pa.string()),
+                    "pr": pa.array(pr, pa.float64()),
+                    "pr_rank": pa.array(rank, pa.int64()),
+                }
+            )
+
+        refs = edges.to_arrow_refs()
+        return rd.from_arrow_refs([pagerank_task.remote(*refs)])
+
+    # ---- distributed power iteration (edge-count-sized shuffles) ----
+    # Every keyed step is a union-tag co-partition through grouped_apply
+    # (rows from both sides tagged into one schema, hash-partitioned by
+    # the key, then one vectorized polars pass per key-aligned block) —
+    # NOT Dataset.join: a side whose distinct-key count is below the
+    # partition count leaves empty hash partitions, and Ray emits those
+    # as schema-less empty blocks that acero's join rejects ("No match
+    # ... for key field reference"). The union-tag shape is immune (the
+    # grouped map just skips empty blocks) and costs the same single
+    # shuffle per step.
+    from textalyzer_ray.stages.groups import grouped_apply, partitions_for
+
+    n_parts = partitions_for(n_edges)
+
+    # node set: every host that appears on either side
+    def hosts_of(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": pa.concat_arrays(
+                    [
+                        t["src_host"].combine_chunks().cast(pa.string()),
+                        t["dst_host"].combine_chunks().cast(pa.string()),
+                    ]
+                )
+            }
+        )
+
+    def distinct_block(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .unique("host")
+            .to_arrow()
+            .cast(pa.schema([pa.field("host", pa.string())]))
+        )
+
+    nodes = grouped_apply(
+        edges.map_batches(hosts_of, batch_format="pyarrow"),
+        ["host"],
+        distinct_block,
+        num_partitions=n_parts,
+    ).materialize()
+    n_nodes = nodes.count()
+
+    # transition fractions w/W[src], computed inside each key-aligned
+    # block (all of a src's edges land together, so the per-src sum is
+    # globally correct; int sums are exact in float64, so frac is
+    # bit-equal to the small path's w/outw)
+    frac_schema = pa.schema(
+        [
+            pa.field("src_host", pa.string()),
+            pa.field("dst_host", pa.string()),
+            pa.field("frac", pa.float64()),
+        ]
+    )
+
+    def frac_block(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(
+                (
+                    pl.col("n_links").cast(pl.Float64)
+                    / pl.col("n_links").sum().over("src_host").cast(pl.Float64)
+                ).alias("frac")
+            )
+            .select("src_host", "dst_host", "frac")
+            .to_arrow()
+            .cast(frac_schema)
+        )
+
+    edges_frac = grouped_apply(
+        edges, ["src_host"], frac_block, num_partitions=n_parts
+    ).materialize()
+
+    # init pr with a dangling flag (host has no out-edges), join-free:
+    # node rows and src-marker rows co-partition by host
+    pr_schema = pa.schema(
+        [
+            pa.field("host", pa.string()),
+            pa.field("pr", pa.float64()),
+            pa.field("dangling", pa.bool_()),
+        ]
+    )
+    mark_schema = pa.schema(
+        [pa.field("host", pa.string()), pa.field("is_src", pa.bool_())]
+    )
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t["host"].combine_chunks().cast(pa.string()),
+                "is_src": pa.array([False] * t.num_rows, pa.bool_()),
+            }
+        ).cast(mark_schema)
+
+    def src_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t["src_host"].combine_chunks().cast(pa.string()),
+                "is_src": pa.array([True] * t.num_rows, pa.bool_()),
+            }
+        ).cast(mark_schema)
+
+    def init_block(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by("host")
+            .agg((~pl.col("is_src").any()).alias("dangling"))
+            .with_columns(pl.lit(1.0 / n_nodes).alias("pr"))
+            .select("host", "pr", "dangling")
+            .to_arrow()
+            .cast(pr_schema)
+        )
+
+    pr = grouped_apply(
+        nodes.map_batches(node_rows, batch_format="pyarrow").union(
+            edges.map_batches(src_rows, batch_format="pyarrow")
+        ),
+        ["host"],
+        init_block,
+        num_partitions=n_parts,
+    ).materialize()
+
+    def block_dangling_sum(ds: Dataset) -> float:
+        # per-block partial sums, one float per block to the driver
+        # (Dataset.sum plans a full HashAggregate — CC convergence-probe
+        # lesson)
+        parts = ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "s": [
+                        pc.sum(
+                            pc.if_else(t["dangling"], t["pr"], 0.0)
+                        ).as_py()
+                        or 0.0
+                    ]
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).take_all()
+        return float(sum(r["s"] for r in parts))
+
+    # per-round union-tag schemas: edge rows carry (frac, dst_host),
+    # pr rows carry pr; structure rows carry dangling, contrib rows c
+    flow_schema = pa.schema(
+        [
+            pa.field("key", pa.string()),
+            pa.field("dst_host", pa.string()),
+            pa.field("frac", pa.float64()),
+            pa.field("pr", pa.float64()),
+        ]
+    )
+    upd_schema = pa.schema(
+        [
+            pa.field("host", pa.string()),
+            pa.field("dangling", pa.bool_()),
+            pa.field("c", pa.float64()),
+        ]
+    )
+    contrib_schema = pa.schema(
+        [pa.field("host", pa.string()), pa.field("c", pa.float64())]
+    )
+
+    def edge_flow_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["src_host"],
+                "dst_host": t["dst_host"],
+                "frac": t["frac"],
+                "pr": pa.nulls(t.num_rows, pa.float64()),
+            }
+        ).cast(flow_schema)
+
+    def pr_flow_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["host"],
+                "dst_host": pa.nulls(t.num_rows, pa.string()),
+                "frac": pa.nulls(t.num_rows, pa.float64()),
+                "pr": t["pr"],
+            }
+        ).cast(flow_schema)
+
+    def contrib_block(t: pa.Table) -> pa.Table:
+        # key-aligned: every edge of a src sits with that src's pr row;
+        # per-dst sums here are PARTIAL (dst spans blocks) — finalized
+        # by the grouped sum below
+        df = pl.from_arrow(t)
+        edf = df.filter(pl.col("frac").is_not_null()).select(
+            "key", "dst_host", "frac"
+        )
+        if edf.height == 0:
+            return contrib_schema.empty_table()
+        prdf = df.filter(pl.col("pr").is_not_null()).select("key", "pr")
+        return (
+            edf.join(prdf, on="key", how="inner")
+            .group_by("dst_host")
+            .agg((pl.col("pr") * pl.col("frac")).sum().alias("c"))
+            .rename({"dst_host": "host"})
+            .to_arrow()
+            .cast(contrib_schema)
+        )
+
+    def pr_struct_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t["host"],
+                "dangling": t["dangling"],
+                "c": pa.nulls(t.num_rows, pa.float64()),
+            }
+        ).cast(upd_schema)
+
+    def contrib_tag_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t["host"],
+                "dangling": pa.nulls(t.num_rows, pa.bool_()),
+                "c": t["c"],
+            }
+        ).cast(upd_schema)
+
+    for _ in range(n_iter):
+        dang = block_dangling_sum(pr)
+        base = (1.0 - damping) / n_nodes
+        dang_term = dang / n_nodes
+        contrib = grouped_apply(
+            edges_frac.map_batches(edge_flow_rows, batch_format="pyarrow").union(
+                pr.map_batches(pr_flow_rows, batch_format="pyarrow")
+            ),
+            ["key"],
+            contrib_block,
+            num_partitions=n_parts,
+        )
+
+        def update_block(
+            t: pa.Table, base=base, dang_term=dang_term
+        ) -> pa.Table:
+            df = pl.from_arrow(t)
+            struct = df.filter(pl.col("dangling").is_not_null()).select(
+                "host", "dangling"
+            )
+            if struct.height == 0:
+                return pr_schema.empty_table()
+            csum = (
+                df.filter(pl.col("c").is_not_null())
+                .group_by("host")
+                .agg(pl.col("c").sum().alias("c"))
+            )
+            return (
+                struct.join(csum, on="host", how="left")
+                .with_columns(pl.col("c").fill_null(0.0))
+                .with_columns(
+                    (base + damping * (pl.col("c") + dang_term)).alias("pr")
+                )
+                .select("host", "pr", "dangling")
+                .to_arrow()
+                .cast(pr_schema)
+            )
+
+        pr = grouped_apply(
+            pr.map_batches(pr_struct_rows, batch_format="pyarrow").union(
+                contrib.map_batches(contrib_tag_rows, batch_format="pyarrow")
+            ),
+            ["host"],
+            update_block,
+            num_partitions=n_parts,
+        ).materialize()
+
+    # global rank: sorted blocks + a block-size prefix scan (the
+    # token_shard_assignment pattern) — rank = global position + 1,
+    # no single-block repartition
+    mat = (
+        pr.select_columns(["host", "pr"])
+        .sort(["pr", "host"], descending=[True, False])
+        .materialize()
+    )
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def stamp_ranks(offset: int, block: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": block["host"].cast(pa.string()),
+                "pr": block["pr"].cast(pa.float64()),
+                "pr_rank": pa.array(
+                    range(offset + 1, offset + 1 + block.num_rows), pa.int64()
+                ),
+            }
+        )
+
+    sizes = ray.get([_num_rows.remote(r) for r in refs])
+    offsets = [0]
+    for s in sizes[:-1]:
+        offsets.append(offsets[-1] + s)
+    return rd.from_arrow_refs(
+        [stamp_ranks.remote(o, r) for o, r in zip(offsets, refs)]
     )
 
 
@@ -126,8 +524,19 @@ def site_linkgraph(pages: Dataset) -> Dataset:
 
     edges = pages.map_batches(with_src, batch_format="pyarrow", zero_copy_batch=True)
     counts = key_counts(edges, ["src_host", "dst_host"])
+    schema = pa.schema(
+        [
+            pa.field("src_host", pa.string()),
+            pa.field("dst_host", pa.string()),
+            pa.field("n_links", pa.int64()),
+        ]
+    )
+    # cast large_string -> string (key_counts goes through polars);
+    # downstream joins reject mixed string widths
     return counts.map_batches(
-        lambda t: t.rename_columns(["src_host", "dst_host", "n_links"]),
+        lambda t: t.rename_columns(["src_host", "dst_host", "n_links"]).cast(
+            schema
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
