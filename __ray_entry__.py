@@ -914,9 +914,14 @@ def _q_winnow_fingerprints(sf_dir: str):
 
 
 def _q_approx_distinct_words(sf_dir: str):
-    """HyperLogLog distinct-token estimate (rows-only: a sketch, not
-    SQL-exact) — one (estimate, exact-relative-error-checked in pytest)
-    row. Mergeable-sketch pattern: one 4 KiB register set per block."""
+    """HyperLogLog distinct-token estimate, HARD-oracled: the token
+    hash is polyhash64 (SQL-recomputable, the SimHash trick), register
+    ranks are exact bit lengths (np.frexp == DuckDB length(bin(w))),
+    and rounding is floor(+0.5) in both engines. At sf0.01 the estimate
+    takes the linear-counting branch (raw 2969 <= 2.5m with huge
+    margin); the final value sits 0.38 from its rounding boundary, so
+    last-ulp ln() differences cannot flip it. Mergeable-sketch pattern:
+    one 4 KiB register set per block."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -1522,11 +1527,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
         "ivf_topk": _q_ivf_topk,
-        # rows-only (non-SQL-expressible: sketches, zlib, global
-        # greedy suppression)
+        "approx_distinct_words": _q_approx_distinct_words,
+        # rows-only (non-SQL-expressible: zlib, global greedy
+        # suppression)
         "compression_ratio": _q_compression_ratio,
         "multi_line_dups": _q_multi_line_dups,
-        "approx_distinct_words": _q_approx_distinct_words,
     }
 
 
@@ -2287,6 +2292,65 @@ def oracle_sql() -> dict[str, str]:
             "FROM links GROUP BY dst_host ORDER BY src_host, dst_host"
         ),
         "host_pagerank": _pagerank_oracle_sql(),
+        # HyperLogLog rebuilt in pure SQL: polyhash64 per distinct
+        # token (powers CTE + HUGEINT modular products + hi-into-lo
+        # fold, as in the simhash oracle), bucket = hash >> 52,
+        # rank = 53 - exact bit length (length(bin(w)), unpadded),
+        # per-bucket max, then the Flajolet estimate with the
+        # linear-counting branch and floor(+0.5) rounding — every step
+        # mirrors stages/sketch.py bit-for-bit (see _q_approx_distinct_words
+        # for the measured margins).
+        "approx_distinct_words": (
+            "WITH RECURSIVE hw AS (SELECT DISTINCT word FROM ("
+            "SELECT unnest(regexp_split_to_array(lower(text), "
+            f"'{_TOKEN_SPLIT_SQL}')) AS word FROM documents) "
+            "WHERE word <> ''), "
+            "hpows(i, v) AS (SELECT 0, CAST(1 AS HUGEINT) UNION ALL "
+            "SELECT i + 1, (v * 1000003) % 18446744073709551616 FROM hpows "
+            "WHERE i < (SELECT max(length(word)) FROM hw)), "
+            "hraw AS (SELECT c.word, SUM(ascii(substr(c.word, c.i, 1)) * p.v) "
+            "% 18446744073709551616 AS h FROM (SELECT word, "
+            "unnest(generate_series(1, length(word))) AS i FROM hw) c "
+            "JOIN hpows p ON p.i = length(c.word) - c.i GROUP BY c.word), "
+            "hmix AS (SELECT word, CAST(((h * 2685821657736338717) "
+            "% 18446744073709551616) // 4294967296 AS BIGINT) AS hi, "
+            "xor(CAST(((h * 2685821657736338717) % 18446744073709551616) "
+            "% 4294967296 AS BIGINT), CAST(((h * 2685821657736338717) "
+            "% 18446744073709551616) // 4294967296 AS BIGINT)) AS lo "
+            "FROM hraw), "
+            # fmix64 finalizer, three xorshift-33 + two modular
+            # multiplies on (hi, lo) 32-bit halves: h ^= h>>33 is
+            # lo ^= hi>>1 (the shifted value's high half is zero)
+            # the murmur constants are ~2^63.9, so h*K overflows signed
+            # INT128 — split K into 32-bit halves: h*K mod 2^64 =
+            # (h*K_lo + (h*K_hi mod 2^32)*2^32) mod 2^64, every
+            # intermediate < 2^96 (the CLAUDE.md h*C < 2^127 rule)
+            "hx1 AS (SELECT word, hi, xor(lo, hi >> 1) AS lo FROM hmix), "
+            "hm1 AS (SELECT word, CAST(v // 4294967296 AS BIGINT) AS hi, "
+            "CAST(v % 4294967296 AS BIGINT) AS lo FROM (SELECT word, "
+            "(h * 3982748877 + ((h * 4283543511) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS v FROM (SELECT word, "
+            "CAST(hi AS HUGEINT) * 4294967296 + lo AS h FROM hx1))), "
+            "hx2 AS (SELECT word, hi, xor(lo, hi >> 1) AS lo FROM hm1), "
+            "hm2 AS (SELECT word, CAST(v // 4294967296 AS BIGINT) AS hi, "
+            "CAST(v % 4294967296 AS BIGINT) AS lo FROM (SELECT word, "
+            "(h * 444591187 + ((h * 3302898174) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS v FROM (SELECT word, "
+            "CAST(hi AS HUGEINT) * 4294967296 + lo AS h FROM hx2))), "
+            "hx3 AS (SELECT word, hi, xor(lo, hi >> 1) AS lo FROM hm2), "
+            "hbits AS (SELECT hi >> 20 AS idx, "
+            "(hi % 1048576) * 4294967296 + lo AS w FROM hx3), "
+            "hreg AS (SELECT idx, max(CASE WHEN w = 0 THEN 53 "
+            "ELSE 53 - length(bin(w)) END) AS r FROM hbits GROUP BY idx), "
+            "hsum AS (SELECT count(*) AS n_used, "
+            "sum(power(2.0, -r)) AS s FROM hreg), "
+            "hest AS (SELECT (0.7213/(1.0 + 1.079/4096.0)) * 4096.0 * 4096.0 "
+            "/ (s + (4096 - n_used) * 1.0) AS raw, 4096 - n_used AS zeros "
+            "FROM hsum) "
+            "SELECT CAST(floor(CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0 "
+            "THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END + 0.5) AS BIGINT) "
+            "AS approx_distinct_words FROM hest"
+        ),
         # The partition plan re-derived: dense doc_ids split into 8
         # row ranges of step ceil(n/8); every synthesized page extracts
         # successfully (bench asserts count == n_docs), so row_count per
