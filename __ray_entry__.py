@@ -1476,6 +1476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "single_line_dups": _q_single_line_dups,
         "events_hourly": _q_events_hourly,
         "similarity_topk": _q_similarity_topk,
+        "ivf_topk": _q_ivf_topk,
         "cosine_pairs": _q_cosine_pairs,
         "knn_graph": _q_knn_graph,
         "embedding_clusters": _q_embedding_clusters,
@@ -1483,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "dedup_against": _q_dedup_against,
         "approx_top_words": _q_approx_top_words,
+        "approx_distinct_words": _q_approx_distinct_words,
         "line_dedup_rebuild": _q_line_dedup_rebuild,
         "bpe_token_counts": _q_bpe_token_counts,
         "extract_text": _q_extract_text,
@@ -1526,8 +1528,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
-        "ivf_topk": _q_ivf_topk,
-        "approx_distinct_words": _q_approx_distinct_words,
         # rows-only (non-SQL-expressible: zlib, global greedy
         # suppression)
         "compression_ratio": _q_compression_ratio,

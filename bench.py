@@ -163,6 +163,29 @@ def run_bench() -> dict:
         lambda: contract._q_cosine_pairs(sf_dir).count(),
     )
 
+    # r3 session additions: the link-graph family (outlink extraction ->
+    # host edge rollup -> PageRank) as one chained timing, and the
+    # per-doc repetition-signal scan — both new operator families this
+    # round, regression-tracked from now on.
+    def linkgraph():
+        from textalyzer_ray.pipelines.links import host_pagerank, site_linkgraph
+
+        pages = docs(cpu_heavy=True).map_batches(
+            pages_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return host_pagerank(site_linkgraph(pages), n_iter=10).count()
+
+    timed("linkgraph", linkgraph)
+
+    def rep_scan():
+        from textalyzer_ray.pipelines.curation import rep_signals
+
+        return rep_signals(
+            docs(cpu_heavy=True).select_columns(["doc_id", "text"])
+        ).count()
+
+    timed("rep_signals", rep_scan)
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     # In-run hardware control: this shared VM intermittently loses 2-20x
