@@ -135,3 +135,92 @@ class TestStagesRealDecode:
         )
         f = rows[0]["audio_features"]
         assert len(f) == 8 and abs(sum(f) - 1.0) < 1e-5
+
+
+class TestPng:
+    def test_round_trip_every_channel_and_filter(self):
+        from textalyzer_ray.core.media import decode_png, encode_png
+
+        rng = np.random.RandomState(0)
+        for ch in (1, 2, 3, 4):
+            shape = (13, 7, ch) if ch > 1 else (13, 7)
+            img = rng.randint(0, 256, shape, dtype=np.uint8)
+            for filts in ([0], [1], [2], [3], [4], None):
+                back = decode_png(encode_png(img, filters=filts))
+                assert back.shape == img.shape and (back == img).all(), (
+                    ch,
+                    filts,
+                )
+
+    def test_palette_png(self):
+        # hand-build a color-type-3 file: 2x2 indices into a 3-color PLTE
+        import zlib
+
+        from textalyzer_ray.core.media import decode_png
+
+        def chunk(typ, body):
+            crc = zlib.crc32(typ + body) & 0xFFFFFFFF
+            return (
+                len(body).to_bytes(4, "big")
+                + typ
+                + body
+                + crc.to_bytes(4, "big")
+            )
+
+        ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
+            [8, 3, 0, 0, 0]
+        )
+        pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+        scan = bytes([0, 0, 1, 0, 2, 0])  # filter0 rows: [0,1], [2,0]
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", pal)
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b"")
+        )
+        img = decode_png(data)
+        assert img.shape == (2, 2, 3)
+        assert img[0, 0].tolist() == [255, 0, 0]
+        assert img[0, 1].tolist() == [0, 255, 0]
+        assert img[1, 0].tolist() == [0, 0, 255]
+
+    def test_error_contract(self):
+        from textalyzer_ray.core.media import (
+            UnsupportedMediaError,
+            decode_png,
+            encode_png,
+        )
+
+        img = np.zeros((4, 4, 3), np.uint8)
+        good = encode_png(img)
+        for bad in (b"nope", b"\x89PNG\r\n\x1a\nxxxx", good[:40]):
+            with pytest.raises(UnsupportedMediaError):
+                decode_png(bad)
+        # 16-bit/interlaced must refuse, not crash
+        hacked = bytearray(good)
+        hacked[24] = 16  # bit depth byte inside IHDR
+        with pytest.raises(UnsupportedMediaError):
+            decode_png(bytes(hacked))
+
+    def test_decode_image_stage_handles_png(self, quiet_data_context):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.core.media import encode_png
+        from textalyzer_ray.stages.multimodal import DecodeImage
+
+        img = np.full((3, 5, 3), 128, np.uint8)
+        t = pa.table(
+            {
+                "media_id": [1],
+                "data": pa.array([encode_png(img)], pa.binary()),
+            }
+        )
+        rows = (
+            rd.from_arrow(t)
+            .map_batches(DecodeImage, batch_format="pyarrow", concurrency=1)
+            .take_all()
+        )
+        assert (rows[0]["img_width"], rows[0]["img_height"]) == (5, 3)
+        assert rows[0]["img_mean"] == pytest.approx(128 / 255, abs=0.01)

@@ -8,11 +8,15 @@ but several production-relevant raw formats need none:
 - ``decode_bmp``: uncompressed 24/32-bit BMP (BITMAPINFOHEADER,
   BI_RGB) — bottom-up padded BGR rows.
 - ``decode_wav``: PCM WAV via the stdlib ``wave`` module.
+- ``decode_png`` / ``encode_png``: 8-bit non-interlaced PNG — a REAL
+  compressed format whose only codec is stdlib zlib plus the five
+  per-row byte filters (r3).
 - ``resize_nearest``: nearest-neighbor resize (pure numpy indexing).
 
-These make the multimodal stages REAL for raw payloads; compressed
-formats (JPEG/PNG/MP4) still raise ``UnsupportedMediaError`` and are the
-documented stub boundary (stages/multimodal.py).
+These make the multimodal stages REAL for raw payloads and PNG; formats
+needing actual codec libraries (JPEG/MP4) still raise
+``UnsupportedMediaError`` and are the documented stub boundary
+(stages/multimodal.py).
 """
 
 from __future__ import annotations
@@ -91,6 +95,157 @@ def decode_bmp(data: bytes) -> np.ndarray:
         rows = rows[::-1]
     # BGR(A) -> RGB
     return np.ascontiguousarray(rows[:, :, 2::-1])
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per color type: 0 gray, 2 RGB, 3 palette index, 4 gray+A, 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> uint8 array (h, w) gray or
+    (h, w, ch) — a REAL compressed-format decoder with zero codec
+    libraries: PNG's only codec is zlib (stdlib) plus five per-row
+    byte filters (spec §6), unfiltered here with numpy (sub is a
+    modular prefix-sum per byte lane; up is vectorized; average/paeth
+    walk bytes). Palette (PLTE) images come back expanded to RGB.
+    16-bit and interlaced files raise ``UnsupportedMediaError``."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise UnsupportedMediaError("not a PNG file")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            raise UnsupportedMediaError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise UnsupportedMediaError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise UnsupportedMediaError(
+            f"only 8-bit non-interlaced PNG supported "
+            f"(depth={depth}, color={ctype}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise UnsupportedMediaError(f"corrupt PNG stream: {e}") from e
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise UnsupportedMediaError("truncated PNG pixel data")
+    rows = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    filters, scan = rows[:, 0], rows[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f, row = int(filters[y]), scan[y]
+        if f == 0:
+            cur = row.copy()
+        elif f == 1:  # sub: modular prefix-sum per byte lane
+            cur = row.reshape(-1, ch).cumsum(axis=0).reshape(-1) % 256
+        elif f == 2:  # up
+            cur = (row + prev) % 256
+        elif f == 3:  # average
+            cur = row.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + (a + prev[x]) // 2) % 256
+        elif f == 4:  # paeth
+            cur = row.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) % 256
+        else:
+            raise UnsupportedMediaError(f"unknown PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    img = out.astype(np.uint8).reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise UnsupportedMediaError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        img = pal[img[:, :, 0]]
+    return img[:, :, 0] if img.shape[2] == 1 else img
+
+
+def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Minimal PNG encoder (fixture generation — the container has no
+    image libraries to make test files with). 8-bit gray/RGB/RGBA;
+    ``filters`` picks the per-row filter type (default: cycle 0-4 so a
+    round-trip exercises every decode path)."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int64)
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = filters[y % len(filters)] if filters else (y % 5)
+        cur = flat[y]
+        if f == 0:
+            enc = cur % 256
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            enc = (cur - (left + prev) // 2) % 256
+        else:  # paeth
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            ul = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+            p = left + prev - ul
+            pa_, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = (cur - pred) % 256
+        lines.append(f)
+        lines.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(typ + body) & 0xFFFFFFFF
+        return len(body).to_bytes(4, "big") + typ + body + crc.to_bytes(4, "big")
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:

@@ -26,6 +26,7 @@ from textalyzer_ray.core.media import (
     UnsupportedMediaError,
     audio_features,
     decode_bmp,
+    decode_png,
     decode_ppm,
     decode_wav,
     image_features,
@@ -57,13 +58,15 @@ class DecodeImage:
             img = decode_ppm(raw)
         elif raw[:2] == b"BM":
             img = decode_bmp(raw)
+        elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+            img = decode_png(raw)
         elif self.fake:
             digest = hashlib.blake2b(raw, digest_size=8).digest()
             return 64 + digest[0], 64 + digest[1], digest[2] / 255.0
         else:
             raise UnsupportedMediaError(
                 "compressed image codecs are not available in this "
-                "environment; supported raw formats: PPM/PGM, BMP "
+                "environment; supported formats: PPM/PGM, BMP, PNG "
                 "(or construct DecodeImage(fake=True) for the stub)"
             )
         if self.resize_to is not None:
