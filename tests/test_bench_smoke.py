@@ -38,5 +38,7 @@ def test_bench_emits_single_json_line():
         "near_dedup",
         "funnel",
         "cosine_pairs",
+        "linkgraph",
+        "rep_signals",
     }
     assert data["n_docs"] == 500
