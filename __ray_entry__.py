@@ -1098,6 +1098,17 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(tr, ev, n=5)
 
 
+def _q_dup_ngram_coverage(sf_dir: str):
+    """Cross-document duplicated 3-gram coverage (RefinedWeb
+    dup_ngram_frac family): per doc, the n-gram occurrences shared with
+    at least one other document, plus the exact-integer keep rule
+    (coverage <= 0.70). All-BIGINT columns -> full hash oracle."""
+    from textalyzer_ray.pipelines.curation import dup_ngram_coverage
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return dup_ngram_coverage(docs, n=3).sort("doc_id")
+
+
 def _q_mixture_sample(sf_dir: str):
     """Source-weighted mixture: even-numbered sources kept at 25%,
     odd at 100%."""
@@ -1513,6 +1524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": _q_scrub_pii,
         "extract_fixtures": _q_extract_fixtures,
         "extract_pdf_text": _q_extract_pdf_text,
+        "dup_ngram_coverage": _q_dup_ngram_coverage,
         # SQL-oracled, redundant coverage (same families as entries
         # above) — first to fall past a driver cap
         "purchase_view_range_join": _q_purchase_view_range_join,
@@ -2094,6 +2106,30 @@ def oracle_sql() -> dict[str, str]:
             "WHERE g.doc_id % 25 <> 0) "
             "SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0 "
             "AND doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"
+        ),
+        "dup_ngram_coverage": (
+            "WITH tok AS (SELECT doc_id, list_filter("
+            f"regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'), "
+            "x -> x <> '') AS ws FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(ws[i : i+2], ' ') AS gram "
+            "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) "
+            "AS i FROM tok WHERE len(ws) >= 3)), "
+            "p AS (SELECT doc_id, gram, count(*) AS occ FROM g "
+            "GROUP BY doc_id, gram), "
+            "dg AS (SELECT gram FROM p GROUP BY gram HAVING count(*) >= 2), "
+            "tot AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_grams, "
+            "CAST(count(*) AS BIGINT) AS n_distinct FROM p GROUP BY doc_id), "
+            "dup AS (SELECT p.doc_id, CAST(sum(occ) AS BIGINT) AS dup_grams, "
+            "CAST(count(*) AS BIGINT) AS dup_distinct FROM p "
+            "JOIN dg USING (gram) GROUP BY p.doc_id) "
+            "SELECT d.doc_id, coalesce(t.n_grams, 0) AS n_grams, "
+            "coalesce(t.n_distinct, 0) AS n_distinct, "
+            "coalesce(u.dup_grams, 0) AS dup_grams, "
+            "coalesce(u.dup_distinct, 0) AS dup_distinct, "
+            "CAST(CASE WHEN 10*coalesce(u.dup_grams, 0) <= "
+            "7*coalesce(t.n_grams, 0) THEN 1 ELSE 0 END AS BIGINT) AS kept "
+            "FROM documents d LEFT JOIN tot t USING (doc_id) "
+            "LEFT JOIN dup u USING (doc_id) ORDER BY doc_id"
         ),
         "mixture_sample": (
             "SELECT doc_id, source FROM documents WHERE "

@@ -603,3 +603,89 @@ class TestRepSignals:
                 " ".join(toks[j : j + 5]) for j in range(len(toks) - 4)
             )
             assert r["dup5_excess"] == sum(c - 1 for c in fives.values())
+
+
+class TestDupNgramCoverage:
+    @staticmethod
+    def _docs():
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                    "text": [
+                        "the quick brown fox jumps over the lazy dog",
+                        "THE QUICK BROWN cat naps all day long",
+                        "something entirely different here now ok",
+                        "hi",  # < 3 tokens -> all-zero row, kept
+                        "the quick brown fox again the quick brown fox",
+                    ],
+                }
+            )
+        ).materialize()
+
+    # hand-computed: "the quick brown" is in docs 1/2/5 (twice in 5),
+    # "quick brown fox" in 1/5 (twice in 5); doc 2's tokenizer lowers
+    # THE QUICK BROWN onto doc 1's grams
+    WANT = [
+        (1, 7, 7, 2, 2, 1),
+        (2, 6, 6, 1, 1, 1),
+        (3, 4, 4, 0, 0, 1),
+        (4, 0, 0, 0, 0, 1),
+        (5, 7, 5, 4, 2, 1),
+    ]
+    COLS = ["doc_id", "n_grams", "n_distinct", "dup_grams", "dup_distinct", "kept"]
+
+    def _rows(self, ds):
+        return [tuple(r[c] for c in self.COLS) for r in ds.sort("doc_id").take_all()]
+
+    def test_broadcast_path_exact(self):
+        from textalyzer_ray.pipelines.curation import dup_ngram_coverage
+
+        assert self._rows(dup_ngram_coverage(self._docs(), n=3)) == self.WANT
+
+    def test_distributed_path_equals_broadcast(self):
+        """broadcast_threshold=0 forces the gram-aligned grouped path
+        (sentinel rows carry the zero-gram doc through the merges)."""
+        from textalyzer_ray.pipelines.curation import dup_ngram_coverage
+
+        got = self._rows(
+            dup_ngram_coverage(self._docs(), n=3, broadcast_threshold=0)
+        )
+        assert got == self.WANT
+
+    def test_no_cross_doc_duplication(self):
+        from textalyzer_ray.pipelines.curation import dup_ngram_coverage
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": ["aa bb cc dd", "ee ff gg hh"],
+                }
+            )
+        ).materialize()
+        got = self._rows(dup_ngram_coverage(ds, n=3))
+        assert got == [(0, 2, 2, 0, 0, 1), (1, 2, 2, 0, 0, 1)]
+
+    def test_kept_rule_threshold(self):
+        """A doc fully covered by shared grams fails the 0.70 rule."""
+        from textalyzer_ray.pipelines.curation import dup_ngram_coverage
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": [
+                        "one two three four",
+                        "one two three four",
+                        "unrelated words entirely here",
+                    ],
+                }
+            )
+        ).materialize()
+        got = self._rows(dup_ngram_coverage(ds, n=3))
+        assert got == [
+            (0, 2, 2, 2, 2, 0),
+            (1, 2, 2, 2, 2, 0),
+            (2, 2, 2, 0, 0, 1),
+        ]

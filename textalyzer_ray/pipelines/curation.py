@@ -839,3 +839,250 @@ def hash_split(
         return t.append_column(split_col, split)
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def dup_ngram_coverage(
+    ds: Dataset,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_threshold: int = 20_000_000,
+) -> Dataset:
+    """Cross-document duplicated n-gram coverage (the corpus-level
+    counterpart of ``rep_signals``): for each document, how much of it
+    consists of token ``n``-grams that also appear in at least one
+    OTHER document — the RefinedWeb ``dup_ngram_frac`` / Dolma
+    duplicate-span signal family (Penedo et al. 2023 §3.3; reference
+    duplication semantics: duplication.rs — here lifted from lines to
+    token n-grams and from one doc to the corpus). All columns BIGINT,
+    so a DuckDB oracle verifies every value exactly:
+
+    - ``n_grams`` / ``n_distinct``: the doc's n-gram occurrences and
+      distinct n-grams (0 for docs shorter than ``n`` tokens).
+    - ``dup_grams`` / ``dup_distinct``: the occurrences / distinct
+      grams whose gram occurs in >= 2 distinct documents.
+    - ``kept``: exact integer rule 10*dup_grams <= 7*n_grams
+      (coverage <= 0.70; empty docs trivially kept).
+
+    Scale shape, picked from the MEASURED corpus-duplicated gram count
+    (the ``decontaminate`` auto-switch pattern):
+
+    - First pass: per-batch distinct (doc, gram) pairs (each doc is one
+      row, so batch-local dedup is globally exact) -> gram doc-frequency
+      via ``key_counts`` (skew-free polars partials + merge; a hot
+      boilerplate gram never lands whole in one block here) -> the
+      duplicated-gram set, materialized (it is the small duplicated
+      fraction by construction).
+    - ``n_dup <= broadcast_threshold`` (~1 GB of grams): the set is
+      broadcast (``ray.put`` + per-worker cache) and a second streaming
+      pass over ``ds`` computes every per-doc column batch-locally —
+      zero further shuffle, nothing corpus-sized materialized.
+    - above it: distinct pairs (+ a per-doc ``""`` sentinel row — ""
+      can never be a real gram — carrying zero-gram docs through the
+      doc-keyed merges) are materialized once and consumed twice:
+      gram-aligned ``grouped_apply`` re-derives duplicated pairs
+      (df >= 2 within the gram's block; NOTE a gram shared by k docs
+      puts k rows in one block — salt by a doc-hash prefix and add a
+      merge level if a boilerplate gram ever dominates), then two
+      doc-keyed ``key_counts`` (dup + totals) union-tag into the final
+      doc-aligned merge. One corpus-scale materialization is the price
+      of single-pass input consumption in this regime.
+
+    Consumes ``ds`` twice on the broadcast path — pass a parquet-backed
+    or materialized dataset (CLAUDE.md minhash_dedup lesson).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from textalyzer_ray.stages.groups import (
+        _worker_object_cache,
+        grouped_apply,
+        key_counts,
+        partitions_for,
+    )
+
+    import polars as pl
+
+    explode = _ngram_explode(n, id_col, text_col)
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("n_grams", pa.int64()),
+            pa.field("n_distinct", pa.int64()),
+            pa.field("dup_grams", pa.int64()),
+            pa.field("dup_distinct", pa.int64()),
+            pa.field("kept", pa.int64()),
+        ]
+    )
+    pairs_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("gram", pa.string()),
+            pa.field("occ", pa.int64()),
+            pa.field("d", pa.int64()),
+        ]
+    )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        # one row per distinct (doc, gram) with its occurrence count,
+        # plus a sentinel row per doc (gram="", occ=0, d=0) so zero-gram
+        # docs survive the doc-keyed merges
+        per = (
+            pl.from_arrow(explode(t))
+            .group_by([id_col, "gram"])
+            .len()
+            .rename({"len": "occ"})
+            .with_columns(
+                pl.col("occ").cast(pl.Int64),
+                pl.lit(1, dtype=pl.Int64).alias("d"),
+            )
+        )
+        base = (
+            pl.from_arrow(t.select([id_col]))
+            .cast({id_col: pl.Int64})
+            .with_columns(
+                pl.lit("").alias("gram"),
+                pl.lit(0, dtype=pl.Int64).alias("occ"),
+                pl.lit(0, dtype=pl.Int64).alias("d"),
+            )
+        )
+        cols = [id_col, "gram", "occ", "d"]
+        return pl.concat([per.select(cols), base.select(cols)]).to_arrow().cast(
+            pairs_schema
+        )
+
+    def finish(df: "pl.DataFrame") -> pa.Table:
+        return (
+            df.with_columns(
+                (10 * pl.col("dup_grams") <= 7 * pl.col("n_grams"))
+                .cast(pl.Int64)
+                .alias("kept")
+            )
+            .select(out_schema.names)
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    def real_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["d"], 1))
+
+    # pass 1: gram doc-frequency -> duplicated-gram set + measured size
+    dup_set = (
+        key_counts(
+            ds.map_batches(distinct_pairs, batch_format="pyarrow").map_batches(
+                real_only, batch_format="pyarrow"
+            ),
+            ["gram"],
+        )
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["count"], 2)).select(["gram"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_dup = dup_set.count()
+
+    if n_dup <= broadcast_threshold:
+        dup_tbl = pa.concat_tables(
+            list(dup_set.iter_batches(batch_size=None, batch_format="pyarrow"))
+        ) if n_dup else pa.schema([pa.field("gram", pa.string())]).empty_table()
+        dup_ref = ray.put(dup_tbl)
+
+        def coverage(t: pa.Table) -> pa.Table:
+            cache = _worker_object_cache()
+            ck = dup_ref.hex() if hasattr(dup_ref, "hex") else str(dup_ref)
+            dupdf = cache.get(ck)
+            if dupdf is None:
+                dupdf = cache[ck] = (
+                    pl.from_arrow(ray.get(dup_ref)).select("gram").unique()
+                )
+            df = pl.from_arrow(distinct_pairs(t))
+            tot = df.group_by(id_col).agg(
+                pl.col("occ").sum().cast(pl.Int64).alias("n_grams"),
+                pl.col("d").sum().cast(pl.Int64).alias("n_distinct"),
+            )
+            dup = (
+                df.filter(pl.col("d") == 1)
+                .join(dupdf, on="gram", how="semi")
+                .group_by(id_col)
+                .agg(
+                    pl.col("occ").sum().cast(pl.Int64).alias("dup_grams"),
+                    pl.len().cast(pl.Int64).alias("dup_distinct"),
+                )
+            )
+            return finish(
+                tot.join(dup, on=id_col, how="left").fill_null(0)
+            )
+
+        return ds.map_batches(coverage, batch_format="pyarrow")
+
+    logger.info(
+        "dup_ngram_coverage: %d dup grams > broadcast_threshold=%d — "
+        "distributed gram-aligned path", n_dup, broadcast_threshold,
+    )
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow").materialize()
+    n_pairs = pairs.count()
+    npart = partitions_for(n_pairs, rows_per_part=5_000_000)
+
+    def keep_dup(t: pa.Table) -> pa.Table:
+        # rows are distinct (doc, gram): block-local df == corpus df
+        return (
+            pl.from_arrow(t)
+            .filter(pl.len().over("gram") >= 2)
+            .to_arrow()
+            .cast(pairs_schema)
+        )
+
+    dup_pairs = grouped_apply(
+        pairs.map_batches(real_only, batch_format="pyarrow"),
+        ["gram"],
+        keep_dup,
+        num_partitions=npart,
+    )
+    dup_doc = key_counts(
+        dup_pairs, [id_col], sum_cols=["occ", "d"], distributed=True
+    )
+    tot_doc = key_counts(
+        pairs, [id_col], sum_cols=["occ", "d"], distributed=True
+    )
+
+    def tag(n_grams_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            zero = pl.lit(0, dtype=pl.Int64)
+            if n_grams_side:
+                df = df.with_columns(
+                    pl.col("sum_occ").alias("n_grams"),
+                    pl.col("sum_d").alias("n_distinct"),
+                    zero.alias("dup_grams"),
+                    zero.alias("dup_distinct"),
+                )
+            else:
+                df = df.with_columns(
+                    zero.alias("n_grams"),
+                    zero.alias("n_distinct"),
+                    pl.col("sum_occ").alias("dup_grams"),
+                    pl.col("sum_d").alias("dup_distinct"),
+                )
+            cols = [id_col, "n_grams", "n_distinct", "dup_grams", "dup_distinct"]
+            return df.select(cols).to_arrow().cast(
+                pa.schema([pa.field(c, pa.int64()) for c in cols])
+            )
+
+        return fn
+
+    tagged = tot_doc.map_batches(tag(True), batch_format="pyarrow").union(
+        dup_doc.map_batches(tag(False), batch_format="pyarrow")
+    )
+
+    def merge_doc(t: pa.Table) -> pa.Table:
+        return finish(
+            pl.from_arrow(t)
+            .group_by(id_col)
+            .agg(
+                pl.col(c).sum().cast(pl.Int64).alias(c)
+                for c in ["n_grams", "n_distinct", "dup_grams", "dup_distinct"]
+            )
+        )
+
+    return grouped_apply(tagged, [id_col], merge_doc, num_partitions=npart)
