@@ -16,6 +16,9 @@ Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
                + doc rebuild -> hash split) — r3
 - cosine_pairs: exact all-pairs cosine >= threshold via triangle
                partitioning — r3, the exact-similarity kernel
+- linkgraph / rep_signals / dup_ngram_cov: link-graph + PageRank,
+               per-doc repetition signals, cross-doc duplicated-n-gram
+               coverage — r3 session additions
 
 ``--scaling`` reruns the whole bench in two fresh processes
 (RAY_GRAFT_CPUS=8 and 32), reporting both wall times and the scaling
@@ -185,6 +188,13 @@ def run_bench() -> dict:
         ).count()
 
     timed("rep_signals", rep_scan)
+
+    # cross-doc duplicated 3-gram coverage: one gram doc-frequency
+    # shuffle + a broadcast-filter coverage pass (r3 session addition)
+    timed(
+        "dup_ngram_cov",
+        lambda: contract._q_dup_ngram_coverage(sf_dir).count(),
+    )
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)
