@@ -872,6 +872,17 @@ def _q_embedding_clusters(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup audit view (min_id policy): cosine >= 0.4 components
+    (same 1.3e-4 margin as embedding_clusters) with one kept
+    representative per cluster; singletons kept. All-BIGINT."""
+    from textalyzer_ray.pipelines.similarity import semdedup
+    from textalyzer_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(ds, threshold=0.4, policy="min_id").sort("vec_id")
+
+
 def _q_knn_graph(sf_dir: str):
     """Exact top-10 cosine neighbor graph (triangle partitioning).
     Int-only (vec_id, rank, neighbor_id); the minimum adjacent cosine
@@ -1525,6 +1536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_fixtures": _q_extract_fixtures,
         "extract_pdf_text": _q_extract_pdf_text,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
+        "semdedup": _q_semdedup,
         # SQL-oracled, redundant coverage (same families as entries
         # above) — first to fall past a driver cap
         "purchase_view_range_join": _q_purchase_view_range_join,
@@ -1928,6 +1940,22 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a) "
             "SELECT n AS doc_id, CAST(least(n, min(m)) AS BIGINT) "
             "AS cluster_id FROM reach GROUP BY n ORDER BY doc_id"
+        ),
+        "semdedup": (
+            "WITH RECURSIVE p AS ("
+            "SELECT e1.vec_id AS a, e2.vec_id AS b "
+            "FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id "
+            "WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), "
+            "CAST(e2.embedding AS DOUBLE[])) >= 0.4), "
+            "e AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+            "reach AS (SELECT a AS n, b AS m FROM e "
+            "UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a), "
+            "lab AS (SELECT n AS vec_id, CAST(least(n, min(m)) AS BIGINT) "
+            "AS cluster_id FROM reach GROUP BY n) "
+            "SELECT v.vec_id, coalesce(l.cluster_id, v.vec_id) AS cluster_id, "
+            "CAST(CASE WHEN coalesce(l.cluster_id, v.vec_id) = v.vec_id "
+            "THEN 1 ELSE 0 END AS BIGINT) AS kept "
+            "FROM embeddings v LEFT JOIN lab l USING (vec_id) ORDER BY vec_id"
         ),
         "knn_graph": (
             "WITH s AS (SELECT e1.vec_id, e2.vec_id AS neighbor_id, "

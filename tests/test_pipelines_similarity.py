@@ -270,3 +270,83 @@ class TestKnnSelfJoin:
         assert by_q[0] == 4  # not 8: ties break by lowest neighbor id
         assert by_q[4] == 0
         assert by_q[8] == 0
+
+
+class TestSemDedup:
+    """Planted clusters: A={1,2,3} (3 pulled off-axis so centroid_low
+    keeps 3, not the min id), B={10,11}, singletons {20,21}."""
+
+    @staticmethod
+    def _ds():
+        rows = {
+            1: [1.0, 0.0, 0.0],
+            2: [1.0, 0.01, 0.0],
+            3: [1.0, 0.10, 0.0],
+            10: [0.0, 1.0, 0.0],
+            11: [0.0, 1.0, 0.05],
+            20: [0.0, 0.0, 1.0],
+            21: [1.0, -1.0, 1.0],
+        }
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(list(rows), pa.int64()),
+                "embedding": pa.array(
+                    list(rows.values()), pa.list_(pa.float32())
+                ),
+            }
+        )
+        return rd.from_arrow(tbl).materialize()
+
+    @staticmethod
+    def _run(ds, policy, bt):
+        from textalyzer_ray.pipelines.similarity import semdedup
+
+        out = semdedup(
+            ds, threshold=0.9, policy=policy, broadcast_threshold=bt
+        ).sort("vec_id").take_all()
+        return [(r["vec_id"], r["cluster_id"], r["kept"]) for r in out]
+
+    WANT_MIN = [
+        (1, 1, 1), (2, 1, 0), (3, 1, 0),
+        (10, 10, 1), (11, 10, 0),
+        (20, 20, 1), (21, 21, 1),
+    ]
+    # centroid_low keeps the member FARTHEST from the centroid: 3 in A;
+    # in B both members tie within float eps -> lowest id 10 by the
+    # pre-sort + argmin-first rule
+    WANT_CENTROID = [
+        (1, 1, 0), (2, 1, 0), (3, 1, 1),
+        (10, 10, 1), (11, 10, 0),
+        (20, 20, 1), (21, 21, 1),
+    ]
+
+    def test_min_id_broadcast(self):
+        assert self._run(self._ds(), "min_id", 10**9) == self.WANT_MIN
+
+    def test_min_id_distributed_equal(self):
+        assert self._run(self._ds(), "min_id", 0) == self.WANT_MIN
+
+    def test_centroid_low_keeps_least_redundant(self):
+        assert self._run(self._ds(), "centroid_low", 10**9) == self.WANT_CENTROID
+
+    def test_centroid_low_distributed_equal(self):
+        assert self._run(self._ds(), "centroid_low", 0) == self.WANT_CENTROID
+
+    def test_no_pairs_all_kept(self):
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([5, 6], pa.int64()),
+                    "embedding": pa.array(
+                        [[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        ).materialize()
+        assert self._run(ds, "min_id", 10**9) == [(5, 5, 1), (6, 6, 1)]
+
+    def test_bad_policy_raises(self):
+        from textalyzer_ray.pipelines.similarity import semdedup
+
+        with pytest.raises(ValueError, match="policy"):
+            semdedup(self._ds(), policy="random")

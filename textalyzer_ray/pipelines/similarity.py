@@ -526,3 +526,357 @@ def embedding_near_dup_pairs(
         assigned, ["ivf_cell"], pairs_block,
         num_partitions=max(2, cluster_cpus() // 4),
     )
+
+
+def semdedup(
+    ds: Dataset,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    policy: str = "min_id",
+    broadcast_threshold: int = 50_000_000,
+) -> Dataset:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication over an
+    embedding column — cosine-similarity clusters, then ONE kept
+    representative per cluster. Returns the per-id audit view
+    ``(id, cluster_id, kept)`` (all int64; filter kept==1 for the
+    deduplicated corpus).
+
+    Clusters are connected components of the exact cosine >= threshold
+    pair graph (``cosine_pairs_exact`` triangle partitioning ->
+    ``connected_components`` measured-size union-find/label
+    propagation); singletons keep cluster_id = own id and kept = 1.
+
+    ``policy``:
+    - ``"min_id"``: keep the lowest id per cluster (== the cluster
+      label, so the flag is pure arithmetic — and SQL-exact, the
+      driver-oracle policy).
+    - ``"centroid_low"``: the paper's policy — keep the member with the
+      LOWEST cosine similarity to its cluster centroid (the least
+      redundant example). Ties: members are pre-sorted by id and
+      np.argmin keeps the first minimum, so ties break to the lowest
+      id deterministically (engineered-tie rule, CLAUDE.md). Float
+      scoring -> pytest-pinned, not SQL-oracled.
+
+    Scale shape, picked from the MEASURED clustered-node count (the
+    duplicated fraction, small by construction — the minhash_dedup
+    auto-switch pattern):
+    - ``<= broadcast_threshold``: the label table is ``ray.put``
+      broadcast; assignment is one streaming map over ``ds`` (per-batch
+      polars left join, per-worker object cache). centroid reps come
+      from a broadcast semi-join of member vectors + one cluster-aligned
+      ``grouped_apply``.
+    - above it: join-free union-tag merges (host_pagerank pattern):
+      ids+labels hash-align by id for assignment; member vectors ride
+      one id-aligned then one cluster-aligned exchange for reps
+      (fixed-dim vectors, same payload class the triangle kernel
+      ships); rep flags merge back by id. No driver materialization
+      anywhere on this path.
+
+    Consumes ``ds`` 2-3x (pair graph, assignment, centroid members) —
+    pass a parquet-backed or materialized dataset."""
+    import logging
+
+    import polars as pl
+
+    from textalyzer_ray.pipelines.dedup import connected_components
+    from textalyzer_ray.stages.groups import (
+        _worker_object_cache,
+        grouped_apply,
+        partitions_for,
+    )
+
+    if policy not in ("min_id", "centroid_low"):
+        raise ValueError(f"unknown semdedup policy: {policy!r}")
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("cluster_id", pa.int64()),
+            pa.field("kept", pa.int64()),
+        ]
+    )
+    lab_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("cluster_id", pa.int64())]
+    )
+
+    pairs = cosine_pairs_exact(
+        ds, threshold=threshold, id_col=id_col, emb_col=emb_col
+    )
+    labels = connected_components(pairs).materialize()
+    n_labels = labels.count()
+
+    def rep_block(t: pa.Table) -> pa.Table:
+        # one row per cluster: the member with the lowest cosine to the
+        # cluster centroid (pre-sorted by id; np.argmin keeps the first
+        # minimum). Cluster count is the duplicated fraction, so the
+        # per-cluster loop is bounded; the numpy work is vectorized.
+        df = pl.from_arrow(t).sort([ "cluster_id", id_col])
+        cids, rids = [], []
+        for (cid,), g in df.partition_by(
+            "cluster_id", maintain_order=True, as_dict=True
+        ).items():
+            m = _stack_embeddings(g.select(emb_col).to_arrow(), emb_col)
+            centroid = m.mean(axis=0)
+            cn = np.linalg.norm(centroid)
+            centroid = centroid / (cn if cn else 1.0)
+            cos = normalize_rows(m) @ centroid
+            rids.append(int(g[id_col][int(np.argmin(cos))]))
+            cids.append(int(cid))
+        return pa.table(
+            {
+                "cluster_id": pa.array(cids, pa.int64()),
+                "rep_id": pa.array(rids, pa.int64()),
+            }
+        )
+
+    if n_labels <= broadcast_threshold:
+        lab_batches = list(
+            labels.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        lab_tbl = (
+            pa.concat_tables([b.select(["doc_id", "cluster_id"]) for b in lab_batches])
+            .cast(lab_schema)
+            if lab_batches
+            else lab_schema.empty_table()
+        )
+        lab_ref = ray.put(lab_tbl)
+
+        rep_ref = None
+        if policy == "centroid_low" and lab_tbl.num_rows:
+
+            def member_vecs(t: pa.Table) -> pa.Table:
+                cache = _worker_object_cache()
+                ck = "semdedup_lab_" + lab_ref.hex()
+                ldf = cache.get(ck)
+                if ldf is None:
+                    ldf = cache[ck] = pl.from_arrow(ray.get(lab_ref)).rename(
+                        {"doc_id": id_col}
+                    )
+                return (
+                    pl.from_arrow(t.select([id_col, emb_col]))
+                    .cast({id_col: pl.Int64})
+                    .join(ldf, on=id_col, how="inner")
+                    .to_arrow()
+                )
+
+            reps = grouped_apply(
+                ds.map_batches(member_vecs, batch_format="pyarrow"),
+                ["cluster_id"],
+                rep_block,
+                num_partitions=partitions_for(n_labels, rows_per_part=2_000_000),
+            )
+            rep_tbl = pa.concat_tables(
+                list(reps.iter_batches(batch_size=None, batch_format="pyarrow"))
+            )
+            rep_ref = ray.put(rep_tbl.select(["rep_id"]))
+
+        def assign(t: pa.Table) -> pa.Table:
+            cache = _worker_object_cache()
+            ck = "semdedup_lab_assign_" + lab_ref.hex()
+            ldf = cache.get(ck)
+            if ldf is None:
+                ldf = cache[ck] = pl.from_arrow(ray.get(lab_ref)).rename(
+                    {"doc_id": id_col}
+                )
+            out = (
+                pl.from_arrow(t.select([id_col]))
+                .cast({id_col: pl.Int64})
+                .join(ldf, on=id_col, how="left")
+                .with_columns(
+                    pl.col("cluster_id").is_not_null().alias("_clustered"),
+                    pl.coalesce(pl.col("cluster_id"), pl.col(id_col)).alias(
+                        "cluster_id"
+                    ),
+                )
+            )
+            if policy == "min_id":
+                out = out.with_columns(
+                    (pl.col(id_col) == pl.col("cluster_id"))
+                    .cast(pl.Int64)
+                    .alias("kept")
+                )
+            else:
+                rk = "semdedup_rep_" + (rep_ref.hex() if rep_ref else "none")
+                rdf = cache.get(rk)
+                if rdf is None:
+                    rdf = cache[rk] = (
+                        pl.from_arrow(ray.get(rep_ref)).rename(
+                            {"rep_id": id_col}
+                        )
+                        if rep_ref is not None
+                        else pl.DataFrame({id_col: pl.Series([], dtype=pl.Int64)})
+                    )
+                out = out.with_columns(
+                    (
+                        ~pl.col("_clustered")
+                        | pl.col(id_col).is_in(rdf[id_col])
+                    )
+                    .cast(pl.Int64)
+                    .alias("kept")
+                )
+            return out.select(out_schema.names).to_arrow().cast(out_schema)
+
+        return ds.map_batches(assign, batch_format="pyarrow")
+
+    logging.getLogger(__name__).info(
+        "semdedup: %d clustered ids > broadcast_threshold=%d — union-tag "
+        "distributed path", n_labels, broadcast_threshold,
+    )
+    npart = partitions_for(n_labels, rows_per_part=5_000_000)
+    tag_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("cluster_id", pa.int64()),
+            pa.field("_lab", pa.int64()),
+        ]
+    )
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select([id_col]))
+            .cast({id_col: pl.Int64})
+            .with_columns(
+                pl.col(id_col).alias("cluster_id"),
+                pl.lit(0, dtype=pl.Int64).alias("_lab"),
+            )
+            .to_arrow()
+            .cast(tag_schema)
+        )
+
+    def lab_rows(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["doc_id", "cluster_id"]))
+            .rename({"doc_id": id_col})
+            .with_columns(pl.lit(1, dtype=pl.Int64).alias("_lab"))
+            .to_arrow()
+            .cast(tag_schema)
+        )
+
+    tagged = ds.map_batches(base_rows, batch_format="pyarrow").union(
+        labels.map_batches(lab_rows, batch_format="pyarrow")
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        # per id: the label row wins when present; clustered iff one is
+        return (
+            pl.from_arrow(t)
+            .sort([id_col, "_lab"], descending=[False, True])
+            .unique(subset=[id_col], keep="first")
+            .rename({"_lab": "_clustered"})
+            .to_arrow()
+        )
+
+    assign = grouped_apply(tagged, [id_col], pick, num_partitions=npart)
+
+    if policy == "min_id":
+
+        def finish_min(t: pa.Table) -> pa.Table:
+            return (
+                pl.from_arrow(t)
+                .with_columns(
+                    (pl.col(id_col) == pl.col("cluster_id"))
+                    .cast(pl.Int64)
+                    .alias("kept")
+                )
+                .select(out_schema.names)
+                .to_arrow()
+                .cast(out_schema)
+            )
+
+        return assign.map_batches(finish_min, batch_format="pyarrow")
+
+    # centroid_low, distributed: attach clusters to member vectors by an
+    # id-aligned merge, reps by a cluster-aligned one, flags back by id
+    def vec_rows(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select([id_col, emb_col]))
+            .cast({id_col: pl.Int64, emb_col: pl.List(pl.Float64)})
+            .with_columns(
+                pl.lit(None, dtype=pl.Int64).alias("cluster_id"),
+            )
+            .select([id_col, "cluster_id", emb_col])
+            .to_arrow()
+        )
+
+    def lab_rows_v(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "cluster_id"])).rename(
+            {"doc_id": id_col}
+        )
+        return df.with_columns(
+            pl.lit(None, dtype=pl.List(pl.Float64)).alias(emb_col)
+        ).select([id_col, "cluster_id", emb_col]).to_arrow()
+
+    def join_members(t: pa.Table) -> pa.Table:
+        # groups (by id) holding a label row are members: emit the
+        # vector row stamped with the label's cluster
+        df = pl.from_arrow(t)
+        lab = df.filter(pl.col("cluster_id").is_not_null()).select(
+            id_col, "cluster_id"
+        )
+        vec = df.filter(pl.col("cluster_id").is_null()).select(id_col, emb_col)
+        return vec.join(lab, on=id_col, how="inner").select(
+            ["cluster_id", id_col, emb_col]
+        ).to_arrow()
+
+    vec_union = ds.map_batches(vec_rows, batch_format="pyarrow").union(
+        labels.map_batches(lab_rows_v, batch_format="pyarrow")
+    )
+    members = grouped_apply(vec_union, [id_col], join_members, num_partitions=npart)
+    reps = grouped_apply(members, ["cluster_id"], rep_block, num_partitions=npart)
+
+    flag_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("cluster_id", pa.int64()),
+            pa.field("_clustered", pa.int64()),
+            pa.field("_rep", pa.int64()),
+        ]
+    )
+
+    def assign_rows(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .with_columns(pl.lit(0, dtype=pl.Int64).alias("_rep"))
+            .select(flag_schema.names)
+            .to_arrow()
+            .cast(flag_schema)
+        )
+
+    def rep_rows(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .rename({"rep_id": id_col})
+            .with_columns(
+                pl.lit(0, dtype=pl.Int64).alias("_clustered"),
+                pl.lit(1, dtype=pl.Int64).alias("_rep"),
+            )
+            .select(flag_schema.names)
+            .to_arrow()
+            .cast(flag_schema)
+        )
+
+    flagged = assign.map_batches(assign_rows, batch_format="pyarrow").union(
+        reps.map_batches(rep_rows, batch_format="pyarrow")
+    )
+
+    def finish_centroid(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(id_col)
+            .agg(
+                pl.col("cluster_id").max().alias("cluster_id"),
+                pl.col("_clustered").max().alias("_clustered"),
+                pl.col("_rep").max().alias("_rep"),
+            )
+            .with_columns(
+                ((pl.col("_clustered") == 0) | (pl.col("_rep") == 1))
+                .cast(pl.Int64)
+                .alias("kept")
+            )
+            .select(out_schema.names)
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return grouped_apply(flagged, [id_col], finish_centroid, num_partitions=npart)
