@@ -883,6 +883,18 @@ def _q_semdedup(sf_dir: str):
     return semdedup(ds, threshold=0.4, policy="min_id").sort("vec_id")
 
 
+def _q_classifier_scores(sf_dir: str):
+    """Hashed-linear classifier inference (broadcast weights, fastText
+    pooling): (doc_id, n_tokens, logit, score, keep). logit/n_tokens/keep
+    are BIGINT-exact; score is ONE int/int double division, IEEE-identical
+    in numpy and DuckDB (jaccard-oracle precedent), so the float column
+    hash-matches. Weights derive from the bucket index by a modular
+    multiply — SQL recomputes them instead of joining a shipped table."""
+    from textalyzer_ray.pipelines.classify import classifier_scores
+
+    return classifier_scores(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
 def _q_knn_graph(sf_dir: str):
     """Exact top-10 cosine neighbor graph (triangle partitioning).
     Int-only (vec_id, rank, neighbor_id); the minimum adjacent cosine
@@ -1537,6 +1549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pdf_text": _q_extract_pdf_text,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
         "semdedup": _q_semdedup,
+        "classifier_scores": _q_classifier_scores,
         # SQL-oracled, redundant coverage (same families as entries
         # above) — first to fall past a driver cap
         "purchase_view_range_join": _q_purchase_view_range_join,
@@ -1956,6 +1969,47 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN coalesce(l.cluster_id, v.vec_id) = v.vec_id "
             "THEN 1 ELSE 0 END AS BIGINT) AS kept "
             "FROM embeddings v LEFT JOIN lab l USING (vec_id) ORDER BY vec_id"
+        ),
+        # Classifier inference replayed in pure SQL: per-token polyhash64
+        # (powers CTE + HUGEINT modular products + hi-into-lo fold, the
+        # simhash-oracle chain), bucket = folded-low % 65536, weight
+        # recomputed from the bucket index by one modular multiply
+        # (core.classify.hashed_weights), count-weighted per-doc sum.
+        # score is a single int/int double division (IEEE-identical to
+        # numpy); keep compares the exact BIGINT logit.
+        "classifier_scores": (
+            "WITH RECURSIVE "
+            "ctok AS (SELECT doc_id, word, count(*) AS cnt FROM ("
+            "SELECT doc_id, unnest(regexp_split_to_array(lower(text), "
+            f"'{_TOKEN_SPLIT_SQL}')) AS word FROM documents) "
+            "WHERE word <> '' GROUP BY 1, 2), "
+            "cwords AS (SELECT DISTINCT word FROM ctok), "
+            "cpows(i, v) AS (SELECT 0, CAST(1 AS HUGEINT) UNION ALL "
+            "SELECT i + 1, (v * 1000003) % 18446744073709551616 FROM cpows "
+            "WHERE i < (SELECT max(length(word)) FROM cwords)), "
+            "crawh AS (SELECT c.word, SUM(ascii(substr(c.word, c.i, 1)) * p.v) "
+            "% 18446744073709551616 AS h FROM (SELECT word, "
+            "unnest(generate_series(1, length(word))) AS i FROM cwords) c "
+            "JOIN cpows p ON p.i = length(c.word) - c.i GROUP BY c.word), "
+            "chh AS (SELECT word, "
+            "xor(CAST(((h * 2685821657736338717) % 18446744073709551616) "
+            "% 4294967296 AS BIGINT), "
+            "CAST(((h * 2685821657736338717) % 18446744073709551616) "
+            "// 4294967296 AS BIGINT)) AS lo FROM crawh), "
+            "cw AS (SELECT word, "
+            "CAST(((CAST(lo % 65536 AS HUGEINT) * 2685821657736338717) "
+            "% 18446744073709551616) // 4294967296 % 2001 AS BIGINT) - 1000 "
+            "AS w FROM chh), "
+            "cagg AS (SELECT t.doc_id, SUM(t.cnt) AS n_tokens, "
+            "SUM(t.cnt * cw.w) AS logit FROM ctok t JOIN cw USING (word) "
+            "GROUP BY t.doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) "
+            "AS n_tokens, CAST(coalesce(logit, 0) AS BIGINT) AS logit, "
+            "CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0 "
+            "ELSE CAST(logit AS DOUBLE) / (1000 * n_tokens) END AS score, "
+            "CASE WHEN coalesce(logit, 0) > 0 THEN CAST(1 AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END AS keep "
+            "FROM documents d LEFT JOIN cagg USING (doc_id) ORDER BY doc_id"
         ),
         "knn_graph": (
             "WITH s AS (SELECT e1.vec_id, e2.vec_id AS neighbor_id, "

@@ -189,6 +189,17 @@ def run_bench() -> dict:
 
     timed("rep_signals", rep_scan)
 
+    # hashed-linear classifier inference (broadcast weights, vectorized
+    # hash/gather/segment-sum): the model-scoring shape, tracked from r3.
+    def clf():
+        from textalyzer_ray.pipelines.classify import classifier_scores
+
+        return classifier_scores(
+            docs(cpu_heavy=True).select_columns(["doc_id", "text"])
+        ).count()
+
+    timed("classifier", clf)
+
     # cross-doc duplicated 3-gram coverage: one gram doc-frequency
     # shuffle + a broadcast-filter coverage pass (r3 session addition)
     timed(

@@ -40,6 +40,7 @@ def test_bench_emits_single_json_line():
         "cosine_pairs",
         "linkgraph",
         "rep_signals",
+        "classifier",
         "dup_ngram_cov",
     }
     assert data["n_docs"] == 500
