@@ -384,6 +384,83 @@ def _pagerank_oracle_sql(n_iter: int = 10, d: float = 0.85) -> str:
     return "".join(p)
 
 
+def _hll_hash64_oracle_ctes(src: str, key: str, id_col: str) -> str:
+    """CTE chain recomputing ``core.fingerprint.hll_hash64(key)`` per
+    row of ``src`` (ASCII keys) -> final CTE ``bx3(id_col, hi, lo)``
+    with h = hi*2^32 + lo. Same verified idiom as the
+    approx_distinct_words oracle (polyhash64 via a powers CTE + HUGEINT
+    modular products, fmix64 on 32-bit halves with the murmur constants
+    split to stay under signed INT128), but keyed by ``id_col`` instead
+    of the distinct-word set so membership oracles (bloom filter) can
+    join hashes back to rows. Must be embedded under WITH RECURSIVE."""
+    m64 = "18446744073709551616"
+    return (
+        f"bpows(i, v) AS (SELECT 0, CAST(1 AS HUGEINT) UNION ALL "
+        f"SELECT i + 1, (v * 1000003) % {m64} FROM bpows "
+        f"WHERE i < (SELECT max(length({key})) FROM {src})), "
+        f"braw AS (SELECT c.{id_col}, "
+        f"SUM(ascii(substr(c.{key}, c.i, 1)) * p.v) % {m64} AS h "
+        f"FROM (SELECT {id_col}, {key}, "
+        f"unnest(generate_series(1, length({key}))) AS i FROM {src}) c "
+        f"JOIN bpows p ON p.i = length(c.{key}) - c.i GROUP BY c.{id_col}), "
+        f"bmix AS (SELECT {id_col}, "
+        f"CAST(((h * 2685821657736338717) % {m64}) // 4294967296 AS BIGINT) AS hi, "
+        f"xor(CAST(((h * 2685821657736338717) % {m64}) % 4294967296 AS BIGINT), "
+        f"CAST(((h * 2685821657736338717) % {m64}) // 4294967296 AS BIGINT)) AS lo "
+        f"FROM braw), "
+        f"bx1 AS (SELECT {id_col}, hi, xor(lo, hi >> 1) AS lo FROM bmix), "
+        f"bm1 AS (SELECT {id_col}, CAST(v // 4294967296 AS BIGINT) AS hi, "
+        f"CAST(v % 4294967296 AS BIGINT) AS lo FROM (SELECT {id_col}, "
+        f"(h * 3982748877 + ((h * 4283543511) % 4294967296) * 4294967296) "
+        f"% {m64} AS v FROM (SELECT {id_col}, "
+        f"CAST(hi AS HUGEINT) * 4294967296 + lo AS h FROM bx1))), "
+        f"bx2 AS (SELECT {id_col}, hi, xor(lo, hi >> 1) AS lo FROM bm1), "
+        f"bm2 AS (SELECT {id_col}, CAST(v // 4294967296 AS BIGINT) AS hi, "
+        f"CAST(v % 4294967296 AS BIGINT) AS lo FROM (SELECT {id_col}, "
+        f"(h * 444591187 + ((h * 3302898174) % 4294967296) * 4294967296) "
+        f"% {m64} AS v FROM (SELECT {id_col}, "
+        f"CAST(hi AS HUGEINT) * 4294967296 + lo AS h FROM bx2))), "
+        f"bx3 AS (SELECT {id_col}, hi, xor(lo, hi >> 1) AS lo FROM bm2)"
+    )
+
+
+def _q_bloom_url_seen(sf_dir: str):
+    """Probabilistic crawl-frontier dedup: a Bloom filter (m = 2^19
+    bits, k = 7, Kirsch-Mitzenmacher double hashing over hll_hash64) is
+    built from the previously-crawled urls (doc_id % 3 == 0) and probed
+    by every url -> (doc_id, maybe_seen). The SQL oracle replays the
+    filter bit-for-bit — the hash chain, the 7 probe positions and the
+    distinct-set membership — so even a false positive must match."""
+    from textalyzer_ray.pipelines.bloom import bloom_dedup_against
+
+    def add_url(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        urls = pc.binary_join_element_wise(
+            "https://ex.com/doc/", pc.cast(t["doc_id"], pa.string()), ""
+        )
+        return t.append_column("url", urls)
+
+    def with_urls():
+        return _docs(sf_dir, ["doc_id"]).map_batches(
+            add_url, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def seen_only(t):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 3 == 0))
+
+    seen = with_urls().map_batches(seen_only, batch_format="pyarrow")
+    flagged = bloom_dedup_against(
+        with_urls(), seen, key_col="url", m_bits=1 << 19, k=7
+    )
+    return flagged.select_columns(["doc_id", "maybe_seen"]).sort("doc_id")
+
+
 def _q_warc_extract(sf_dir: str):
     """Common-Crawl-shaped ingestion: documents -> WARC response shards
     on disk (deterministic, cached per sf_dir) -> read_warc ->
@@ -1540,7 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shards": _q_token_shards,
         "decontaminate": _q_decontaminate,
         "scrub_pii": _q_scrub_pii,
-        "extract_fixtures": _q_extract_fixtures,
+        "bloom_url_seen": _q_bloom_url_seen,
         "extract_pdf_text": _q_extract_pdf_text,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
         "semdedup": _q_semdedup,
@@ -1554,6 +1631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_supplier_nation": _q_parts_by_supplier_nation,
         "readability_components": _q_readability_components,
         "host_outdegree": _q_host_outdegree,
+        "extract_fixtures": _q_extract_fixtures,
         "purchase_view_range_join": _q_purchase_view_range_join,
         "source_rollup": _q_source_rollup,
         "top_k_longest": _q_top_k_longest,
@@ -2012,6 +2090,25 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN coalesce(logit, 0) > 0 THEN CAST(1 AS BIGINT) "
             "ELSE CAST(0 AS BIGINT) END AS keep "
             "FROM documents d LEFT JOIN cagg USING (doc_id) ORDER BY doc_id"
+        ),
+        # Bloom filter replayed bit-for-bit: hll_hash64 per url
+        # (_hll_hash64_oracle_ctes, the approx_distinct_words idiom
+        # keyed by doc_id), Kirsch-Mitzenmacher positions
+        # (lo + i*(hi|1)) mod 2^19 for i in 0..6, seen-bit set from the
+        # doc_id % 3 == 0 urls, membership = ALL 7 bits present. All
+        # intermediates < 2^36 -> plain BIGINT (pipelines/bloom.py).
+        "bloom_url_seen": (
+            "WITH RECURSIVE u AS (SELECT doc_id, 'https://ex.com/doc/' || "
+            "CAST(doc_id AS VARCHAR) AS url FROM documents), "
+            + _hll_hash64_oracle_ctes("u", "url", "doc_id")
+            + ", bpos AS (SELECT doc_id, "
+            "(lo + i.i * (hi - (hi % 2) + 1)) % 524288 AS p "
+            "FROM bx3 CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) i), "
+            "sbits AS (SELECT DISTINCT p FROM bpos WHERE doc_id % 3 = 0) "
+            "SELECT b.doc_id, CAST(CASE WHEN bool_and(s.p IS NOT NULL) "
+            "THEN 1 ELSE 0 END AS BIGINT) AS maybe_seen "
+            "FROM bpos b LEFT JOIN sbits s ON b.p = s.p "
+            "GROUP BY b.doc_id ORDER BY b.doc_id"
         ),
         "knn_graph": (
             "WITH s AS (SELECT e1.vec_id, e2.vec_id AS neighbor_id, "
