@@ -972,6 +972,29 @@ def _q_classifier_scores(sf_dir: str):
     return classifier_scores(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
 
 
+def _q_lm_surprisal(sf_dir: str):
+    """CCNet-shaped LM quality filter: a bigram count model trained on
+    the reference slice (doc_id % 10 == 0) scores every document with
+    integer-bit surprisal (core/lm.py) -> (doc_id, n_bigrams,
+    total_bits, avg_bits). The ints are BIGINT-exact; avg_bits is ONE
+    int/int double division (IEEE-identical in numpy and DuckDB, the
+    classifier-score precedent), so the float column hash-matches."""
+    from textalyzer_ray.pipelines.lm import lm_surprisal_scores
+
+    def slice_only(t):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    slice_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        slice_only, batch_format="pyarrow"
+    )
+    return lm_surprisal_scores(docs, slice_ds).sort("doc_id")
+
+
 def _q_knn_graph(sf_dir: str):
     """Exact top-10 cosine neighbor graph (triangle partitioning).
     Int-only (vec_id, rank, neighbor_id); the minimum adjacent cosine
@@ -1618,7 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "scrub_pii": _q_scrub_pii,
         "bloom_url_seen": _q_bloom_url_seen,
-        "extract_pdf_text": _q_extract_pdf_text,
+        "lm_surprisal": _q_lm_surprisal,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
         "semdedup": _q_semdedup,
         "classifier_scores": _q_classifier_scores,
@@ -1632,6 +1655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_components": _q_readability_components,
         "host_outdegree": _q_host_outdegree,
         "extract_fixtures": _q_extract_fixtures,
+        "extract_pdf_text": _q_extract_pdf_text,
         "purchase_view_range_join": _q_purchase_view_range_join,
         "source_rollup": _q_source_rollup,
         "top_k_longest": _q_top_k_longest,
@@ -2090,6 +2114,37 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN coalesce(logit, 0) > 0 THEN CAST(1 AS BIGINT) "
             "ELSE CAST(0 AS BIGINT) END AS keep "
             "FROM documents d LEFT JOIN cagg USING (doc_id) ORDER BY doc_id"
+        ),
+        # Bigram-LM surprisal retrained in SQL: slice counts (c1/c2/V)
+        # over doc_id % 10 == 0, integer bitlen via length(bin(x))
+        # (== np.frexp exponent, the CLAUDE.md log2 note), BIGINT sums,
+        # one int/int double division for the mean (classifier-score
+        # float-parity precedent). Mirrors core/lm.py bit-for-bit.
+        "lm_surprisal": (
+            "WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            f"lower(text), '{_TOKEN_SPLIT_SQL}'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM ("
+            "SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i "
+            "FROM w WHERE len(ws) >= 2)), "
+            "c1 AS (SELECT word AS w1, CAST(count(*) AS BIGINT) AS c FROM ("
+            "SELECT unnest(ws) AS word FROM w WHERE doc_id % 10 = 0) "
+            "GROUP BY 1), "
+            "c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM big "
+            "WHERE doc_id % 10 = 0 GROUP BY 1, 2), "
+            "vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1), "
+            "sc AS (SELECT b.doc_id, "
+            "length(bin(coalesce(u.c, 0) + (SELECT v FROM vv))) - "
+            "length(bin(coalesce(p.c, 0) + 1)) AS bits "
+            "FROM big b LEFT JOIN c1 u ON b.w1 = u.w1 "
+            "LEFT JOIN c2 p ON b.w1 = p.w1 AND b.w2 = p.w2), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "CAST(sum(bits) AS BIGINT) AS total_bits FROM sc GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) "
+            "AS n_bigrams, CAST(coalesce(a.total_bits, 0) AS BIGINT) "
+            "AS total_bits, CASE WHEN a.n_bigrams IS NULL THEN 0.0 "
+            "ELSE CAST(a.total_bits AS DOUBLE) / a.n_bigrams END AS avg_bits "
+            "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
         ),
         # Bloom filter replayed bit-for-bit: hll_hash64 per url
         # (_hll_hash64_oracle_ctes, the approx_distinct_words idiom

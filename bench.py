@@ -207,6 +207,13 @@ def run_bench() -> dict:
         lambda: contract._q_dup_ngram_coverage(sf_dir).count(),
     )
 
+    # bigram-LM surprisal (CCNet-shaped quality filter): distributed
+    # count-model train over the 10% slice + zero-shuffle scoring pass.
+    timed(
+        "lm_surprisal",
+        lambda: contract._q_lm_surprisal(sf_dir).count(),
+    )
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     # In-run hardware control: this shared VM intermittently loses 2-20x

@@ -42,5 +42,6 @@ def test_bench_emits_single_json_line():
         "rep_signals",
         "classifier",
         "dup_ngram_cov",
+        "lm_surprisal",
     }
     assert data["n_docs"] == 500
