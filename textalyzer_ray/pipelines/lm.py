@@ -99,32 +99,28 @@ def lm_train(
         ["w1", "w2"],
         sum_cols=["n"],
     )
+    # collect each merge ONCE (a count() guard would re-execute the
+    # merge lineage); empty models fall back to typed empty frames
+    uni_b = list(uni.iter_batches(batch_size=None, batch_format="pyarrow"))
+    bi_b = list(bi.iter_batches(batch_size=None, batch_format="pyarrow"))
     c1 = (
-        pl.from_arrow(
-            pa.concat_tables(
-                uni.iter_batches(batch_size=None, batch_format="pyarrow")
-            )
+        pl.from_arrow(pa.concat_tables(uni_b)).select(
+            [pl.col("w1").cast(pl.String), pl.col("sum_n").alias("c1")]
         )
-        .select([pl.col("w1").cast(pl.String), pl.col("sum_n").alias("c1")])
-        if uni.count()
+        if uni_b
         else pl.DataFrame(
             {"w1": pl.Series([], dtype=pl.String), "c1": pl.Series([], dtype=pl.Int64)}
         )
     )
     c2 = (
-        pl.from_arrow(
-            pa.concat_tables(
-                bi.iter_batches(batch_size=None, batch_format="pyarrow")
-            )
-        )
-        .select(
+        pl.from_arrow(pa.concat_tables(bi_b)).select(
             [
                 pl.col("w1").cast(pl.String),
                 pl.col("w2").cast(pl.String),
                 pl.col("sum_n").alias("c2"),
             ]
         )
-        if bi.count()
+        if bi_b
         else pl.DataFrame(
             {
                 "w1": pl.Series([], dtype=pl.String),

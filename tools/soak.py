@@ -1,8 +1,8 @@
-"""Larger-than-suite soak (VERDICT r2 #6): one streaming pass of the
-curation funnel and the near-dedup chain over a replicated sf0.1 corpus,
-with memory evidence.
+"""Larger-than-suite soak (VERDICT r2 #6): one streaming pass each of
+the curation funnel, the near-dedup chain, and the bigram-LM surprisal
+scorer over a replicated sf0.1 corpus, with memory evidence.
 
-Usage: python tools/soak.py [--funnel-repl N] [--dedup-repl N]
+Usage: python tools/soak.py [--funnel-repl N] [--dedup-repl N] [--lm-repl N]
 
 Two workloads, sized differently on purpose:
 
@@ -219,6 +219,52 @@ def main() -> dict:
     out["dedup_kept"] = kept_dedup
     out["dedup_docs_per_sec"] = round(n_docs * dedup_repl / out["dedup_sec"], 1)
 
+    # ---- LM-surprisal soak (r3 addition): distinct ids, shared text ----
+    # Train on the doc_id % 10 slice of the REPLICATED corpus (the count
+    # shuffle sees the full replicated token volume), then the
+    # zero-shuffle scoring pass over everything. Replication multiplies
+    # every model count by lm_repl and V is unchanged, so per-doc
+    # n_bigrams must equal the single-copy run's exactly.
+    lm_repl = arg("--lm-repl", 32)
+    from textalyzer_ray.pipelines.lm import lm_surprisal_scores
+
+    def lm_slice(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    def replicate_shared_lm(t: pa.Table) -> pa.Table:
+        parts = []
+        for r in range(lm_repl):
+            parts.append(
+                t.set_column(
+                    t.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pa.compute.add(t["doc_id"], r * 10_000_000),
+                )
+            )
+        return pa.concat_tables(parts)
+
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"],
+        min_blocks=cpu_heavy_min_blocks(),
+    )
+    big_lm = (
+        docs.map_batches(
+            replicate_shared_lm, batch_format="pyarrow", batch_size=64
+        )
+        .repartition(cpu_heavy_min_blocks())
+        .materialize()  # consumed twice: model slice + scoring pass
+    )
+    t0 = time.monotonic()
+    scored = lm_surprisal_scores(
+        big_lm, big_lm.map_batches(lm_slice, batch_format="pyarrow")
+    )
+    n_scored = scored.count()
+    out["lm_sec"] = round(time.monotonic() - t0, 3)
+    out["lm_docs"] = n_docs * lm_repl
+    assert n_scored == out["lm_docs"], (n_scored, out["lm_docs"])
+    out["lm_docs_per_sec"] = round(out["lm_docs"] / out["lm_sec"], 1)
+
     stop.set()
     t.join(timeout=2)
     if samples and total_store:
@@ -228,7 +274,9 @@ def main() -> dict:
         )
     out["spilled_bytes"] = _spill_bytes()
     ray.shutdown()
-    out["value"] = round(out["funnel_sec"] + out["dedup_sec"], 3)
+    out["value"] = round(
+        out["funnel_sec"] + out["dedup_sec"] + out["lm_sec"], 3
+    )
     return out
 
 
