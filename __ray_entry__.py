@@ -321,6 +321,18 @@ def _q_outlinks(sf_dir: str):
     return extract_outlinks(_pages(sf_dir)).sort(["doc_id", "out_url"])
 
 
+def _q_anchor_rollup(sf_dir: str):
+    """Anchor-text rollup (what other pages call a host): top-3 anchor
+    strings per target host by (n desc, anchor asc). Anchors come from
+    webgen's deterministic markup — 17 static nav/sidebar/footer
+    anchors plus 3 cross links from pure doc_id arithmetic
+    (webgen.cross_links_for) — so the oracle re-derives every anchor
+    string and count without touching html."""
+    from textalyzer_ray.pipelines.links import top_anchors_per_host
+
+    return top_anchors_per_host(_pages(sf_dir), k=3)
+
+
 def _q_host_outdegree(sf_dir: str):
     from textalyzer_ray.pipelines.links import host_outdegree
 
@@ -1631,7 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_orders_by_segment": _q_cust_orders_by_segment,
         "lineitem_priority_join": _q_lineitem_priority_join,
         "purchase_asof_view": _q_purchase_asof_view,
-        "site_linkgraph": _q_site_linkgraph,
+        "anchor_rollup": _q_anchor_rollup,
         "host_pagerank": _q_host_pagerank,
         "gopher_quality": _q_gopher_quality,
         "rep_signals": _q_rep_signals,
@@ -1654,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_supplier_nation": _q_parts_by_supplier_nation,
         "readability_components": _q_readability_components,
         "host_outdegree": _q_host_outdegree,
+        "site_linkgraph": _q_site_linkgraph,
         "extract_fixtures": _q_extract_fixtures,
         "extract_pdf_text": _q_extract_pdf_text,
         "purchase_view_range_join": _q_purchase_view_range_join,
@@ -2562,6 +2575,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'docs.example' AS src_host, out_host AS dst_host, "
             "CAST(count(*) AS BIGINT) AS n_links "
             "FROM links GROUP BY dst_host ORDER BY src_host, dst_host"
+        ),
+        # every anchor string re-derived from webgen's page arithmetic:
+        # the 17 static nav/sidebar/footer anchors land on the page's
+        # own host; the 3 cross anchors are 'Linked page t' with
+        # t = (doc_id*31 + 7 + 101*j) % 10000 on site{t%50}.example
+        # (webgen.cross_links_for). Ties (every docs.example anchor has
+        # count n_docs) break by anchor ASC on both sides.
+        "anchor_rollup": (
+            "WITH anch AS ("
+            "SELECT 'docs.example' AS out_host, "
+            "'Category ' || CAST(i AS VARCHAR) || ' links here' AS anchor "
+            "FROM documents CROSS JOIN range(8) t(i) "
+            "UNION ALL SELECT 'docs.example', "
+            "'Related article number ' || CAST(i AS VARCHAR) "
+            "FROM documents CROSS JOIN range(6) t(i) "
+            "UNION ALL SELECT 'docs.example', a FROM documents CROSS JOIN ("
+            "SELECT unnest(['About us', 'Terms of service', "
+            "'Privacy policy']) AS a) "
+            "UNION ALL SELECT "
+            "'site' || CAST(t % 50 AS VARCHAR) || '.example', "
+            "'Linked page ' || CAST(t AS VARCHAR) FROM ("
+            "SELECT (doc_id * 31 + 7 + 101 * j) % 10000 AS t "
+            "FROM documents CROSS JOIN range(3) r(j))), "
+            "h AS (SELECT out_host, anchor, CAST(count(*) AS BIGINT) AS n "
+            "FROM anch GROUP BY 1, 2), "
+            "r AS (SELECT out_host, anchor, n, CAST(row_number() OVER ("
+            "PARTITION BY out_host ORDER BY n DESC, anchor) AS BIGINT) "
+            "AS rank FROM h) "
+            "SELECT out_host, anchor, n, rank FROM r WHERE rank <= 3 "
+            "ORDER BY out_host, rank"
         ),
         "host_pagerank": _pagerank_oracle_sql(),
         # HyperLogLog rebuilt in pure SQL: polyhash64 per distinct

@@ -174,3 +174,50 @@ class TestHostPagerank:
         from textalyzer_ray.pipelines.links import host_pagerank
 
         assert host_pagerank(self._edges([])).count() == 0
+
+
+class TestAnchorRollup:
+    def test_top_anchors_match_python_rederivation(self):
+        from collections import Counter
+
+        from textalyzer_ray.pipelines.links import top_anchors_per_host
+
+        ds, n = pages_ds()
+        rows = top_anchors_per_host(ds, k=3).take_all()
+        # re-derive: every page contributes the static anchors on its
+        # own host plus 3 cross anchors from doc_id arithmetic
+        counts = Counter()
+        static = (
+            [f"Category {i} links here" for i in range(8)]
+            + [f"Related article number {i}" for i in range(6)]
+            + ["About us", "Terms of service", "Privacy policy"]
+        )
+        for d in range(n):
+            for a in static:
+                counts[("docs.example", a)] += 1
+            for href, anchor in cross_links_for(d):
+                host = re.match(r"^https?://([^/]+)", href).group(1)
+                counts[(host, anchor)] += 1
+        expected = {}
+        for host in {h for h, _ in counts}:
+            anchors = sorted(
+                ((n_, a) for (h, a), n_ in counts.items() if h == host),
+                key=lambda x: (-x[0], x[1]),
+            )[:3]
+            for rank, (n_, a) in enumerate(anchors, 1):
+                expected[(host, rank)] = (a, n_)
+        got = {(r["out_host"], r["rank"]): (r["anchor"], r["n"]) for r in rows}
+        assert got == expected
+
+    def test_anchor_rows_are_native_string(self):
+        from textalyzer_ray.pipelines.links import _batch_anchors
+
+        ds, _ = pages_ds(2)
+        t = pa.concat_tables(
+            ds.map_batches(
+                _batch_anchors, batch_format="pyarrow"
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        assert t.schema.field("out_host").type == pa.string()
+        assert t.schema.field("anchor").type == pa.string()
+        assert t.num_rows == 2 * 20  # 17 static + 3 cross per page

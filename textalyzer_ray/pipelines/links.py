@@ -87,6 +87,101 @@ def _batch_outlinks(batch: pa.Table) -> pa.Table:
     )
 
 
+_ANCHOR_RE = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def _batch_anchors(batch: pa.Table) -> pa.Table:
+    """(doc_id, url, html) -> one row per <a> occurrence:
+    (out_host, anchor). Host resolution mirrors ``_batch_outlinks``;
+    the anchor is the raw inner text up to the first tag (webgen emits
+    flat anchors; nested-markup anchors keep their leading text, a
+    deterministic and documented simplification)."""
+    df = pl.from_arrow(batch.select(["url", "html"]))
+    df = df.with_columns(
+        pl.col("html").cast(pl.String, strict=False).alias("_h"),
+        pl.col("url").str.extract(_HOST_RE, 1).alias("_base"),
+    )
+    links = (
+        df.select(
+            "_base",
+            pl.col("_h").str.extract_all(_ANCHOR_RE).alias("_m"),
+        )
+        .explode("_m")
+        .drop_nulls("_m")
+        .with_columns(
+            pl.col("_m").str.extract(_ANCHOR_RE, 1).alias("_href"),
+            pl.col("_m").str.extract(_ANCHOR_RE, 2).alias("anchor"),
+        )
+        .with_columns(
+            pl.when(pl.col("_href").str.starts_with("http"))
+            .then(pl.col("_href"))
+            .when(pl.col("_href").str.starts_with("/"))
+            .then(pl.col("_base") + pl.col("_href"))
+            .otherwise(pl.col("_base") + "/" + pl.col("_href"))
+            .alias("out_url")
+        )
+        .with_columns(
+            pl.col("out_url")
+            .str.extract(_HOST_RE, 1)
+            .str.replace(r"^https?://", "")
+            .alias("out_host")
+        )
+        .select("out_host", "anchor")
+    )
+    return links.to_arrow().cast(
+        pa.schema(
+            [pa.field("out_host", pa.string()), pa.field("anchor", pa.string())]
+        )
+    )
+
+
+def top_anchors_per_host(pages: Dataset, k: int = 3) -> Dataset:
+    """Anchor-text rollup (the classic search/quality signal: what do
+    OTHER pages call this host?) -> (out_host, anchor, n, rank), top-k
+    anchors per target host by (n desc, anchor asc).
+
+    Scale shape: anchors leave the extraction batch as two short string
+    columns (html dies in-block); counting is ``key_counts`` partials +
+    auto-sized merge; the per-host window runs key-aligned
+    (``grouped_apply``) so every host's anchors land wholly in one
+    block — no single-block funnel at web-scale host counts."""
+    from textalyzer_ray.stages.groups import grouped_apply, key_counts
+
+    anchors = pages.map_batches(
+        _batch_anchors, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hist = key_counts(anchors, ["out_host", "anchor"]).map_batches(
+        lambda t: pa.table(
+            {"out_host": t["out_host"], "anchor": t["anchor"], "n": t["count"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .sort(["out_host", "n", "anchor"], descending=[False, True, False])
+            .with_columns(
+                pl.col("anchor").cum_count().over("out_host").cast(pl.Int64).alias("rank")
+            )
+            .filter(pl.col("rank") <= k)
+        )
+        return df.select(["out_host", "anchor", "n", "rank"]).to_arrow().cast(
+            pa.schema(
+                [
+                    pa.field("out_host", pa.string()),
+                    pa.field("anchor", pa.string()),
+                    pa.field("n", pa.int64()),
+                    pa.field("rank", pa.int64()),
+                ]
+            )
+        )
+
+    return grouped_apply(hist, ["out_host"], topk, num_partitions=4).sort(
+        ["out_host", "rank"]
+    )
+
+
 def extract_outlinks(pages: Dataset) -> Dataset:
     """Pages (doc_id, url, html, ...) -> (doc_id, out_url, out_host),
     one row per href in document order. The html column is dropped in
