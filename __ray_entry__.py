@@ -867,6 +867,21 @@ def _q_line_dedup_rebuild(sf_dir: str):
     return dedup_lines_rebuild(lines)
 
 
+def _q_boilerplate_removal(sf_dir: str):
+    """Frequency-based boilerplate removal over the chunk view: every
+    occurrence of a chunk shared by more than 2 distinct docs is
+    dropped (nav/footer semantics — the C4-dedup sibling that keeps NO
+    copy), docs rebuilt from survivors."""
+    from textalyzer_ray.pipelines.curation import remove_boilerplate_lines
+
+    lines = _docs(sf_dir).map_batches(
+        lambda t: _chunk_lines_table(t),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return remove_boilerplate_lines(lines, max_df=2)
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic bottom-k uniform sample (100 docs)."""
     from textalyzer_ray.pipelines.curation import hash_sample
@@ -1622,7 +1637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "single_line_dups": _q_single_line_dups,
         "events_hourly": _q_events_hourly,
         "similarity_topk": _q_similarity_topk,
-        "ivf_topk": _q_ivf_topk,
+        "boilerplate_removal": _q_boilerplate_removal,
         "cosine_pairs": _q_cosine_pairs,
         "knn_graph": _q_knn_graph,
         "embedding_clusters": _q_embedding_clusters,
@@ -1669,6 +1684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "site_linkgraph": _q_site_linkgraph,
         "extract_fixtures": _q_extract_fixtures,
         "extract_pdf_text": _q_extract_pdf_text,
+        "ivf_topk": _q_ivf_topk,
         "purchase_view_range_join": _q_purchase_view_range_join,
         "source_rollup": _q_source_rollup,
         "top_k_longest": _q_top_k_longest,
@@ -2007,6 +2023,15 @@ def oracle_sql() -> dict[str, str]:
             "kept AS (SELECT c.doc_id, c.line_number, c.content FROM c "
             "JOIN f ON c.content = f.content "
             "AND c.doc_id * 1000000 + c.line_number = f.fk) "
+            "SELECT doc_id, string_agg(content, ' ' ORDER BY line_number) "
+            "AS text FROM kept GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "boilerplate_removal": (
+            f"WITH {chunk_cte}, "
+            "df AS (SELECT content, count(DISTINCT doc_id) AS df "
+            "FROM c GROUP BY content), "
+            "kept AS (SELECT c.doc_id, c.line_number, c.content FROM c "
+            "JOIN df USING (content) WHERE df.df <= 2) "
             "SELECT doc_id, string_agg(content, ' ' ORDER BY line_number) "
             "AS text FROM kept GROUP BY doc_id ORDER BY doc_id"
         ),

@@ -689,3 +689,77 @@ class TestDupNgramCoverage:
             (1, 2, 2, 2, 2, 0),
             (2, 2, 2, 0, 0, 1),
         ]
+
+
+class TestBoilerplateRemoval:
+    def _lines(self, rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "line_number": pa.array([r[1] for r in rows], pa.int64()),
+                    "content": pa.array([r[2] for r in rows], pa.string()),
+                    "source": pa.array([r[3] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    def test_drops_all_occurrences_above_max_df(self):
+        from textalyzer_ray.pipelines.curation import remove_boilerplate_lines
+
+        # "footer" appears in 3 distinct docs (> max_df=2): ALL copies
+        # go, including the first (the C4-dedup contrast). "shared"
+        # appears in exactly 2 docs: kept everywhere.
+        rows = [
+            (0, 1, "unique zero", "a"),
+            (0, 2, "footer", "a"),
+            (1, 1, "shared", "a"),
+            (1, 2, "footer", "a"),
+            (2, 1, "shared", "a"),
+            (2, 2, "footer", "a"),
+            (3, 1, "footer", "a"),  # loses its only line -> disappears
+        ]
+        out = {
+            r["doc_id"]: r["text"]
+            for r in remove_boilerplate_lines(
+                self._lines(rows), max_df=2
+            ).take_all()
+        }
+        assert out == {0: "unique zero", 1: "shared", 2: "shared"}
+
+    def test_group_scoped_frequency(self):
+        from textalyzer_ray.pipelines.curation import remove_boilerplate_lines
+
+        # "banner" hits 2 docs in source a and 1 doc in source b: with
+        # max_df=1 scoped per source, only the source-a copies drop.
+        rows = [
+            (0, 1, "banner", "a"),
+            (0, 2, "keep zero", "a"),
+            (1, 1, "banner", "a"),
+            (2, 1, "banner", "b"),
+        ]
+        out = {
+            r["doc_id"]: r["text"]
+            for r in remove_boilerplate_lines(
+                self._lines(rows), max_df=1, group_col="source"
+            ).take_all()
+        }
+        assert out == {0: "keep zero", 2: "banner"}
+        # corpus-wide with the same threshold drops the b copy too
+        out2 = {
+            r["doc_id"]: r["text"]
+            for r in remove_boilerplate_lines(
+                self._lines(rows), max_df=1
+            ).take_all()
+        }
+        assert out2 == {0: "keep zero"}
+
+    def test_multiple_hits_in_one_doc_count_once(self):
+        from textalyzer_ray.pipelines.curation import remove_boilerplate_lines
+
+        # df is DISTINCT docs: 3 copies inside one doc keep df=1
+        rows = [(0, i, "refrain", "a") for i in range(1, 4)] + [
+            (0, 4, "tail", "a")
+        ]
+        out = remove_boilerplate_lines(self._lines(rows), max_df=1).take_all()
+        assert out[0]["text"] == "refrain refrain refrain tail"

@@ -327,6 +327,98 @@ def dedup_lines_rebuild(
     ).sort(id_col)
 
 
+def remove_boilerplate_lines(
+    lines: Dataset,
+    max_df: int = 2,
+    id_col: str = "doc_id",
+    line_col: str = "line_number",
+    content_col: str = "content",
+    group_col: str | None = None,
+    sep: str = " ",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Frequency-based boilerplate removal (the CCNet/trafilatura
+    sibling of C4 line dedup): over an exploded line view, drop EVERY
+    occurrence of a line whose distinct-document frequency exceeds
+    ``max_df`` (nav bars, cookie banners, footers — text repeated
+    across many pages), then rebuild each document from its surviving
+    lines in order. Unlike ``dedup_lines_rebuild`` (which keeps the
+    first occurrence), a boilerplate line keeps NO occurrence.
+    Documents that lose every line disappear.
+
+    ``group_col`` scopes the frequency count (e.g. per source/host —
+    the trafilatura deduplicate-per-site behavior); None counts
+    corpus-wide.
+
+    Scale shape: identical to ``dedup_lines_rebuild`` — pass 1 aligns
+    on a 64-bit content hash, so every occurrence of a line sits in one
+    block and the distinct-doc count + filter are in-block polars
+    (collision-proof: grouped by ACTUAL content); pass 2 re-aligns by
+    doc id for the ordered rebuild. Each line crosses an exchange
+    exactly twice; no driver materialization."""
+    import polars as pl
+
+    from textalyzer_ray.stages.dedup import add_content_hash
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    cols = [id_col, line_col, content_col] + ([group_col] if group_col else [])
+    hashed = lines.map_batches(
+        lambda t: add_content_hash(t.select(cols), content_col),
+        batch_format="pyarrow",
+    ).materialize()  # the hash shuffle buffers everything anyway
+    if num_partitions is None:
+        from textalyzer_ray.stages.groups import partitions_for
+
+        num_partitions = partitions_for(hashed.count())
+    sch = hashed.schema()
+    id_type = (
+        sch.base_schema.field(id_col).type if sch is not None else pa.int64()
+    )
+    line_schema = pa.schema(
+        [
+            pa.field(id_col, id_type),
+            pa.field(line_col, pa.int64()),
+            pa.field(content_col, pa.string()),
+        ]
+    )
+    freq_keys = ([group_col] if group_col else []) + [content_col]
+
+    def drop_frequent(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(cols))
+        return (
+            df.with_columns(
+                pl.col(id_col).n_unique().over(freq_keys).alias("_df")
+            )
+            .filter(pl.col("_df") <= max_df)
+            .select([id_col, line_col, content_col])
+            .to_arrow()
+            .cast(line_schema)
+        )
+
+    kept = grouped_apply(
+        hashed, ["content_hash"], drop_frequent,
+        num_partitions=num_partitions,
+    )
+
+    out_schema = pa.schema(
+        [pa.field(id_col, id_type), pa.field("text", pa.string())]
+    )
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .sort([id_col, line_col])
+            .group_by(id_col, maintain_order=True)
+            .agg(pl.col(content_col).str.join(sep).alias("text"))
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return grouped_apply(
+        kept, [id_col], rebuild, num_partitions=num_partitions
+    ).sort(id_col)
+
+
 def token_shard_assignment(
     ds: Dataset,
     budget: int,
