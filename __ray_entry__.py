@@ -1614,12 +1614,16 @@ def _q_extract_fixtures(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's CORRECTNESS file witnessed exactly the
     # first 50 entries in round 2, so ONE query per distinct operator
-    # family sits in the first 50 (the r3 session additions displaced
-    # seven family-redundant entries — bigram_histogram,
-    # word_histogram_by_lang, winnow_fingerprints, orders_by_region_nation,
-    # parts_by_supplier_nation, readability_components, host_outdegree —
-    # into the redundant-coverage block, each still covered by a same-
-    # family query above the cap); rows-only entries close the dict.
+    # family sits in the first 50. The r3 session additions displaced
+    # family-redundant entries into the redundant-coverage block
+    # (bigram_histogram, word_histogram_by_lang, winnow_fingerprints,
+    # orders_by_region_nation, parts_by_supplier_nation,
+    # readability_components, host_outdegree, extract_fixtures,
+    # extract_pdf_text, site_linkgraph, ivf_topk — each still covered
+    # by a same-family query above the cap: extraction by
+    # extract_text/warc_extract, linkgraph by host_pagerank +
+    # anchor_rollup, ANN by similarity_topk). Rows-only entries close
+    # the dict.
     return {
         # SQL-oracled — one per family, strongest evidence first
         "word_histogram": _q_word_histogram,
