@@ -867,6 +867,36 @@ def _q_line_dedup_rebuild(sf_dir: str):
     return dedup_lines_rebuild(lines)
 
 
+def _q_image_dhash_groups(sf_dir: str):
+    """Multimodal dedup: deterministic 16x18 grayscale PGMs (one per
+    doc, 40 pixel-arithmetic classes) flow through the REAL netpbm
+    decoder, get perceptual-dHashed (core/imagehash.py), and group by
+    the 64-bit signature -> (dhash_hi, dhash_lo, n_images). The oracle
+    recomputes every pixel, block sum, gradient bit and packed half in
+    pure SQL integer arithmetic — the decoder sits in the gated path."""
+    from textalyzer_ray.pipelines.media import dhash_dup_groups
+
+    def to_media(t):
+        import pyarrow as pa
+
+        from textalyzer_ray.core.imagehash import synth_gray_pgm
+
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "data": pa.array(
+                    [synth_gray_pgm(i % 40) for i in ids], pa.binary()
+                ),
+            }
+        )
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(
+        to_media, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return dhash_dup_groups(media)
+
+
 def _q_boilerplate_removal(sf_dir: str):
     """Frequency-based boilerplate removal over the chunk view: every
     occurrence of a chunk shared by more than 2 distinct docs is
@@ -1636,7 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "sessionize": _q_sessionize,
         "line_width_histogram_chunks": _q_line_width_histogram_chunks,
-        "lang_rollup": _q_lang_rollup,
+        "image_dhash_groups": _q_image_dhash_groups,
         "exact_dedup_distributed": _q_exact_dedup_distributed,
         "single_line_dups": _q_single_line_dups,
         "events_hourly": _q_events_hourly,
@@ -1685,6 +1715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_supplier_nation": _q_parts_by_supplier_nation,
         "readability_components": _q_readability_components,
         "host_outdegree": _q_host_outdegree,
+        "lang_rollup": _q_lang_rollup,
         "site_linkgraph": _q_site_linkgraph,
         "extract_fixtures": _q_extract_fixtures,
         "extract_pdf_text": _q_extract_pdf_text,
@@ -2029,6 +2060,38 @@ def oracle_sql() -> dict[str, str]:
             "AND c.doc_id * 1000000 + c.line_number = f.fk) "
             "SELECT doc_id, string_agg(content, ' ' ORDER BY line_number) "
             "AS text FROM kept GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # dHash replayed in pure SQL: pixel(k,y,x) = (k*7 + x*13 + y*31
+        # + (x*y*(k+3)) % 97) % 256, 2x2 block sums over the 16x18
+        # grid, gradient bit = right sum > left sum, packed at
+        # i = Y*8+X into two BIGINT halves (lo: Y<4, hi: Y>=4) — every
+        # step integer-exact (core/imagehash.py).
+        "image_dhash_groups": (
+            "WITH ks AS (SELECT doc_id % 40 AS k, "
+            "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1), "
+            "bs AS (SELECT kk.k, g.yy, g.xx, "
+            "SUM((kk.k*7 + (2*g.xx+d.dx)*13 + (2*g.yy+d.dy)*31 + "
+            "((2*g.xx+d.dx)*(2*g.yy+d.dy)*(kk.k+3)) % 97) % 256) AS s "
+            "FROM (SELECT DISTINCT k FROM ks) kk "
+            "CROSS JOIN (SELECT y.yy, x.xx FROM ("
+            "SELECT unnest(generate_series(0, 7)) AS yy) y CROSS JOIN ("
+            "SELECT unnest(generate_series(0, 8)) AS xx) x) g "
+            "CROSS JOIN (SELECT a.dy, b.dx FROM ("
+            "SELECT unnest(generate_series(0, 1)) AS dy) a CROSS JOIN ("
+            "SELECT unnest(generate_series(0, 1)) AS dx) b) d "
+            "GROUP BY 1, 2, 3), "
+            "bits AS (SELECT l.k, l.yy, l.xx, "
+            "CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS b "
+            "FROM bs l JOIN bs r ON r.k = l.k AND r.yy = l.yy "
+            "AND r.xx = l.xx + 1 WHERE l.xx <= 7), "
+            "hv AS (SELECT k, CAST(sum(CASE WHEN yy < 4 THEN "
+            "b * (CAST(1 AS BIGINT) << (yy*8+xx)) ELSE 0 END) AS BIGINT) "
+            "AS dhash_lo, CAST(sum(CASE WHEN yy >= 4 THEN "
+            "b * (CAST(1 AS BIGINT) << ((yy-4)*8+xx)) ELSE 0 END) AS BIGINT) "
+            "AS dhash_hi FROM bits GROUP BY k) "
+            "SELECT h.dhash_hi, h.dhash_lo, CAST(sum(ks.n) AS BIGINT) "
+            "AS n_images FROM hv h JOIN ks ON ks.k = h.k "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "boilerplate_removal": (
             f"WITH {chunk_cte}, "

@@ -1,0 +1,102 @@
+"""Perceptual image dedup: dHash semantics, decode integration,
+group rollup."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from textalyzer_ray.core.imagehash import (
+    DHASH_H,
+    DHASH_W,
+    dhash64,
+    dhash_hi_lo,
+    dhash_of_pgm,
+    synth_gray_pgm,
+)
+from textalyzer_ray.pipelines.media import (
+    _to_dhash_grid,
+    dhash_dup_groups,
+    image_dhash,
+)
+
+pytestmark = pytest.mark.usefixtures("quiet_data_context")
+
+
+class TestCoreDhash:
+    def test_classes_are_distinct_and_deterministic(self):
+        hs = [dhash_of_pgm(synth_gray_pgm(k)) for k in range(40)]
+        assert len(set(hs)) == 40
+        assert hs == [dhash_of_pgm(synth_gray_pgm(k)) for k in range(40)]
+        for hi, lo in hs:
+            assert 0 <= hi < 1 << 32 and 0 <= lo < 1 << 32
+
+    def test_bit_packing_layout(self):
+        # brightness increasing along x in the top row block only ->
+        # bits exactly at Y=0 (indices 0..7) -> lo = 0xff, hi = 0
+        g = np.zeros((DHASH_H, DHASH_W), np.uint8)
+        g[0:2, :] = (np.arange(DHASH_W, dtype=np.uint8) * 10)[None, :]
+        h = dhash64(g)
+        assert dhash_hi_lo(h) == (0, 0xFF)
+
+    def test_shape_guard(self):
+        with pytest.raises(ValueError):
+            dhash64(np.zeros((8, 9), np.uint8))
+
+    def test_hash_invariant_under_2x_block_upscale(self):
+        # a 32x36 image that is the 2x block-replication of the 16x18
+        # grid reduces back to the identical grid -> identical hash
+        base = np.frombuffer(synth_gray_pgm(7)[-DHASH_H * DHASH_W :], np.uint8)
+        base = base.reshape(DHASH_H, DHASH_W)
+        up = np.kron(base, np.ones((2, 2), np.uint8))
+        assert dhash64(_to_dhash_grid(up)) == dhash64(base)
+
+    def test_rgb_collapses_by_channel_mean(self):
+        base = np.frombuffer(synth_gray_pgm(3)[-DHASH_H * DHASH_W :], np.uint8)
+        base = base.reshape(DHASH_H, DHASH_W)
+        rgb = np.repeat(base[:, :, None], 3, axis=2)
+        assert dhash64(_to_dhash_grid(rgb)) == dhash64(base)
+
+
+class TestMediaPipelines:
+    def test_image_dhash_matches_scalar_reference(self):
+        ids = list(range(25))
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "media_id": pa.array(ids, pa.int64()),
+                    "data": pa.array(
+                        [synth_gray_pgm(i % 7) for i in ids], pa.binary()
+                    ),
+                }
+            )
+        )
+        rows = {r["media_id"]: r for r in image_dhash(ds).take_all()}
+        for i in ids:
+            hi, lo = dhash_of_pgm(synth_gray_pgm(i % 7))
+            assert (rows[i]["dhash_hi"], rows[i]["dhash_lo"]) == (hi, lo)
+
+    def test_dup_groups_counts(self):
+        ids = list(range(21))
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "media_id": pa.array(ids, pa.int64()),
+                    "data": pa.array(
+                        [synth_gray_pgm(i % 3) for i in ids], pa.binary()
+                    ),
+                }
+            )
+        )
+        rows = dhash_dup_groups(ds).take_all()
+        assert len(rows) == 3
+        assert sorted(r["n_images"] for r in rows) == [7, 7, 7]
+        hashes = [(r["dhash_hi"], r["dhash_lo"]) for r in rows]
+        assert hashes == sorted(hashes)
+
+    def test_unsupported_codec_raises(self):
+        from textalyzer_ray.core.media import UnsupportedMediaError
+        from textalyzer_ray.pipelines.media import _decode_any
+
+        with pytest.raises(UnsupportedMediaError):
+            _decode_any(b"\xff\xd8\xff\xe0 jpeg-ish")
