@@ -897,6 +897,36 @@ def _q_image_dhash_groups(sf_dir: str):
     return dhash_dup_groups(media)
 
 
+def _q_audio_afp_groups(sf_dir: str):
+    """Multimodal audio dedup: deterministic 16-bit mono PCM clips (40
+    sample-arithmetic classes) flow through the REAL WAV decoder, get
+    energy-gradient fingerprinted (core/audiofp.py, 63 bits — one
+    BIGINT), and group -> (afp, n_clips). The decoder's /32768.0
+    normalization is an exact power-of-two double division, so the
+    oracle replays the whole fingerprint in SQL integer arithmetic."""
+    from textalyzer_ray.pipelines.media import afp_dup_groups
+
+    def to_media(t):
+        import pyarrow as pa
+
+        from textalyzer_ray.core.audiofp import synth_pcm_wav
+
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "data": pa.array(
+                    [synth_pcm_wav(i % 40) for i in ids], pa.binary()
+                ),
+            }
+        )
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(
+        to_media, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return afp_dup_groups(media)
+
+
 def _q_boilerplate_removal(sf_dir: str):
     """Frequency-based boilerplate removal over the chunk view: every
     occurrence of a chunk shared by more than 2 distinct docs is
@@ -1669,7 +1699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash_groups": _q_image_dhash_groups,
         "exact_dedup_distributed": _q_exact_dedup_distributed,
         "single_line_dups": _q_single_line_dups,
-        "events_hourly": _q_events_hourly,
+        "audio_afp_groups": _q_audio_afp_groups,
         "similarity_topk": _q_similarity_topk,
         "boilerplate_removal": _q_boilerplate_removal,
         "cosine_pairs": _q_cosine_pairs,
@@ -1716,6 +1746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_components": _q_readability_components,
         "host_outdegree": _q_host_outdegree,
         "lang_rollup": _q_lang_rollup,
+        "events_hourly": _q_events_hourly,
         "site_linkgraph": _q_site_linkgraph,
         "extract_fixtures": _q_extract_fixtures,
         "extract_pdf_text": _q_extract_pdf_text,
@@ -2092,6 +2123,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT h.dhash_hi, h.dhash_lo, CAST(sum(ks.n) AS BIGINT) "
             "AS n_images FROM hv h JOIN ks ON ks.k = h.k "
             "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # audio fingerprint replayed in SQL: sample(k,t) = ((k*13 + t*7
+        # + (t*t*(k+5)) % 193) % 251) - 125, 64 frame |.| sums, gradient
+        # bit j = F(j+1) > F(j) packed at index j (63 bits, one BIGINT).
+        "audio_afp_groups": (
+            "WITH ks AS (SELECT doc_id % 40 AS k, "
+            "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1), "
+            "fs AS (SELECT kk.k, tt.t // 4 AS j, "
+            "SUM(abs(((kk.k*13 + tt.t*7 + (tt.t*tt.t*(kk.k+5)) % 193) "
+            "% 251) - 125)) AS f "
+            "FROM (SELECT DISTINCT k FROM ks) kk CROSS JOIN ("
+            "SELECT unnest(generate_series(0, 255)) AS t) tt "
+            "GROUP BY 1, 2), "
+            "bits AS (SELECT l.k, l.j, "
+            "CASE WHEN r.f > l.f THEN 1 ELSE 0 END AS b "
+            "FROM fs l JOIN fs r ON r.k = l.k AND r.j = l.j + 1 "
+            "WHERE l.j <= 62), "
+            "hv AS (SELECT k, CAST(sum(b * (CAST(1 AS BIGINT) << j)) "
+            "AS BIGINT) AS afp FROM bits GROUP BY k) "
+            "SELECT h.afp, CAST(sum(ks.n) AS BIGINT) AS n_clips "
+            "FROM hv h JOIN ks ON ks.k = h.k GROUP BY 1 ORDER BY 1"
         ),
         "boilerplate_removal": (
             f"WITH {chunk_cte}, "

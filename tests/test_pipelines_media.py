@@ -100,3 +100,46 @@ class TestMediaPipelines:
 
         with pytest.raises(UnsupportedMediaError):
             _decode_any(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+class TestAudioFingerprint:
+    def test_classes_distinct_and_bigint_safe(self):
+        from textalyzer_ray.core.audiofp import afp_of_wav, synth_pcm_wav
+
+        fps = [afp_of_wav(synth_pcm_wav(k)) for k in range(40)]
+        assert len(set(fps)) == 40
+        assert all(0 <= f < 1 << 63 for f in fps)
+
+    def test_wav_roundtrip_recovers_exact_ints(self):
+        # decode_wav's /32768.0 is an exact power-of-two division:
+        # rint(x*32768) must equal the planted int16 samples bit-for-bit
+        import numpy as np
+
+        from textalyzer_ray.core.audiofp import synth_pcm_wav
+        from textalyzer_ray.core.media import decode_wav
+
+        x, rate = decode_wav(synth_pcm_wav(9))
+        t = np.arange(256, dtype=np.int64)
+        ref = ((9 * 13 + t * 7 + (t * t * (9 + 5)) % 193) % 251) - 125
+        assert np.array_equal(np.rint(x * 32768.0).astype(np.int64), ref)
+
+    def test_afp_pipeline_groups(self):
+        from textalyzer_ray.core.audiofp import afp_of_wav, synth_pcm_wav
+        from textalyzer_ray.pipelines.media import afp_dup_groups
+
+        ids = list(range(30))
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "media_id": pa.array(ids, pa.int64()),
+                    "data": pa.array(
+                        [synth_pcm_wav(i % 5) for i in ids], pa.binary()
+                    ),
+                }
+            )
+        )
+        rows = afp_dup_groups(ds).take_all()
+        assert len(rows) == 5 and all(r["n_clips"] == 6 for r in rows)
+        assert {r["afp"] for r in rows} == {
+            afp_of_wav(synth_pcm_wav(k)) for k in range(5)
+        }

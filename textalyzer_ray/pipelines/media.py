@@ -98,6 +98,39 @@ def image_dhash(
     return ds.map_batches(hash_batch, batch_format="pyarrow")
 
 
+def audio_afp(
+    ds: Dataset, id_col: str = "media_id", data_col: str = "data"
+) -> Dataset:
+    """(id, data:binary WAV) -> (id, afp:int64) via the real PCM-WAV
+    decoder + the 63-bit energy-gradient fingerprint (core/audiofp.py).
+    Binary payloads die in the stage."""
+    from textalyzer_ray.core.audiofp import afp_of_wav
+
+    def fp_batch(t: pa.Table) -> pa.Table:
+        fps = [afp_of_wav(raw) for raw in t[data_col].to_pylist()]
+        return pa.table(
+            {id_col: t[id_col], "afp": pa.array(fps, pa.int64())}
+        )
+
+    return ds.map_batches(fp_batch, batch_format="pyarrow")
+
+
+def afp_dup_groups(
+    ds: Dataset, id_col: str = "media_id", data_col: str = "data"
+) -> Dataset:
+    """Exact audio-duplicate groups: (afp, n_clips) sorted by afp."""
+    from textalyzer_ray.stages.groups import key_counts
+
+    return (
+        key_counts(audio_afp(ds, id_col=id_col, data_col=data_col), ["afp"])
+        .map_batches(
+            lambda t: pa.table({"afp": t["afp"], "n_clips": t["count"]}),
+            batch_format="pyarrow",
+        )
+        .sort("afp")
+    )
+
+
 def dhash_dup_groups(
     ds: Dataset, id_col: str = "media_id", data_col: str = "data"
 ) -> Dataset:
