@@ -927,6 +927,36 @@ def _q_audio_afp_groups(sf_dir: str):
     return afp_dup_groups(media)
 
 
+def _q_video_vhash_groups(sf_dir: str):
+    """Multimodal video dedup: deterministic 8-frame Cmono YUV4MPEG2
+    clips (40 pixel-arithmetic classes) flow through the REAL y4m
+    container parser, 4 evenly-spaced frames get dHashed and folded
+    (polyhash recurrence, order-sensitive) into one 64-bit signature ->
+    (vhash_hi, vhash_lo, n_videos). The oracle replays pixels, block
+    sums, per-frame hashes and the fold in pure SQL integer math."""
+    from textalyzer_ray.pipelines.media import vhash_dup_groups
+
+    def to_media(t):
+        import pyarrow as pa
+
+        from textalyzer_ray.core.imagehash import synth_gray_y4m
+
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "data": pa.array(
+                    [synth_gray_y4m(i % 40) for i in ids], pa.binary()
+                ),
+            }
+        )
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(
+        to_media, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return vhash_dup_groups(media)
+
+
 def _q_boilerplate_removal(sf_dir: str):
     """Frequency-based boilerplate removal over the chunk view: every
     occurrence of a chunk shared by more than 2 distinct docs is
@@ -1711,7 +1741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_words": _q_approx_top_words,
         "approx_distinct_words": _q_approx_distinct_words,
         "line_dedup_rebuild": _q_line_dedup_rebuild,
-        "bpe_token_counts": _q_bpe_token_counts,
+        "video_vhash_groups": _q_video_vhash_groups,
         "extract_text": _q_extract_text,
         "warc_extract": _q_warc_extract,
         "outlinks": _q_outlinks,
@@ -1746,6 +1776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_components": _q_readability_components,
         "host_outdegree": _q_host_outdegree,
         "lang_rollup": _q_lang_rollup,
+        "bpe_token_counts": _q_bpe_token_counts,
         "events_hourly": _q_events_hourly,
         "site_linkgraph": _q_site_linkgraph,
         "extract_fixtures": _q_extract_fixtures,
@@ -2144,6 +2175,51 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS afp FROM bits GROUP BY k) "
             "SELECT h.afp, CAST(sum(ks.n) AS BIGINT) AS n_clips "
             "FROM hv h JOIN ks ON ks.k = h.k GROUP BY 1 ORDER BY 1"
+        ),
+        # video signature replayed in SQL: per-frame dHash (the
+        # image_dhash_groups construction plus f*11 / (k+3+f) terms for
+        # sampled frames f in 0,2,4,6), assembled to 64-bit HUGEINTs
+        # (hi*2^32 + lo), folded h = h*1000003 + d mod 2^64 in frame
+        # order (every intermediate < 2^84), split back to halves.
+        "video_vhash_groups": (
+            "WITH ks AS (SELECT doc_id % 40 AS k, "
+            "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1), "
+            "vbs AS (SELECT kk.k, fr.f, g.yy, g.xx, "
+            "SUM((kk.k*7 + fr.f*11 + (2*g.xx+d.dx)*13 + (2*g.yy+d.dy)*31 + "
+            "((2*g.xx+d.dx)*(2*g.yy+d.dy)*(kk.k+3+fr.f)) % 97) % 256) AS s "
+            "FROM (SELECT DISTINCT k FROM ks) kk "
+            "CROSS JOIN (SELECT unnest([0, 2, 4, 6]) AS f) fr "
+            "CROSS JOIN (SELECT y.yy, x.xx FROM ("
+            "SELECT unnest(generate_series(0, 7)) AS yy) y CROSS JOIN ("
+            "SELECT unnest(generate_series(0, 8)) AS xx) x) g "
+            "CROSS JOIN (SELECT a.dy, b.dx FROM ("
+            "SELECT unnest(generate_series(0, 1)) AS dy) a CROSS JOIN ("
+            "SELECT unnest(generate_series(0, 1)) AS dx) b) d "
+            "GROUP BY 1, 2, 3, 4), "
+            "vbits AS (SELECT l.k, l.f, l.yy, l.xx, "
+            "CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS b "
+            "FROM vbs l JOIN vbs r ON r.k = l.k AND r.f = l.f "
+            "AND r.yy = l.yy AND r.xx = l.xx + 1 WHERE l.xx <= 7), "
+            "vdh AS (SELECT k, f, "
+            "CAST(sum(CASE WHEN yy < 4 THEN "
+            "b * (CAST(1 AS BIGINT) << (yy*8+xx)) ELSE 0 END) AS HUGEINT) + "
+            "CAST(sum(CASE WHEN yy >= 4 THEN "
+            "b * (CAST(1 AS BIGINT) << ((yy-4)*8+xx)) ELSE 0 END) AS HUGEINT) "
+            "* 4294967296 AS d FROM vbits GROUP BY 1, 2), "
+            "vw AS (SELECT k, max(CASE WHEN f = 0 THEN d END) AS d0, "
+            "max(CASE WHEN f = 2 THEN d END) AS d2, "
+            "max(CASE WHEN f = 4 THEN d END) AS d4, "
+            "max(CASE WHEN f = 6 THEN d END) AS d6 FROM vdh GROUP BY k), "
+            "vh AS (SELECT k, ((((d0 * 1000003 + d2) "
+            "% 18446744073709551616) * 1000003 + d4) "
+            "% 18446744073709551616) * 1000003 + d6 AS hraw FROM vw), "
+            "hv AS (SELECT k, CAST((hraw % 18446744073709551616) "
+            "// 4294967296 AS BIGINT) AS vhash_hi, "
+            "CAST((hraw % 18446744073709551616) % 4294967296 AS BIGINT) "
+            "AS vhash_lo FROM vh) "
+            "SELECT h.vhash_hi, h.vhash_lo, CAST(sum(ks.n) AS BIGINT) "
+            "AS n_videos FROM hv h JOIN ks ON ks.k = h.k "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "boilerplate_removal": (
             f"WITH {chunk_cte}, "

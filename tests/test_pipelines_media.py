@@ -143,3 +143,82 @@ class TestAudioFingerprint:
         assert {r["afp"] for r in rows} == {
             afp_of_wav(synth_pcm_wav(k)) for k in range(5)
         }
+
+
+class TestVideoY4m:
+    def test_y4m_roundtrip_and_header_parse(self):
+        import numpy as np
+
+        from textalyzer_ray.core.media import decode_y4m, encode_y4m_mono
+
+        frames = np.arange(3 * 4 * 6, dtype=np.uint8).reshape(3, 4, 6)
+        data = encode_y4m_mono(frames, fps=(30, 1))
+        got, fps = decode_y4m(data)
+        assert np.array_equal(got, frames) and fps == (30, 1)
+
+    def test_y4m_420_reads_luma_and_skips_chroma(self):
+        import numpy as np
+
+        from textalyzer_ray.core.media import decode_y4m
+
+        y = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        uv = bytes(8)  # 2x (2x2) chroma planes
+        data = (
+            b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n"
+            + (b"FRAME\n" + y.tobytes() + uv) * 2
+        )
+        got, _ = decode_y4m(data)
+        assert got.shape == (2, 4, 4) and np.array_equal(got[1], y)
+
+    def test_y4m_malformed_raises(self):
+        from textalyzer_ray.core.media import UnsupportedMediaError, decode_y4m
+
+        for bad in (
+            b"RIFFxxxx",
+            b"YUV4MPEG2 W4 H4 F25:1\nNOTAFRAME\n",
+            b"YUV4MPEG2 W4 H4 F25:1 Cmono\nFRAME\nshort",
+            b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n" + bytes(48),
+        ):
+            with pytest.raises(UnsupportedMediaError):
+                decode_y4m(bad)
+
+    def test_sample_frames_real_y4m_path(self):
+        import numpy as np
+
+        from textalyzer_ray.core.imagehash import synth_gray_y4m, synth_video_frame
+        from textalyzer_ray.core.media import decode_ppm
+        from textalyzer_ray.stages.multimodal import SampleFrames
+
+        t = pa.table(
+            {
+                "media_id": pa.array([5], pa.int64()),
+                "data": pa.array([synth_gray_y4m(2)], pa.binary()),
+            }
+        )
+        out = SampleFrames(n_frames=4)(t)
+        assert out.num_rows == 4
+        # sampled frames are valid P5 and equal the planted frames 0,2,4,6
+        for row, src_f in zip(range(4), (0, 2, 4, 6)):
+            img = decode_ppm(out["frame"][row].as_py())
+            assert np.array_equal(img, synth_video_frame(2, src_f))
+
+    def test_vhash_pipeline_matches_scalar(self):
+        from textalyzer_ray.core.imagehash import synth_gray_y4m, vhash_of_y4m
+        from textalyzer_ray.pipelines.media import vhash_dup_groups
+
+        ids = list(range(12))
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "media_id": pa.array(ids, pa.int64()),
+                    "data": pa.array(
+                        [synth_gray_y4m(i % 4) for i in ids], pa.binary()
+                    ),
+                }
+            )
+        )
+        rows = vhash_dup_groups(ds).take_all()
+        assert len(rows) == 4 and all(r["n_videos"] == 3 for r in rows)
+        assert {(r["vhash_hi"], r["vhash_lo"]) for r in rows} == {
+            vhash_of_y4m(synth_gray_y4m(k)) for k in range(4)
+        }

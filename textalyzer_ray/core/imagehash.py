@@ -71,3 +71,56 @@ def dhash_of_pgm(data: bytes) -> tuple[int, int]:
     """Scalar reference: decode (REAL netpbm parser) + hash ->
     (hi, lo). The vectorized stage must match bit-for-bit."""
     return dhash_hi_lo(dhash64(decode_ppm(data)))
+
+
+# ---- video (frame sequence) ----
+
+VHASH_FOLD_B = 1_000_003  # the repo's polyhash base; d*B < 2^84 << 2^127
+_MAXU64 = (1 << 64) - 1
+
+
+def synth_video_frame(
+    k: int, f: int, w: int = DHASH_W, h: int = DHASH_H
+) -> np.ndarray:
+    """Frame ``f`` of class ``k``: pixel(y, x) = (k*7 + f*11 + x*13 +
+    y*31 + (x*y*(k+3+f)) % 97) % 256 — the image formula plus
+    frame-dependent terms; SQL-replayable."""
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    xx, yy = np.meshgrid(x, y)
+    return (
+        (k * 7 + f * 11 + xx * 13 + yy * 31 + (xx * yy * (k + 3 + f)) % 97)
+        % 256
+    ).astype(np.uint8)
+
+
+def synth_gray_y4m(k: int, n_frames: int = 8) -> bytes:
+    """Deterministic Cmono YUV4MPEG2 clip for class ``k`` (measured:
+    40/40 distinct folded vhashes for k in 0..39)."""
+    from textalyzer_ray.core.media import encode_y4m_mono
+
+    return encode_y4m_mono(
+        np.stack([synth_video_frame(k, f) for f in range(n_frames)])
+    )
+
+
+def video_vhash64(frames: np.ndarray, n_sample: int = 4) -> int:
+    """(n, 16, 18) luma frames -> 64-bit video signature: dHash each of
+    ``n_sample`` evenly-spaced frames (source index floor(i*n/n_sample),
+    the SampleFrames rule) and fold with the polyhash recurrence
+    h = h*B + dhash mod 2^64 — order-sensitive, integer-exact."""
+    total = frames.shape[0]
+    h = 0
+    for i in range(n_sample):
+        p = min(i * total // n_sample, total - 1)
+        h = (h * VHASH_FOLD_B + dhash64(frames[p])) & _MAXU64
+    return h
+
+
+def vhash_of_y4m(data: bytes, n_sample: int = 4) -> tuple[int, int]:
+    """Scalar reference: REAL y4m decode + sampled-frame fold ->
+    (hi, lo) BIGINT-safe halves."""
+    from textalyzer_ray.core.media import decode_y4m
+
+    frames, _fps = decode_y4m(data)
+    return dhash_hi_lo(video_vhash64(frames, n_sample=n_sample))

@@ -11,10 +11,13 @@ but several production-relevant raw formats need none:
 - ``decode_png`` / ``encode_png``: 8-bit non-interlaced PNG — a REAL
   compressed format whose only codec is stdlib zlib plus the five
   per-row byte filters (r3).
+- ``decode_y4m`` / ``encode_y4m_mono``: YUV4MPEG2 uncompressed video
+  (the mjpegtools container) — luma-plane frames for Cmono and 4:2:0
+  streams (r3).
 - ``resize_nearest``: nearest-neighbor resize (pure numpy indexing).
 
-These make the multimodal stages REAL for raw payloads and PNG; formats
-needing actual codec libraries (JPEG/MP4) still raise
+These make the multimodal stages REAL for raw payloads, PNG and y4m
+video; formats needing actual codec libraries (JPEG/MP4) still raise
 ``UnsupportedMediaError`` and are the documented stub boundary
 (stages/multimodal.py).
 """
@@ -271,6 +274,80 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if nch > 1:
         x = x.reshape(-1, nch).mean(axis=1)
     return x, rate
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """YUV4MPEG2 (.y4m) uncompressed video -> (frames, fps) with
+    ``frames`` a (n, h, w) uint8 array of the LUMA plane and ``fps`` the
+    (num, den) rate. Supports Cmono (Y only) and C420/C420jpeg/C420paldv
+    (chroma planes parsed and skipped); other colourspaces raise.
+
+    Y4M is a real public container (mjpegtools spec): one ASCII stream
+    header ``YUV4MPEG2 W.. H.. F..:.. [Ip] [A..] [C..]\\n``, then per
+    frame a ``FRAME[ params]\\n`` marker followed by raw planes."""
+    if not data.startswith(b"YUV4MPEG2"):
+        raise UnsupportedMediaError("not a YUV4MPEG2 stream")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise UnsupportedMediaError("missing y4m stream header terminator")
+    w = h = 0
+    fps = (25, 1)
+    cspace = b"420"  # spec default when no C tag
+    for tok in data[10:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            fps = (int(num), int(den))
+        elif tag == b"C":
+            cspace = val
+    if w <= 0 or h <= 0:
+        raise UnsupportedMediaError("y4m header missing W/H")
+    if cspace == b"mono":
+        frame_bytes = w * h
+    elif cspace in (b"420", b"420jpeg", b"420paldv", b"420mpeg2"):
+        if w % 2 or h % 2:
+            raise UnsupportedMediaError("odd dimensions for 4:2:0 chroma")
+        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    else:
+        raise UnsupportedMediaError(
+            f"unsupported y4m colourspace C{cspace.decode(errors='replace')}"
+        )
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data[pos : pos + 5] == b"FRAME":
+            raise UnsupportedMediaError("malformed y4m FRAME marker")
+        pos = fnl + 1
+        if len(data) - pos < frame_bytes:
+            raise UnsupportedMediaError("truncated y4m frame payload")
+        frames.append(
+            np.frombuffer(data, np.uint8, count=w * h, offset=pos).reshape(
+                h, w
+            )
+        )
+        pos += frame_bytes
+    if not frames:
+        raise UnsupportedMediaError("y4m stream has no frames")
+    return np.stack(frames), fps
+
+
+def encode_y4m_mono(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(n, h, w) uint8 luma frames -> Cmono YUV4MPEG2 bytes (the
+    deterministic test-fixture writer; real files from mjpegtools/ffmpeg
+    parse with the same decoder)."""
+    n, h, w = frames.shape
+    parts = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n" % (w, h, *fps)]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(frames[i].tobytes())
+    return b"".join(parts)
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -131,6 +131,63 @@ def afp_dup_groups(
     )
 
 
+def video_vhash(
+    ds: Dataset,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    n_sample: int = 4,
+) -> Dataset:
+    """(id, data:binary y4m) -> (id, vhash_hi, vhash_lo) via the real
+    YUV4MPEG2 decoder + sampled-frame dHash fold (core/imagehash.py)."""
+    from textalyzer_ray.core.imagehash import dhash_hi_lo, video_vhash64
+    from textalyzer_ray.core.media import decode_y4m
+
+    def fp_batch(t: pa.Table) -> pa.Table:
+        his, los = [], []
+        for raw in t[data_col].to_pylist():
+            frames, _fps = decode_y4m(raw)
+            hi, lo = dhash_hi_lo(video_vhash64(frames, n_sample=n_sample))
+            his.append(hi)
+            los.append(lo)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "vhash_hi": pa.array(his, pa.int64()),
+                "vhash_lo": pa.array(los, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fp_batch, batch_format="pyarrow")
+
+
+def vhash_dup_groups(
+    ds: Dataset,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    n_sample: int = 4,
+) -> Dataset:
+    """Exact video-duplicate groups: (vhash_hi, vhash_lo, n_videos)."""
+    from textalyzer_ray.stages.groups import key_counts
+
+    return (
+        key_counts(
+            video_vhash(ds, id_col=id_col, data_col=data_col, n_sample=n_sample),
+            ["vhash_hi", "vhash_lo"],
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "vhash_hi": t["vhash_hi"],
+                    "vhash_lo": t["vhash_lo"],
+                    "n_videos": t["count"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["vhash_hi", "vhash_lo"])
+    )
+
+
 def dhash_dup_groups(
     ds: Dataset, id_col: str = "media_id", data_col: str = "data"
 ) -> Dataset:

@@ -88,13 +88,16 @@ class DecodeImage:
 
 
 class SampleFrames:
-    """video binary -> (id, frame_index, frame:binary) rows (STUBBED —
-    the one remaining fake-only stage: container/codec parsing for video
-    is out of scope without ffmpeg).
+    """video binary -> (id, frame_index, frame:binary) rows.
 
-    The fake mode slices the payload deterministically into ``n_frames``
-    chunks, which preserves the real output layout: one row per sampled
-    frame, binary frame column, small batches.
+    REAL for YUV4MPEG2 payloads (core/media.py decode_y4m — Cmono and
+    4:2:0 luma planes): ``n_frames`` evenly-spaced frames (source index
+    floor(i * total / n_frames)) are re-emitted as P5 PGM bytes, so
+    downstream image stages (DecodeImage, pipelines/media.image_dhash)
+    consume them unchanged. Codec containers (MP4/AVI) still need
+    ffmpeg and raise unless ``fake=True`` (deterministic payload
+    slicing that preserves the output layout: one row per sampled
+    frame, binary frame column, small batches).
     """
 
     def __init__(self, id_col: str = "media_id", data_col: str = "data", n_frames: int = 4, fake: bool = False):
@@ -103,21 +106,38 @@ class SampleFrames:
         self.n_frames = n_frames
         self.fake = fake
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _frames_of(self, raw: bytes) -> list[bytes]:
+        if raw[:9] == b"YUV4MPEG2":
+            from textalyzer_ray.core.media import decode_y4m
+
+            frames, _fps = decode_y4m(raw)
+            total = frames.shape[0]
+            picks = [
+                min(i * total // self.n_frames, total - 1)
+                for i in range(self.n_frames)
+            ]
+            return [
+                b"P5 %d %d 255\n" % (frames.shape[2], frames.shape[1])
+                + frames[p].tobytes()
+                for p in picks
+            ]
         if not self.fake:
             raise UnsupportedMediaError(
-                "video codecs are not available; use SampleFrames(fake=True)"
+                "video codecs are not available for non-y4m payloads; "
+                "use SampleFrames(fake=True)"
             )
+        step = max(len(raw) // self.n_frames, 1)
+        return [raw[fi * step : (fi + 1) * step] for fi in range(self.n_frames)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         ids, idxs, frames = [], [], []
         for mid, raw in zip(
             batch[self.id_col].to_pylist(), batch[self.data_col].to_pylist()
         ):
-            raw = raw or b""
-            step = max(len(raw) // self.n_frames, 1)
-            for fi in range(self.n_frames):
+            for fi, fr in enumerate(self._frames_of(raw or b"")):
                 ids.append(mid)
                 idxs.append(fi)
-                frames.append(raw[fi * step : (fi + 1) * step])
+                frames.append(fr)
         return pa.table(
             {
                 self.id_col: pa.array(ids),
