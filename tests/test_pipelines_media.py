@@ -222,3 +222,49 @@ class TestVideoY4m:
         assert {(r["vhash_hi"], r["vhash_lo"]) for r in rows} == {
             vhash_of_y4m(synth_gray_y4m(k)) for k in range(4)
         }
+
+
+class TestY4mFuzz:
+    """Parser-robustness pattern (cf. WARC fuzz): arbitrary bytes must
+    either decode or raise UnsupportedMediaError — never crash."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=300))
+    def test_never_crashes_on_garbage(self, data):
+        from textalyzer_ray.core.media import UnsupportedMediaError, decode_y4m
+
+        try:
+            frames, fps = decode_y4m(data)
+            assert frames.ndim == 3 and frames.dtype.kind == "u"
+        except UnsupportedMediaError:
+            pass
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=300))
+    def test_prefixed_garbage(self, data):
+        from textalyzer_ray.core.media import UnsupportedMediaError, decode_y4m
+
+        try:
+            decode_y4m(b"YUV4MPEG2 " + data)
+        except UnsupportedMediaError:
+            pass
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(1, 5),
+        st.integers(1, 9),
+        st.integers(1, 9),
+        st.integers(1, 60),
+    )
+    def test_roundtrip_property(self, n, w, h, fnum):
+        import numpy as np
+
+        from textalyzer_ray.core.media import decode_y4m, encode_y4m_mono
+
+        rng = np.random.default_rng(n * 1000 + w * 100 + h * 10 + fnum)
+        frames = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+        got, fps = decode_y4m(encode_y4m_mono(frames, fps=(fnum, 1)))
+        assert np.array_equal(got, frames) and fps == (fnum, 1)

@@ -293,19 +293,24 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
     w = h = 0
     fps = (25, 1)
     cspace = b"420"  # spec default when no C tag
-    for tok in data[10:nl].split(b" "):
-        if not tok:
-            continue
-        tag, val = tok[:1], tok[1:]
-        if tag == b"W":
-            w = int(val)
-        elif tag == b"H":
-            h = int(val)
-        elif tag == b"F":
-            num, den = val.split(b":")
-            fps = (int(num), int(den))
-        elif tag == b"C":
-            cspace = val
+    try:
+        for tok in data[10:nl].split(b" "):
+            if not tok:
+                continue
+            tag, val = tok[:1], tok[1:]
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                num, den = val.split(b":", 1)
+                fps = (int(num), int(den))
+            elif tag == b"C":
+                cspace = val
+    except ValueError as e:
+        # crawl-garbage header params keep the module's documented
+        # error contract (the ADVICE r2 media-error rule)
+        raise UnsupportedMediaError(f"malformed y4m header: {e}") from e
     if w <= 0 or h <= 0:
         raise UnsupportedMediaError("y4m header missing W/H")
     if cspace == b"mono":
