@@ -396,6 +396,49 @@ def _pagerank_oracle_sql(n_iter: int = 10, d: float = 0.85) -> str:
     return "".join(p)
 
 
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 4) -> str:
+    """Unrolled Lloyd k-means in DuckDB over the ``embeddings`` view:
+    the float distance/mean arithmetic is recomputed in SQL and only
+    the integer assignment is compared, which is hash-safe because the
+    measured per-round assignment margins (tests/test_kmeans.py,
+    >= 6.7e-6 across sf0.001/0.01/0.1) dwarf the ~1e-12 cross-engine
+    sum-order error (CLAUDE.md float-parity rule). Iterative CTEs are
+    MATERIALIZED — a plain CTE is inlined at every reference and the
+    re-scan count grows exponentially with rounds (CLAUDE.md)."""
+    parts = [
+        "WITH v AS MATERIALIZED (SELECT vec_id, i, "
+        "CAST(embedding[i] AS DOUBLE) AS x FROM (SELECT vec_id, embedding, "
+        "unnest(generate_series(1, len(embedding))) AS i FROM embeddings))",
+        f"init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 "
+        f"AS c FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+        "c0 AS MATERIALIZED (SELECT c, i, x FROM init JOIN v USING (vec_id))",
+    ]
+    assign = (
+        "{name} AS {mat}(SELECT vec_id, c FROM ("
+        "SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d, c) AS rn FROM (SELECT v.vec_id, p.c, "
+        "sum((v.x - p.x)*(v.x - p.x)) AS d FROM v JOIN {prev} p USING (i) "
+        "GROUP BY v.vec_id, p.c)) WHERE rn = 1)"
+    )
+    for t in range(1, n_iter + 1):
+        parts.append(
+            assign.format(name=f"a{t}", mat="MATERIALIZED ", prev=f"c{t-1}")
+        )
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT a.c, v.i, sum(v.x)/count(*) AS x "
+            f"FROM a{t} a JOIN v USING (vec_id) GROUP BY a.c, v.i "
+            f"UNION ALL SELECT c, i, x FROM c{t-1} "
+            f"WHERE c NOT IN (SELECT DISTINCT c FROM a{t}))"
+        )
+    fin = n_iter + 1
+    parts.append(assign.format(name=f"a{fin}", mat="", prev=f"c{n_iter}"))
+    return (
+        ", ".join(parts)
+        + f" SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM a{fin} "
+        "ORDER BY vec_id"
+    )
+
+
 def _hll_hash64_oracle_ctes(src: str, key: str, id_col: str) -> str:
     """CTE chain recomputing ``core.fingerprint.hll_hash64(key)`` per
     row of ``src`` (ASCII keys) -> final CTE ``bx3(id_col, hi, lo)``
@@ -1527,6 +1570,19 @@ def _q_doc_top_bigram(sf_dir: str):
     return doc_top_bigram(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (k=8, 4
+    rounds, init = the 8 smallest vec_ids). Integer-only output; float
+    parity with the unrolled DuckDB oracle is certified by the measured
+    assignment margins in tests/test_kmeans.py (>= 6.7e-6 at every sf
+    vs a ~1e-12 cross-engine sum-order bound)."""
+    from textalyzer_ray.pipelines.similarity import kmeans_assign
+    from textalyzer_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_assign(ds, k=8, n_iter=4).sort("vec_id")
+
+
 def _q_winnow_pairs(sf_dir: str):
     """Substring-level near-dup candidates over the augmented corpus
     (rows-only: winnowing is a rolling-hash sketch, not SQL)."""
@@ -1795,6 +1851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
+        "kmeans_clusters": _q_kmeans_clusters,
         # rows-only (non-SQL-expressible: zlib, global greedy
         # suppression)
         "compression_ratio": _q_compression_ratio,
@@ -2600,6 +2657,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN tot t USING (doc_id) "
             "LEFT JOIN dup u USING (doc_id) ORDER BY doc_id"
         ),
+        "kmeans_clusters": _kmeans_oracle_sql(k=8, n_iter=4),
         "mixture_sample": (
             "SELECT doc_id, source FROM documents WHERE "
             "CAST((CAST(doc_id AS HUGEINT) % 4294967296) * 2246822519 "

@@ -880,3 +880,138 @@ def semdedup(
         )
 
     return grouped_apply(flagged, [id_col], finish_centroid, num_partitions=npart)
+
+
+def kmeans_assign(
+    ds: Dataset,
+    k: int = 8,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """Distributed Lloyd k-means over an embedding column -> one
+    (id, cluster:int64) row per vector, the canonical iterative-ML
+    shape on Ray Data (topic bucketing / cluster-balanced sampling a
+    curation pipeline hangs off the ``embeddings`` table; the in-memory
+    analogue is ``deterministic_centroids`` in stages/similarity.py).
+
+    Determinism + scale shape:
+
+    - Init: the embeddings of the ``k`` smallest ids, collected via
+      per-block heads (the ``build_centroids`` no-global-sort pattern) —
+      cluster label j == rank-j smallest init id in BOTH engines.
+    - Each of the ``n_iter`` Lloyd rounds broadcasts the (k, dim)
+      float64 centroid matrix (``ray.put`` once, zero-copy per task)
+      and streams ONE map_batches pass emitting per-block partials:
+      (cluster, count, sum-vector as a float64 binary blob — list
+      columns don't ride shuffles, CLAUDE.md). The driver reduce is
+      O(blocks * k * dim) — never data-sized — mirroring the PageRank
+      per-block-sum lesson.
+    - Empty clusters keep their previous centroid (deterministic,
+      SQL-expressible as a NOT IN carry).
+    - Final pass assigns against the post-update centroids; argmin
+      tie-break is lowest cluster index (numpy first-occurrence ==
+      SQL ORDER BY d, c).
+
+    Float parity with the DuckDB oracle is MEASURED, not assumed
+    (CLAUDE.md PageRank precedent): tests/test_kmeans.py computes the
+    min assignment margin |d2_second - d2_best| across every round and
+    checks it clears the cross-engine sum-order error bound by orders
+    of magnitude. Only integer columns leave the pipeline.
+
+    Consumes ``ds`` n_iter + 2 times — pass a parquet-backed (or
+    materialized) dataset, never an ephemeral lineage (CLAUDE.md
+    minhash_dedup lesson).
+    """
+    import pyarrow.compute as pc
+
+    from textalyzer_ray.stages.similarity import _stack_embeddings
+
+    # --- init: k smallest-id embeddings, per-block heads only ---
+    def local_head(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, emb_col])
+        if t.num_rows <= k:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        take = np.argpartition(ids, k - 1)[:k]
+        return t.take(pa.array(np.sort(take)))
+
+    cand = pa.concat_tables(
+        ds.map_batches(
+            local_head, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    ids = cand[id_col].to_numpy(zero_copy_only=False)
+    take = np.argsort(ids, kind="stable")[:k]
+    cents = _stack_embeddings(cand.take(pa.array(take)), emb_col)
+    if cents.shape[0] < k:
+        raise ValueError(f"kmeans_assign: fewer than k={k} input rows")
+
+    partial_schema = pa.schema(
+        [
+            pa.field("cluster", pa.int64()),
+            pa.field("count", pa.int64()),
+            pa.field("sumvec", pa.binary()),
+        ]
+    )
+
+    def _assign(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # direct (x - c)^2 form — same error structure as the oracle's
+        # sum((x-c)*(x-c)); batch x k x dim is bounded by batch_size
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d2, axis=1)  # first occurrence on ties
+
+    for _ in range(n_iter):
+        cref = ray.put(cents)
+
+        def partial(t: pa.Table, _cref=cref) -> pa.Table:
+            c = ray.get(_cref)
+            m = _stack_embeddings(t, emb_col)
+            if m.size == 0:
+                return partial_schema.empty_table()
+            a = _assign(m, c)
+            rows = {"cluster": [], "count": [], "sumvec": []}
+            for j in np.unique(a):
+                sel = m[a == j]
+                rows["cluster"].append(int(j))
+                rows["count"].append(int(sel.shape[0]))
+                rows["sumvec"].append(sel.sum(axis=0).tobytes())
+            return pa.table(rows, schema=partial_schema)
+
+        sums = np.zeros_like(cents)
+        counts = np.zeros(k, dtype=np.int64)
+        for b in ds.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_size=None, batch_format="pyarrow"):
+            for j, n, blob in zip(
+                b["cluster"].to_pylist(),
+                b["count"].to_pylist(),
+                b["sumvec"].to_pylist(),
+            ):
+                sums[j] += np.frombuffer(blob, dtype=np.float64)
+                counts[j] += n
+        nonempty = counts > 0
+        cents = np.where(
+            nonempty[:, None], sums / np.maximum(counts, 1)[:, None], cents
+        )
+
+    cref = ray.put(cents)
+    out_schema = pa.schema(
+        [pa.field(id_col, pa.int64()), pa.field("cluster", pa.int64())]
+    )
+
+    def final(t: pa.Table, _cref=cref) -> pa.Table:
+        c = ray.get(_cref)
+        m = _stack_embeddings(t, emb_col)
+        if m.size == 0:
+            return out_schema.empty_table()
+        a = _assign(m, c)
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "cluster": pa.array(a.astype(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(final, batch_format="pyarrow")
