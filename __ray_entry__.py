@@ -1570,6 +1570,17 @@ def _q_doc_top_bigram(sf_dir: str):
     return doc_top_bigram(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_dup_span_removal(sf_dir: str):
+    """Cross-document duplicated-span removal (Lee et al. 2022
+    ExactSubstr at token granularity): positions inside any 5-gram
+    shared by >= 2 docs are dropped and the doc is rebuilt. The oracle
+    string-compares the rebuilt text, not just counts."""
+    from textalyzer_ray.pipelines.curation import dup_span_removal
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return dup_span_removal(docs, n=5).sort("doc_id")
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (k=8, 4
     rounds, init = the 8 smallest vec_ids). Integer-only output; float
@@ -1852,6 +1863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
         "kmeans_clusters": _q_kmeans_clusters,
+        "dup_span_removal": _q_dup_span_removal,
         # rows-only (non-SQL-expressible: zlib, global greedy
         # suppression)
         "compression_ratio": _q_compression_ratio,
@@ -2658,6 +2670,36 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN dup u USING (doc_id) ORDER BY doc_id"
         ),
         "kmeans_clusters": _kmeans_oracle_sql(k=8, n_iter=4),
+        "dup_span_removal": (
+            "WITH tok AS MATERIALIZED (SELECT doc_id, list_filter("
+            f"regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'), "
+            "x -> x <> '') AS ws FROM documents), "
+            "g AS MATERIALIZED (SELECT doc_id, i, "
+            "array_to_string(ws[i : i+4], ' ') AS gram FROM ("
+            "SELECT doc_id, ws, unnest(generate_series(1, len(ws)-4)) AS i "
+            "FROM tok WHERE len(ws) >= 5)), "
+            "dg AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g) "
+            "GROUP BY gram HAVING count(*) >= 2), "
+            "st AS (SELECT doc_id, i FROM g JOIN dg USING (gram)), "
+            "cov AS (SELECT DISTINCT doc_id, p FROM (SELECT doc_id, "
+            "unnest(generate_series(i, i+4)) AS p FROM st)), "
+            "pos AS (SELECT doc_id, p, ws[p] AS w FROM (SELECT doc_id, ws, "
+            "unnest(generate_series(1, len(ws))) AS p FROM tok "
+            "WHERE len(ws) >= 1)), "
+            "kept AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) "
+            "AS kept_text FROM pos ANTI JOIN cov USING (doc_id, p) "
+            "GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens "
+            "FROM tok), "
+            "rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) "
+            "AS removed_tokens FROM cov GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(t.n_tokens, 0) AS n_tokens, "
+            "coalesce(r.removed_tokens, 0) AS removed_tokens, "
+            "coalesce(k.kept_text, '') AS kept_text "
+            "FROM documents d LEFT JOIN tot t USING (doc_id) "
+            "LEFT JOIN rem r USING (doc_id) "
+            "LEFT JOIN kept k USING (doc_id) ORDER BY doc_id"
+        ),
         "mixture_sample": (
             "SELECT doc_id, source FROM documents WHERE "
             "CAST((CAST(doc_id AS HUGEINT) % 4294967296) * 2246822519 "

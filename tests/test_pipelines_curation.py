@@ -763,3 +763,103 @@ class TestBoilerplateRemoval:
         ]
         out = remove_boilerplate_lines(self._lines(rows), max_df=1).take_all()
         assert out[0]["text"] == "refrain refrain refrain tail"
+
+
+class TestDupSpanRemoval:
+    """dup_span_removal: Lee-et-al-style duplicated-span removal —
+    both scale paths vs a brute-force python reference."""
+
+    DOCS = [
+        (0, "The quick brown fox jumps over the lazy dog again and again"),
+        (1, "A quick brown fox jumps over the lazy cat today"),
+        (2, "completely unrelated text with nothing shared at all here"),
+        (3, ""),
+        (4, "short doc"),
+        (5, "the quick brown fox jumps over the lazy dog once more"),
+    ]
+
+    @staticmethod
+    def _reference(docs, n):
+        import re
+
+        def toks(s):
+            return [w.lower() for w in re.split(r"[^A-Za-z]+", s) if w]
+
+        grams = {}
+        for i, s in docs:
+            ws = toks(s)
+            for j in range(len(ws) - n + 1):
+                grams.setdefault(" ".join(ws[j : j + n]), set()).add(i)
+        dup = {g for g, owners in grams.items() if len(owners) >= 2}
+        out = {}
+        for i, s in docs:
+            ws = toks(s)
+            cov = set()
+            for j in range(len(ws) - n + 1):
+                if " ".join(ws[j : j + n]) in dup:
+                    cov.update(range(j, j + n))
+            kept = " ".join(w for p, w in enumerate(ws) if p not in cov)
+            out[i] = (len(ws), len(cov), kept)
+        return out
+
+    def _table(self):
+        return pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in self.DOCS], pa.int64()),
+                "text": [d[1] for d in self.DOCS],
+            }
+        )
+
+    @pytest.mark.parametrize("threshold", [20_000_000, 0])
+    def test_matches_reference_both_paths(self, threshold):
+        from textalyzer_ray.pipelines.curation import dup_span_removal
+
+        want = self._reference(self.DOCS, 5)
+        ds = rd.from_arrow(self._table()).materialize()
+        rows = (
+            dup_span_removal(ds, n=5, broadcast_threshold=threshold)
+            .sort("doc_id")
+            .take_all()
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["kept_text"])
+            for r in rows
+        }
+        assert got == want
+
+    def test_overlapping_windows_count_once(self):
+        from textalyzer_ray.pipelines.curation import dup_span_removal
+
+        # 8 shared tokens -> 4 overlapping dup 5-grams covering 8
+        # positions, not 20
+        docs = [
+            (0, "alpha beta gamma delta epsilon zeta eta theta TAIL one"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta OTHER two"),
+        ]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                    "text": [d[1] for d in docs],
+                }
+            )
+        ).materialize()
+        rows = dup_span_removal(ds, n=5).sort("doc_id").take_all()
+        assert [r["removed_tokens"] for r in rows] == [8, 8]
+        assert rows[0]["kept_text"] == "tail one"
+
+    def test_no_duplicates_is_identity_rebuild(self):
+        from textalyzer_ray.pipelines.curation import dup_span_removal
+
+        docs = [(0, "every doc here is fully unique text"), (1, "nothing shared")]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                    "text": [d[1] for d in docs],
+                }
+            )
+        ).materialize()
+        rows = dup_span_removal(ds, n=5).sort("doc_id").take_all()
+        assert all(r["removed_tokens"] == 0 for r in rows)
+        assert rows[0]["kept_text"] == "every doc here is fully unique text"

@@ -1178,3 +1178,280 @@ def dup_ngram_coverage(
         )
 
     return grouped_apply(tagged, [id_col], merge_doc, num_partitions=npart)
+
+
+def _ngram_starts_explode(n: int, id_col: str, text_col: str):
+    """map_batches fn: (id, text) -> (id, i, gram) — one row per token
+    n-gram occurrence WITH its 1-based start position among the doc's
+    (non-empty, reference-tokenized) tokens. ``_ngram_explode`` plus
+    the position column the span-removal rebuild needs."""
+    import polars as pl
+
+    from textalyzer_ray.stages.tokenize import exploded_tokens
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("i", pa.int64()),
+            pa.field("gram", pa.string()),
+        ]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        pairs = exploded_tokens(t, id_col, text_col)
+        if pairs.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(pairs).with_columns(
+            pl.col(id_col).cast(pl.Int64),
+            pl.col("word").cum_count().over(id_col).cast(pl.Int64).alias("i"),
+        )
+        cols = [pl.col("word")] + [
+            pl.col("word").shift(-j).over(id_col) for j in range(1, n)
+        ]
+        df = (
+            df.with_columns(
+                pl.concat_str(cols, separator=" ", ignore_nulls=False)
+                .alias("gram")
+            )
+            .drop_nulls("gram")
+            .select([id_col, "i", "gram"])
+        )
+        return df.to_arrow().cast(out_schema)
+
+    return explode
+
+
+def dup_span_removal(
+    ds: Dataset,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_threshold: int = 20_000_000,
+) -> Dataset:
+    """Cross-document duplicated-span REMOVAL (the action to
+    ``dup_ngram_coverage``'s signal): every token position lying inside
+    a token ``n``-gram that occurs in >= 2 distinct documents is
+    dropped, and the document is rebuilt from the surviving tokens —
+    the exact-substring-dedup family of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr) at token
+    granularity, the scale-practical variant of the reference's
+    cross-file duplication blocks (duplication.rs). Output per doc:
+
+    - ``n_tokens``: reference-tokenizer token count (0 for empty docs).
+    - ``removed_tokens``: positions covered by at least one duplicated
+      gram window (a position inside two overlapping windows counts
+      once).
+    - ``kept_text``: the surviving tokens joined by single spaces in
+      original order ('' when everything was removed) — string-equal
+      in SQL, so the oracle gates the rebuild itself, not just counts.
+
+    Scale shape (the ``dup_ngram_coverage`` auto-switch, positions
+    added):
+
+    - Pass 1 measures the duplicated-gram set via batch-local distinct
+      (doc, gram) pairs -> ``key_counts`` doc-frequency -> df >= 2.
+    - Small set (<= ``broadcast_threshold``): broadcast it and rebuild
+      batch-locally in ONE further streaming pass — no shuffle.
+    - Large set: positional gram rows shuffle ONCE gram-aligned
+      (``grouped_apply``; block-local distinct-doc count == corpus df)
+      to derive duplicated (doc, start) rows, then text + starts
+      union-tag into ONE doc-aligned shuffle for the rebuild (the
+      C4 ``dedup_lines_rebuild`` two-data-sized-shuffles precedent;
+      the join-free union-tag avoids acero's empty-partition failure,
+      CLAUDE.md links.py lesson).
+
+    Consumes ``ds`` twice (pass 1 + rebuild) — pass a parquet-backed or
+    materialized dataset (CLAUDE.md minhash_dedup lesson).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import (
+        _worker_object_cache,
+        grouped_apply,
+        key_counts,
+        partitions_for,
+    )
+    from textalyzer_ray.stages.tokenize import exploded_tokens
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("removed_tokens", pa.int64()),
+            pa.field("kept_text", pa.string()),
+        ]
+    )
+    explode = _ngram_explode(n, id_col, text_col)
+    explode_pos = _ngram_starts_explode(n, id_col, text_col)
+
+    def _tokens_df(t: pa.Table) -> "pl.DataFrame":
+        """(id, p, word) positional tokens of a batch of (id, text)."""
+        return pl.from_arrow(exploded_tokens(t, id_col, text_col)).with_columns(
+            pl.col(id_col).cast(pl.Int64),
+            pl.col("word").cum_count().over(id_col).cast(pl.Int64).alias("p"),
+        )
+
+    def _finish(
+        toks: "pl.DataFrame", starts: "pl.DataFrame", base_ids: "pl.DataFrame"
+    ) -> pa.Table:
+        """Rebuild from positional tokens + duplicated gram starts.
+        ``base_ids`` carries zero-token docs through."""
+        covered = (
+            starts.with_columns(
+                pl.int_ranges(pl.col("i"), pl.col("i") + n).alias("p")
+            )
+            .explode("p")
+            .select([id_col, pl.col("p").cast(pl.Int64)])
+            .unique()
+        )
+        kept = (
+            toks.join(covered, on=[id_col, "p"], how="anti")
+            .sort([id_col, "p"])
+            .group_by(id_col, maintain_order=True)
+            .agg(pl.col("word").str.join(" ").alias("kept_text"))
+        )
+        tot = toks.group_by(id_col).agg(
+            pl.len().cast(pl.Int64).alias("n_tokens")
+        )
+        rem = covered.group_by(id_col).agg(
+            pl.len().cast(pl.Int64).alias("removed_tokens")
+        )
+        return (
+            base_ids.join(tot, on=id_col, how="left")
+            .join(rem, on=id_col, how="left")
+            .join(kept, on=id_col, how="left")
+            .with_columns(
+                pl.col("n_tokens").fill_null(0),
+                pl.col("removed_tokens").fill_null(0),
+                pl.col("kept_text").fill_null(""),
+            )
+            .select(out_schema.names)
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    # --- pass 1: duplicated-gram set (df >= 2), measured ---
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(explode(t))
+            .unique([id_col, "gram"])
+            .to_arrow()
+            .cast(
+                pa.schema(
+                    [pa.field(id_col, pa.int64()), pa.field("gram", pa.string())]
+                )
+            )
+        )
+
+    dup_set = (
+        key_counts(ds.map_batches(distinct_pairs, batch_format="pyarrow"), ["gram"])
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["count"], 2)).select(["gram"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_dup = dup_set.count()
+
+    if n_dup <= broadcast_threshold:
+        dup_tbl = (
+            pa.concat_tables(
+                list(dup_set.iter_batches(batch_size=None, batch_format="pyarrow"))
+            )
+            if n_dup
+            else pa.schema([pa.field("gram", pa.string())]).empty_table()
+        )
+        dup_ref = ray.put(dup_tbl)
+
+        def rebuild(t: pa.Table) -> pa.Table:
+            cache = _worker_object_cache()
+            ck = dup_ref.hex() if hasattr(dup_ref, "hex") else str(dup_ref)
+            dupdf = cache.get(ck)
+            if dupdf is None:
+                dupdf = cache[ck] = pl.from_arrow(ray.get(dup_ref)).select("gram")
+            starts = (
+                pl.from_arrow(explode_pos(t))
+                .join(dupdf, on="gram", how="semi")
+                .select([id_col, "i"])
+            )
+            base = pl.from_arrow(t.select([id_col])).cast({id_col: pl.Int64})
+            return _finish(_tokens_df(t), starts, base)
+
+        return ds.map_batches(rebuild, batch_format="pyarrow")
+
+    logger.info(
+        "dup_span_removal: %d dup grams > broadcast_threshold=%d — "
+        "distributed gram-aligned path",
+        n_dup,
+        broadcast_threshold,
+    )
+    pos = ds.map_batches(explode_pos, batch_format="pyarrow").materialize()
+    npart = partitions_for(pos.count(), rows_per_part=5_000_000)
+
+    def keep_dup_starts(t: pa.Table) -> pa.Table:
+        # gram-aligned block: block-local distinct-doc count == corpus df
+        return (
+            pl.from_arrow(t)
+            .filter(pl.col(id_col).n_unique().over("gram") >= 2)
+            .select([id_col, "i"])
+            .to_arrow()
+            .cast(pa.schema([pa.field(id_col, pa.int64()), pa.field("i", pa.int64())]))
+        )
+
+    dup_starts = grouped_apply(pos, ["gram"], keep_dup_starts, num_partitions=npart)
+
+    tag_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("i", pa.int64()),
+            pa.field(text_col, pa.string()),
+        ]
+    )
+
+    def tag_text(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .select(
+                pl.col(id_col).cast(pl.Int64),
+                pl.lit(0, dtype=pl.Int64).alias("i"),
+                pl.col(text_col).cast(pl.String),
+            )
+            .to_arrow()
+            .cast(tag_schema)
+        )
+
+    def tag_starts(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .select(
+                pl.col(id_col),
+                pl.col("i"),
+                pl.lit("").alias(text_col),
+            )
+            .to_arrow()
+            .cast(tag_schema)
+        )
+
+    tagged = ds.map_batches(tag_text, batch_format="pyarrow").union(
+        dup_starts.map_batches(tag_starts, batch_format="pyarrow")
+    )
+
+    def rebuild_group(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        texts = df.filter(pl.col("i") == 0).select([id_col, text_col])
+        starts = df.filter(pl.col("i") > 0).select([id_col, "i"])
+        tt = texts.to_arrow().cast(
+            pa.schema([pa.field(id_col, pa.int64()), pa.field(text_col, pa.string())])
+        )
+        return _finish(_tokens_df(tt), starts, texts.select([id_col]))
+
+    n_docs = ds.count()
+    return grouped_apply(
+        tagged,
+        [id_col],
+        rebuild_group,
+        num_partitions=partitions_for(n_docs, rows_per_part=500_000),
+    )
