@@ -214,6 +214,21 @@ def run_bench() -> dict:
         lambda: contract._q_lm_surprisal(sf_dir).count(),
     )
 
+    # distributed Lloyd k-means (iterative broadcast-partials shape)
+    # and duplicated-span removal (gram df shuffle + rebuild pass) —
+    # late-r3 additions, regression-tracked from now on.
+    def kmeans():
+        from textalyzer_ray.pipelines.similarity import kmeans_assign
+
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        return kmeans_assign(ds, k=8, n_iter=4).count()
+
+    timed("kmeans", kmeans)
+    timed(
+        "dup_span_removal",
+        lambda: contract._q_dup_span_removal(sf_dir).count(),
+    )
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     # In-run hardware control: this shared VM intermittently loses 2-20x

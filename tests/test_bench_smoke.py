@@ -43,5 +43,7 @@ def test_bench_emits_single_json_line():
         "classifier",
         "dup_ngram_cov",
         "lm_surprisal",
+        "kmeans",
+        "dup_span_removal",
     }
     assert data["n_docs"] == 500
