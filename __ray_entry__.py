@@ -396,7 +396,7 @@ def _pagerank_oracle_sql(n_iter: int = 10, d: float = 0.85) -> str:
     return "".join(p)
 
 
-def _kmeans_oracle_sql(k: int = 8, n_iter: int = 4) -> str:
+def _kmeans_oracle_ctes(k: int = 8, n_iter: int = 4) -> tuple[str, str]:
     """Unrolled Lloyd k-means in DuckDB over the ``embeddings`` view:
     the float distance/mean arithmetic is recomputed in SQL and only
     the integer assignment is compared, which is hash-safe because the
@@ -404,7 +404,9 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 4) -> str:
     >= 6.7e-6 across sf0.001/0.01/0.1) dwarf the ~1e-12 cross-engine
     sum-order error (CLAUDE.md float-parity rule). Iterative CTEs are
     MATERIALIZED — a plain CTE is inlined at every reference and the
-    re-scan count grows exponentially with rounds (CLAUDE.md)."""
+    re-scan count grows exponentially with rounds (CLAUDE.md).
+    Returns (cte_chain, final_assignment_cte_name) so composing
+    oracles (cluster_balanced_sample) can extend the chain."""
     parts = [
         "WITH v AS MATERIALIZED (SELECT vec_id, i, "
         "CAST(embedding[i] AS DOUBLE) AS x FROM (SELECT vec_id, embedding, "
@@ -432,9 +434,14 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 4) -> str:
         )
     fin = n_iter + 1
     parts.append(assign.format(name=f"a{fin}", mat="", prev=f"c{n_iter}"))
+    return ", ".join(parts), f"a{fin}"
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 4) -> str:
+    ctes, final = _kmeans_oracle_ctes(k, n_iter)
     return (
-        ", ".join(parts)
-        + f" SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM a{fin} "
+        ctes
+        + f" SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM {final} "
         "ORDER BY vec_id"
     )
 
@@ -1570,6 +1577,19 @@ def _q_doc_top_bigram(sf_dir: str):
     return doc_top_bigram(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_cluster_balanced_sample(sf_dir: str):
+    """Cluster-balanced diversity sample: 16 per k-means cell by
+    multiplicative id hash (RNG-free, engine-independent). Composes the
+    kmeans oracle CTEs with the hash_sample bottom-k idiom."""
+    from textalyzer_ray.pipelines.similarity import cluster_balanced_sample
+    from textalyzer_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cluster_balanced_sample(ds, per_cluster=16, k=8, n_iter=4).sort(
+        "vec_id"
+    )
+
+
 def _q_dup_span_removal(sf_dir: str):
     """Cross-document duplicated-span removal (Lee et al. 2022
     ExactSubstr at token granularity): positions inside any 5-gram
@@ -1864,6 +1884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_bigram": _q_doc_top_bigram,
         "kmeans_clusters": _q_kmeans_clusters,
         "dup_span_removal": _q_dup_span_removal,
+        "cluster_balanced_sample": _q_cluster_balanced_sample,
         # rows-only (non-SQL-expressible: zlib, global greedy
         # suppression)
         "compression_ratio": _q_compression_ratio,
@@ -2670,6 +2691,16 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN dup u USING (doc_id) ORDER BY doc_id"
         ),
         "kmeans_clusters": _kmeans_oracle_sql(k=8, n_iter=4),
+        "cluster_balanced_sample": (
+            lambda _c=_kmeans_oracle_ctes(k=8, n_iter=4): (
+                f"{_c[0]}, s AS (SELECT vec_id, CAST(c AS BIGINT) AS cluster, "
+                "CAST((CAST(vec_id AS HUGEINT) % 4294967296) * 2654435761 "
+                f"AS HUGEINT) % 4294967296 AS h FROM {_c[1]}) "
+                "SELECT vec_id, cluster FROM (SELECT vec_id, cluster, "
+                "row_number() OVER (PARTITION BY cluster ORDER BY h, vec_id) "
+                "AS rn FROM s) WHERE rn <= 16 ORDER BY vec_id"
+            )
+        )(),
         "dup_span_removal": (
             "WITH tok AS MATERIALIZED (SELECT doc_id, list_filter("
             f"regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'), "

@@ -138,3 +138,76 @@ class TestKmeansAssign:
         want, _ = _reference(m[order], k=8, n_iter=4)
         assert got["vec_id"].tolist() == sorted(ids.tolist())
         assert got["cluster"].tolist() == want.tolist()
+
+
+class TestClusterBalancedSample:
+    def _reference(self, m, k, n_iter, per_cluster):
+        a, _ = _reference(m, k, n_iter)
+        out = []
+        for c in range(k):
+            ids = np.flatnonzero(a == c)
+            h = (ids.astype(np.uint64) & 0xFFFFFFFF) * 2654435761 & 0xFFFFFFFF
+            order = np.lexsort((ids, h))
+            out.extend(int(i) for i in ids[order][:per_cluster])
+        return sorted(out), a
+
+    def test_matches_brute_force(self):
+        from textalyzer_ray.pipelines.similarity import cluster_balanced_sample
+
+        t, m = _emb_table(n=80, seed=7)
+        got = (
+            cluster_balanced_sample(
+                rd.from_arrow(t), per_cluster=5, k=4, n_iter=2
+            )
+            .sort("vec_id")
+            .to_pandas()
+        )
+        want_ids, a = self._reference(m, 4, 2, 5)
+        assert got["vec_id"].tolist() == want_ids
+        assert got["cluster"].tolist() == [int(a[i]) for i in want_ids]
+
+    def test_partitioning_invariant(self):
+        from textalyzer_ray.pipelines.similarity import cluster_balanced_sample
+
+        t, _ = _emb_table(n=80, seed=7)
+        one = (
+            cluster_balanced_sample(
+                rd.from_arrow(t), per_cluster=5, k=4, n_iter=2
+            )
+            .sort("vec_id")
+            .to_pandas()
+        )
+        many = (
+            cluster_balanced_sample(
+                rd.from_arrow(t).repartition(7), per_cluster=5, k=4, n_iter=2
+            )
+            .sort("vec_id")
+            .to_pandas()
+        )
+        assert one.equals(many)
+
+    def test_small_cluster_returns_all_members(self):
+        from textalyzer_ray.pipelines.similarity import cluster_balanced_sample
+
+        # two far-apart tight clusters of sizes 3 and 17, per_cluster=10:
+        # the small cluster yields all 3 rows, the big one exactly 10
+        m = np.zeros((20, 4), dtype=np.float32)
+        m[3:] += 50.0
+        m += 0.01 * np.arange(20)[:, None].astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": list(range(20)),
+                "embedding": pa.array(
+                    [r.tolist() for r in m], pa.list_(pa.float32())
+                ),
+            }
+        )
+        got = (
+            cluster_balanced_sample(
+                rd.from_arrow(t), per_cluster=10, k=2, n_iter=3
+            )
+            .sort("vec_id")
+            .to_pandas()
+        )
+        sizes = got.groupby("cluster").size()
+        assert sorted(sizes.tolist()) == [3, 10]

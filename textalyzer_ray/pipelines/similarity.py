@@ -1015,3 +1015,74 @@ def kmeans_assign(
         )
 
     return ds.map_batches(final, batch_format="pyarrow")
+
+
+def cluster_balanced_sample(
+    ds: Dataset,
+    per_cluster: int,
+    k: int = 8,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """Cluster-balanced curation sample: run ``kmeans_assign`` and keep
+    the ``per_cluster`` rows of each cluster with the smallest
+    multiplicative id hash — the embedding-space diversity sampler
+    (uniform within each k-means cell) behind cluster-balanced data
+    selection (SemDeDup-family curation, Abbas et al. 2023 §2; same
+    RNG-free bottom-k idiom as curation.hash_sample, here partitioned
+    by the learned cluster). Ties (hash collisions) break by id, so
+    the selection is total and engine-independent.
+
+    Scale shape: assignments stream out of kmeans_assign; a per-block
+    per-cluster bottom-k prune caps what leaves each block at
+    k * per_cluster rows, and the global head runs cluster-aligned on
+    that candidate set (grouped_apply with a 2-way shuffle — the
+    candidate volume is blocks * k * per_cluster, never corpus-sized).
+    Output: (id, cluster, kept ordered by hash) — the sample only.
+    """
+    import polars as pl
+
+    from textalyzer_ray.pipelines.curation import _KNUTH, _M32
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    out_schema = pa.schema(
+        [pa.field(id_col, pa.int64()), pa.field("cluster", pa.int64())]
+    )
+    assign = kmeans_assign(
+        ds, k=k, n_iter=n_iter, id_col=id_col, emb_col=emb_col
+    )
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids & (_M32 - 1)) * _KNUTH) & (_M32 - 1)
+        return t.append_column("_h", pa.array(h.astype(np.int64)))
+
+    def local_head(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(with_hash(t))
+            .sort(["_h", id_col])
+            .group_by("cluster", maintain_order=True)
+            .head(per_cluster)
+            .select([id_col, "cluster", "_h"])
+            .to_arrow()
+            .cast(
+                pa.schema(
+                    list(out_schema) + [pa.field("_h", pa.int64())]
+                )
+            )
+        )
+
+    def global_head(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .sort(["_h", id_col])
+            .group_by("cluster", maintain_order=True)
+            .head(per_cluster)
+            .select(list(out_schema.names))
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    cands = assign.map_batches(local_head, batch_format="pyarrow")
+    return grouped_apply(cands, ["cluster"], global_head, num_partitions=2)
