@@ -1577,6 +1577,16 @@ def _q_doc_top_bigram(sf_dir: str):
     return doc_top_bigram(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_length_quantile_filter(sf_dir: str):
+    """Per-language length-percentile floor: drop docs below their
+    language's P25 token count (ties at the cutoff kept; integer-exact
+    quantile rule shared with chars_quantiles)."""
+    from textalyzer_ray.pipelines.curation import length_quantile_filter
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang", "text"])
+    return length_quantile_filter(docs, q=0.25).sort("doc_id")
+
+
 def _q_cluster_balanced_sample(sf_dir: str):
     """Cluster-balanced diversity sample: 16 per k-means cell by
     multiplicative id hash (RNG-free, engine-independent). Composes the
@@ -1885,6 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "dup_span_removal": _q_dup_span_removal,
         "cluster_balanced_sample": _q_cluster_balanced_sample,
+        "length_quantile_filter": _q_length_quantile_filter,
         # rows-only (non-SQL-expressible: zlib, global greedy
         # suppression)
         "compression_ratio": _q_compression_ratio,
@@ -2739,6 +2750,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 2 = 0 "
             "THEN 0.25 ELSE 1.0 END * 4294967296) AS BIGINT) "
             "ORDER BY doc_id"
+        ),
+        "length_quantile_filter": (
+            "WITH t AS (SELECT d.doc_id, d.lang, "
+            "CAST(coalesce(x.n, 0) AS BIGINT) AS n_tokens "
+            "FROM documents d LEFT JOIN ("
+            f"SELECT doc_id, count(*) AS n FROM ({tokens_cte}) "
+            "GROUP BY doc_id) x USING (doc_id)), "
+            "r AS (SELECT lang, n_tokens AS v, "
+            "row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn, "
+            "count(*) OVER (PARTITION BY lang) AS n FROM t), "
+            "c AS (SELECT lang, min(v) AS cut FROM r "
+            "WHERE rn >= greatest(1, CAST(ceil(0.25 * n) AS BIGINT)) "
+            "GROUP BY lang) "
+            "SELECT t.doc_id, t.lang, t.n_tokens FROM t JOIN c USING (lang) "
+            "WHERE t.n_tokens >= c.cut ORDER BY t.doc_id"
         ),
         "token_shards": (
             "WITH t AS (SELECT d.doc_id, CAST(coalesce(x.n, 0) AS BIGINT) "

@@ -863,3 +863,68 @@ class TestDupSpanRemoval:
         rows = dup_span_removal(ds, n=5).sort("doc_id").take_all()
         assert all(r["removed_tokens"] == 0 for r in rows)
         assert rows[0]["kept_text"] == "every doc here is fully unique text"
+
+
+class TestLengthQuantileFilter:
+    def _ds(self):
+        rows = []
+        # lang "aa": token counts 1..8 -> P25 rank ceil(0.25*8)=2 -> cut=2
+        for i in range(8):
+            rows.append((i, "aa", " ".join(["tok"] * (i + 1))))
+        # lang "bb": counts [5,5,9] -> rank ceil(0.75)=1 -> cut=5, all kept
+        rows.append((100, "bb", "a b c d e"))
+        rows.append((101, "bb", "f g h i j"))
+        rows.append((102, "bb", "k l m n o p q r s"))
+        return rows, rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "lang": [r[1] for r in rows],
+                    "text": [r[2] for r in rows],
+                }
+            )
+        ).materialize()
+
+    def test_per_group_cutoffs(self):
+        from textalyzer_ray.pipelines.curation import length_quantile_filter
+
+        rows, ds = self._ds()
+        got = length_quantile_filter(ds, q=0.25).sort("doc_id").take_all()
+        kept = [r["doc_id"] for r in got]
+        # aa: doc 0 (1 token) dropped, docs 1..7 kept; bb: all kept
+        assert kept == [1, 2, 3, 4, 5, 6, 7, 100, 101, 102]
+        by_id = {r["doc_id"]: r for r in got}
+        assert by_id[1]["n_tokens"] == 2
+        assert by_id[102]["lang"] == "bb"
+
+    def test_ties_at_cutoff_kept(self):
+        from textalyzer_ray.pipelines.curation import length_quantile_filter
+
+        # counts [2,2,2,7]: rank ceil(0.25*4)=1 -> cut=2 -> all kept
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(4)), pa.int64()),
+                    "lang": ["xx"] * 4,
+                    "text": ["a b", "c d", "e f", "g h i j k l m"],
+                }
+            )
+        ).materialize()
+        got = length_quantile_filter(ds, q=0.25).sort("doc_id").take_all()
+        assert [r["doc_id"] for r in got] == [0, 1, 2, 3]
+
+    def test_median_q(self):
+        from textalyzer_ray.pipelines.curation import length_quantile_filter
+
+        # counts 1..4 at q=0.5: rank 2 -> cut=2 -> drop only the 1-token doc
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(4)), pa.int64()),
+                    "lang": ["xx"] * 4,
+                    "text": ["a", "a b", "a b c", "a b c d"],
+                }
+            )
+        ).materialize()
+        got = length_quantile_filter(ds, q=0.5).sort("doc_id").take_all()
+        assert [r["doc_id"] for r in got] == [1, 2, 3]

@@ -1455,3 +1455,120 @@ def dup_span_removal(
         rebuild_group,
         num_partitions=partitions_for(n_docs, rows_per_part=500_000),
     )
+
+
+def length_quantile_filter(
+    ds: Dataset,
+    q: float = 0.25,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Per-group length-percentile floor: drop every document whose
+    token count falls below its group's ``q``-quantile — the
+    "per-language length floor" curation rule (quality thresholds set
+    per language so low-resource languages aren't gated by
+    high-resource length norms; CCNet percentile buckets, Laurençon et
+    al. 2022 ROOTS filtering). Quantile semantics match
+    ``chars_quantiles``: the cutoff is the value at rank
+    ``ceil(q * n_group)`` (min value whose rank reaches it), ties at
+    the cutoff are KEPT — integer-exact, so the oracle hash-gates it.
+    Pick ``q`` with an exact binary representation (0.25, 0.5, 0.125…)
+    so ``ceil(q*n)`` is bit-identical in Python and SQL.
+
+    Scale shape: pass 1 streams per-batch (group, n_tokens) value
+    counts into ``key_counts`` (skew-free partial merge); the driver
+    sees only the (group, value, count) HISTOGRAM — bounded by
+    groups x distinct lengths, never rows — computes each group's
+    cutoff by cumulative count, and broadcasts the tiny cutoff dict.
+    Pass 2 recomputes per-doc counts batch-locally and filters —
+    zero further shuffle. Consumes ``ds`` twice: pass a parquet-backed
+    or materialized dataset (CLAUDE.md minhash_dedup lesson).
+    """
+    import math
+
+    import polars as pl
+    import ray
+
+    from textalyzer_ray.stages.groups import _worker_object_cache, key_counts
+    from textalyzer_ray.stages.tokenize import doc_token_counts
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field(group_col, pa.string()),
+            pa.field("n_tokens", pa.int64()),
+        ]
+    )
+
+    def with_counts(t: pa.Table) -> pa.Table:
+        counts = doc_token_counts(t, id_col=id_col, text_col=text_col)
+        return (
+            pl.from_arrow(t.select([id_col, group_col]))
+            .with_columns(
+                pl.Series("n_tokens", counts["n_tokens"].to_numpy(
+                    zero_copy_only=False
+                )),
+                pl.col(id_col).cast(pl.Int64),
+            )
+            .select(out_schema.names)
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    def value_counts(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(with_counts(t))
+            .group_by([group_col, "n_tokens"])
+            .len()
+            .with_columns(pl.col("len").cast(pl.Int64).alias("rows"))
+            .select([group_col, "n_tokens", "rows"])
+            .to_arrow()
+            .cast(
+                pa.schema(
+                    [
+                        pa.field(group_col, pa.string()),
+                        pa.field("n_tokens", pa.int64()),
+                        pa.field("rows", pa.int64()),
+                    ]
+                )
+            )
+        )
+
+    hist = pa.concat_tables(
+        key_counts(
+            ds.map_batches(value_counts, batch_format="pyarrow"),
+            [group_col, "n_tokens"],
+            sum_cols=["rows"],
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    cuts: dict[str, int] = {}
+    hdf = pl.from_arrow(hist).sort([group_col, "n_tokens"])
+    for (g,), gdf in hdf.group_by([group_col], maintain_order=True):
+        n = int(gdf["sum_rows"].sum())
+        rank = max(1, math.ceil(q * n))
+        cum = 0
+        for v, c in zip(gdf["n_tokens"], gdf["sum_rows"]):
+            cum += int(c)
+            if cum >= rank:
+                cuts[g] = int(v)
+                break
+    cuts_ref = ray.put(cuts)
+
+    def keep(t: pa.Table) -> pa.Table:
+        cache = _worker_object_cache()
+        ck = cuts_ref.hex() if hasattr(cuts_ref, "hex") else str(cuts_ref)
+        c = cache.get(ck)
+        if c is None:
+            c = cache[ck] = ray.get(cuts_ref)
+        df = pl.from_arrow(with_counts(t))
+        cut_expr = pl.col(group_col).replace_strict(
+            old=list(c.keys()), new=list(c.values()), default=0
+        )
+        return (
+            df.filter(pl.col("n_tokens") >= cut_expr)
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
