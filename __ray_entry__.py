@@ -1577,6 +1577,38 @@ def _q_doc_top_bigram(sf_dir: str):
     return doc_top_bigram(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_nfc_clean(sf_dir: str):
+    """Unicode ingest cleanup over an id-arithmetic adversarial corpus:
+    each doc gets a planted NFD sequence (e + U+0301), vertical tabs
+    and space/tab runs derived purely from doc_id, so the oracle
+    exercises real normalization, not an ASCII identity (the
+    gated-multimodal synthesize-from-id pattern, CLAUDE.md)."""
+    import polars as pl
+    import pyarrow as pa
+
+    from textalyzer_ray.pipelines.curation import nfc_clean
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            (
+                pl.col("text")
+                + pl.lit("e\u0301").repeat_by(pl.col("doc_id") % 3).list.join("")
+                + pl.lit("\x0b").repeat_by(pl.col("doc_id") % 2).list.join("")
+                + pl.lit(" ").repeat_by(pl.col("doc_id") % 4).list.join("")
+                + pl.lit("\tz")
+            ).alias("text")
+        )
+        return df.to_arrow().cast(
+            pa.schema([pa.field("doc_id", pa.int64()), pa.field("text", pa.string())])
+        )
+
+    return nfc_clean(docs.map_batches(plant, batch_format="pyarrow")).sort(
+        "doc_id"
+    )
+
+
 def _q_length_quantile_filter(sf_dir: str):
     """Per-language length-percentile floor: drop docs below their
     language's P25 token count (ties at the cutoff kept; integer-exact
@@ -1896,6 +1928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_removal": _q_dup_span_removal,
         "cluster_balanced_sample": _q_cluster_balanced_sample,
         "length_quantile_filter": _q_length_quantile_filter,
+        "nfc_clean": _q_nfc_clean,
         # rows-only (non-SQL-expressible: zlib, global greedy
         # suppression)
         "compression_ratio": _q_compression_ratio,
@@ -2750,6 +2783,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 2 = 0 "
             "THEN 0.25 ELSE 1.0 END * 4294967296) AS BIGINT) "
             "ORDER BY doc_id"
+        ),
+        "nfc_clean": (
+            "WITH aug AS (SELECT doc_id, text || "
+            "repeat('e' || chr(769), doc_id % 3) || "
+            "repeat(chr(11), doc_id % 2) || "
+            "repeat(' ', doc_id % 4) || chr(9) || 'z' AS text "
+            "FROM documents), "
+            "c AS (SELECT doc_id, text, regexp_replace(regexp_replace("
+            "nfc_normalize(text), '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'), "
+            "'[ \\t]+', ' ', 'g') AS clean_text FROM aug) "
+            "SELECT doc_id, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_raw, "
+            "CAST(octet_length(encode(clean_text)) AS BIGINT) AS n_clean, "
+            "clean_text FROM c ORDER BY doc_id"
         ),
         "length_quantile_filter": (
             "WITH t AS (SELECT d.doc_id, d.lang, "

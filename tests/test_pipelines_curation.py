@@ -928,3 +928,54 @@ class TestLengthQuantileFilter:
         ).materialize()
         got = length_quantile_filter(ds, q=0.5).sort("doc_id").take_all()
         assert [r["doc_id"] for r in got] == [1, 2, 3]
+
+
+class TestNfcClean:
+    def _run(self, texts):
+        from textalyzer_ray.pipelines.curation import nfc_clean
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                    "text": texts,
+                }
+            )
+        )
+        return nfc_clean(ds).sort("doc_id").take_all()
+
+    @staticmethod
+    def _reference(s):
+        import re
+        import unicodedata
+
+        n = unicodedata.normalize("NFC", s)
+        n = re.sub(r"[\x00-\x08\x0B-\x1F\x7F]", "", n)
+        n = re.sub(r"[ \t]+", " ", n)
+        return n
+
+    def test_matches_unicodedata_reference(self):
+        texts = [
+            "plain ascii",
+            "nfd é and composed é",
+            "ctrl\x01\x02here\x7f",
+            "tabs\t\tand  spaces   collapse",
+            "keep\nnewlines\nintact",
+            "",
+            "Å angstrom and Ａ fullwidth stay NFC-mapped",
+        ]
+        rows = self._run(texts)
+        for r, s in zip(rows, texts):
+            want = self._reference(s)
+            assert r["clean_text"] == want, s
+            assert r["n_raw"] == len(s.encode())
+            assert r["n_clean"] == len(want.encode())
+
+    def test_nfd_actually_composes(self):
+        rows = self._run(["cafe\u0301"])
+        assert rows[0]["clean_text"] == "caf\u00e9"
+        assert rows[0]["n_raw"] == 6 and rows[0]["n_clean"] == 5
+
+    def test_newline_survives_control_strip(self):
+        rows = self._run(["a\x0bb\nc\td"])
+        assert rows[0]["clean_text"] == "ab\nc d"
