@@ -2,7 +2,8 @@
 the curation funnel, the near-dedup chain, and the bigram-LM surprisal
 scorer over a replicated sf0.1 corpus, with memory evidence.
 
-Usage: python tools/soak.py [--funnel-repl N] [--dedup-repl N] [--lm-repl N]
+Usage: python tools/soak.py [--funnel-repl N] [--dedup-repl N]
+       [--lm-repl N] [--span-repl N] [--kmeans-repl N]
 
 Two workloads, sized differently on purpose:
 
@@ -265,6 +266,104 @@ def main() -> dict:
     assert n_scored == out["lm_docs"], (n_scored, out["lm_docs"])
     out["lm_docs_per_sec"] = round(out["lm_docs"] / out["lm_sec"], 1)
 
+    # ---- dup-span-removal soak (late-r3): shared text, distinct ids ----
+    # Every 5-gram of every replicated doc is shared across replicas
+    # (df == span_repl >= 2), so the removal must cover EVERY position
+    # of every doc with >= 5 tokens: kept == n_tokens for short docs, 0
+    # otherwise — an exact per-doc invariant at volume. The gram
+    # doc-frequency shuffle and the rebuild pass both see the full
+    # replicated token volume.
+    span_repl = arg("--span-repl", 32)
+    from textalyzer_ray.pipelines.curation import dup_span_removal
+
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"],
+        min_blocks=cpu_heavy_min_blocks(),
+    )
+    def replicate_span(tt: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            tt.set_column(
+                tt.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.compute.add(tt["doc_id"], r * 10_000_000),
+            )
+            for r in range(span_repl)
+        )
+
+    big_span = (
+        docs.map_batches(replicate_span, batch_format="pyarrow", batch_size=64)
+        .repartition(cpu_heavy_min_blocks())
+        .materialize()  # consumed twice: gram df pass + rebuild pass
+    )
+    t0 = time.monotonic()
+    span = dup_span_removal(big_span, n=5)
+
+    def span_check(tt: pa.Table) -> pa.Table:
+        nt = tt["n_tokens"].to_numpy(zero_copy_only=False)
+        rm = tt["removed_tokens"].to_numpy(zero_copy_only=False)
+        want = np.where(nt >= 5, nt, 0)
+        return pa.table({"bad": [int((rm != want).sum())], "rows": [tt.num_rows]})
+
+    chk = pa.concat_tables(
+        span.map_batches(span_check, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    out["span_sec"] = round(time.monotonic() - t0, 3)
+    out["span_docs"] = n_docs * span_repl
+    out["span_docs_per_sec"] = round(out["span_docs"] / out["span_sec"], 1)
+    n_rows = int(pa.compute.sum(chk["rows"]).as_py())
+    n_bad = int(pa.compute.sum(chk["bad"]).as_py())
+    assert n_rows == out["span_docs"] and n_bad == 0, (n_rows, n_bad)
+
+    # ---- kmeans soak (late-r3): replicated embeddings, distinct ids ----
+    # Identical vectors under distinct ids: assignments replicate, so
+    # every cluster size must be exactly kmeans_repl x the single-copy
+    # size (margins measured >= 6.7e-6 dwarf the extra summation error).
+    kmeans_repl = arg("--kmeans-repl", 64)
+    from textalyzer_ray.pipelines.similarity import kmeans_assign
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def replicate_emb(tt: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            tt.set_column(
+                tt.schema.get_field_index("vec_id"),
+                "vec_id",
+                pa.compute.add(tt["vec_id"], r * 10_000_000),
+            )
+            for r in range(kmeans_repl)
+        )
+
+    big_emb = (
+        emb.map_batches(replicate_emb, batch_format="pyarrow", batch_size=256)
+        .repartition(num_cpus)
+        .materialize()  # consumed n_iter + 2 times
+    )
+    n_vecs = emb.count()
+    t0 = time.monotonic()
+    sizes_big = dict(
+        (r["cluster"], r["count()"])
+        for r in kmeans_assign(big_emb, k=8, n_iter=4)
+        .groupby("cluster")
+        .count()
+        .take_all()
+    )
+    out["kmeans_sec"] = round(time.monotonic() - t0, 3)
+    out["kmeans_vecs"] = n_vecs * kmeans_repl
+    out["kmeans_vecs_per_sec"] = round(out["kmeans_vecs"] / out["kmeans_sec"], 1)
+    sizes_one = dict(
+        (r["cluster"], r["count()"])
+        for r in kmeans_assign(emb, k=8, n_iter=4)
+        .groupby("cluster")
+        .count()
+        .take_all()
+    )
+    assert sizes_big == {c: n * kmeans_repl for c, n in sizes_one.items()}, (
+        sizes_big,
+        sizes_one,
+    )
+
     stop.set()
     t.join(timeout=2)
     if samples and total_store:
@@ -275,7 +374,12 @@ def main() -> dict:
     out["spilled_bytes"] = _spill_bytes()
     ray.shutdown()
     out["value"] = round(
-        out["funnel_sec"] + out["dedup_sec"] + out["lm_sec"], 3
+        out["funnel_sec"]
+        + out["dedup_sec"]
+        + out["lm_sec"]
+        + out["span_sec"]
+        + out["kmeans_sec"],
+        3,
     )
     return out
 
