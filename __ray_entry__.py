@@ -1577,6 +1577,41 @@ def _q_doc_top_bigram(sf_dir: str):
     return doc_top_bigram(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_cluster_label_profile(sf_dir: str):
+    """Per-cluster label composition (the cluster-quality report a
+    curation pipeline reads after clustering): kmeans assignments with
+    the label column riding the final pass as a passthrough — no
+    post-join — then a tiny (cluster, label) rollup."""
+    import polars as pl
+    import pyarrow as pa
+
+    from textalyzer_ray.pipelines.similarity import kmeans_assign
+    from textalyzer_ray.sources.tables import read_table
+    from textalyzer_ray.stages.groups import key_counts
+
+    ds = read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]
+    )
+    assign = kmeans_assign(ds, k=8, n_iter=4, passthrough_cols=["label"])
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["cluster", "label"]))
+            .cast({"label": pl.Int64})
+            .to_arrow()
+            .cast(
+                pa.schema(
+                    [pa.field("cluster", pa.int64()), pa.field("label", pa.int64())]
+                )
+            )
+        )
+
+    return key_counts(
+        assign.map_batches(to_pairs, batch_format="pyarrow"),
+        ["cluster", "label"],
+    ).sort(["cluster", "label"])
+
+
 def _q_nfc_clean(sf_dir: str):
     """Unicode ingest cleanup over an id-arithmetic adversarial corpus:
     each doc gets a planted NFD sequence (e + U+0301), vertical tabs
@@ -1929,6 +1964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_balanced_sample": _q_cluster_balanced_sample,
         "length_quantile_filter": _q_length_quantile_filter,
         "nfc_clean": _q_nfc_clean,
+        "cluster_label_profile": _q_cluster_label_profile,
         # rows-only (non-SQL-expressible: zlib, global greedy
         # suppression)
         "compression_ratio": _q_compression_ratio,
@@ -2784,6 +2820,15 @@ def oracle_sql() -> dict[str, str]:
             "THEN 0.25 ELSE 1.0 END * 4294967296) AS BIGINT) "
             "ORDER BY doc_id"
         ),
+        "cluster_label_profile": (
+            lambda _c=_kmeans_oracle_ctes(k=8, n_iter=4): (
+                f"{_c[0]}, p AS (SELECT CAST(a.c AS BIGINT) AS cluster, "
+                f"CAST(e.label AS BIGINT) AS label FROM {_c[1]} a "
+                "JOIN embeddings e USING (vec_id)) "
+                "SELECT cluster, label, CAST(count(*) AS BIGINT) AS count "
+                "FROM p GROUP BY cluster, label ORDER BY cluster, label"
+            )
+        )(),
         "nfc_clean": (
             "WITH aug AS (SELECT doc_id, text || "
             "repeat('e' || chr(769), doc_id % 3) || "

@@ -211,3 +211,20 @@ class TestClusterBalancedSample:
         )
         sizes = got.groupby("cluster").size()
         assert sorted(sizes.tolist()) == [3, 10]
+
+
+class TestPassthroughCols:
+    def test_metadata_rides_final_pass(self):
+        t, m = _emb_table(n=30, seed=2)
+        t = t.append_column("label", pa.array([i % 3 for i in range(30)], pa.int32()))
+        got = (
+            kmeans_assign(
+                rd.from_arrow(t), k=3, n_iter=2, passthrough_cols=["label"]
+            )
+            .sort("vec_id")
+            .to_pandas()
+        )
+        want, _ = _reference(m, k=3, n_iter=2)
+        assert got["cluster"].tolist() == want.tolist()
+        assert got["label"].tolist() == [i % 3 for i in range(30)]
+        assert list(got.columns) == ["vec_id", "cluster", "label"]

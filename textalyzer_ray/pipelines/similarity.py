@@ -888,6 +888,7 @@ def kmeans_assign(
     n_iter: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    passthrough_cols: list[str] | None = None,
 ) -> Dataset:
     """Distributed Lloyd k-means over an embedding column -> one
     (id, cluster:int64) row per vector, the canonical iterative-ML
@@ -1003,23 +1004,27 @@ def kmeans_assign(
         )
 
     cref = ray.put(cents)
-    out_schema = pa.schema(
-        [pa.field(id_col, pa.int64()), pa.field("cluster", pa.int64())]
-    )
+    extra = list(passthrough_cols or [])
 
     def final(t: pa.Table, _cref=cref) -> pa.Table:
+        # passthrough columns ride the final batch-local pass, so
+        # attaching metadata to assignments costs no join/shuffle
+        out_schema = pa.schema(
+            [pa.field(id_col, pa.int64()), pa.field("cluster", pa.int64())]
+            + [t.schema.field(c) for c in extra]
+        )
         c = ray.get(_cref)
         m = _stack_embeddings(t, emb_col)
         if m.size == 0:
             return out_schema.empty_table()
         a = _assign(m, c)
-        return pa.table(
-            {
-                id_col: pc.cast(t[id_col], pa.int64()),
-                "cluster": pa.array(a.astype(np.int64)),
-            },
-            schema=out_schema,
-        )
+        cols = {
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "cluster": pa.array(a.astype(np.int64)),
+        }
+        for name in extra:
+            cols[name] = t[name]
+        return pa.table(cols, schema=out_schema)
 
     return ds.map_batches(final, batch_format="pyarrow")
 
