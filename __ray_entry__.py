@@ -1577,6 +1577,16 @@ def _q_doc_top_bigram(sf_dir: str):
     return doc_top_bigram(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_shard_shuffle(sf_dir: str):
+    """Deterministic global shuffle into 8 training shards: hash order
+    is the permutation (RNG-free, partitioning-invariant), ranking on
+    shard-aligned blocks."""
+    from textalyzer_ray.pipelines.curation import shard_shuffle
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    return shard_shuffle(docs, n_shards=8).sort("doc_id")
+
+
 def _q_cluster_label_profile(sf_dir: str):
     """Per-cluster label composition (the cluster-quality report a
     curation pipeline reads after clustering): kmeans assignments with
@@ -1965,6 +1975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantile_filter": _q_length_quantile_filter,
         "nfc_clean": _q_nfc_clean,
         "cluster_label_profile": _q_cluster_label_profile,
+        "shard_shuffle": _q_shard_shuffle,
         # rows-only (non-SQL-expressible: zlib, global greedy
         # suppression)
         "compression_ratio": _q_compression_ratio,
@@ -2819,6 +2830,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 2 = 0 "
             "THEN 0.25 ELSE 1.0 END * 4294967296) AS BIGINT) "
             "ORDER BY doc_id"
+        ),
+        "shard_shuffle": (
+            "WITH h AS (SELECT doc_id, "
+            "CAST((CAST(doc_id AS HUGEINT) % 4294967296) * 3266489917 "
+            "AS HUGEINT) % 4294967296 AS h FROM documents) "
+            "SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard_id, "
+            "CAST(row_number() OVER (PARTITION BY h % 8 "
+            "ORDER BY h, doc_id) AS BIGINT) AS shard_rank "
+            "FROM h ORDER BY doc_id"
         ),
         "cluster_label_profile": (
             lambda _c=_kmeans_oracle_ctes(k=8, n_iter=4): (

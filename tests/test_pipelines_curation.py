@@ -979,3 +979,67 @@ class TestNfcClean:
     def test_newline_survives_control_strip(self):
         rows = self._run(["a\x0bb\nc\td"])
         assert rows[0]["clean_text"] == "ab\nc d"
+
+
+class TestShardShuffle:
+    @staticmethod
+    def _reference(ids, n_shards):
+        out = {}
+        pairs = []
+        for i in ids:
+            h = ((i % (1 << 32)) * 3266489917) % (1 << 32)
+            pairs.append((h % n_shards, h, i))
+        for s in range(n_shards):
+            members = sorted(p for p in pairs if p[0] == s)
+            for r, (_, _, i) in enumerate(members, 1):
+                out[i] = (s, r)
+        return out
+
+    def test_matches_reference_and_ranks_dense(self):
+        from textalyzer_ray.pipelines.curation import shard_shuffle
+
+        ids = list(range(0, 400, 3))
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64())})
+        ).materialize()
+        rows = shard_shuffle(ds, n_shards=4).sort("doc_id").take_all()
+        want = self._reference(ids, 4)
+        got = {r["doc_id"]: (r["shard_id"], r["shard_rank"]) for r in rows}
+        assert got == want
+        # ranks dense 1..n per shard
+        import collections
+
+        per = collections.defaultdict(list)
+        for i, (s, r) in got.items():
+            per[s].append(r)
+        for s, rs in per.items():
+            assert sorted(rs) == list(range(1, len(rs) + 1))
+
+    def test_partitioning_invariant(self):
+        from textalyzer_ray.pipelines.curation import shard_shuffle
+
+        ids = list(range(123))
+        t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+        one = shard_shuffle(
+            rd.from_arrow(t).materialize(), n_shards=8
+        ).sort("doc_id").to_pandas()
+        many = shard_shuffle(
+            rd.from_arrow(t).repartition(9).materialize(), n_shards=8
+        ).sort("doc_id").to_pandas()
+        assert one.equals(many)
+
+    def test_independent_of_split_hash(self):
+        # same ids, different multipliers: shuffle order must not be a
+        # monotone image of the split hash (correlation guard)
+        from textalyzer_ray.pipelines.curation import _KNUTH, _SHUF_MULT
+
+        assert _SHUF_MULT != _KNUTH
+        ids = list(range(1000))
+        h1 = [((i % (1 << 32)) * _KNUTH) % (1 << 32) for i in ids]
+        h2 = [((i % (1 << 32)) * _SHUF_MULT) % (1 << 32) for i in ids]
+        import numpy as np
+
+        r1 = np.argsort(np.argsort(h1))
+        r2 = np.argsort(np.argsort(h2))
+        corr = float(np.corrcoef(r1, r2)[0, 1])
+        assert abs(corr) < 0.1, corr

@@ -1629,3 +1629,80 @@ def nfc_clean(
         )
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+# xxhash prime3 — independent of hash_split (Knuth) and mixture_sample
+# (xxhash prime2), so shuffle order is uncorrelated with split/mixture.
+_SHUF_MULT = 3266489917
+
+
+def shard_shuffle(
+    ds: Dataset,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Deterministic global shuffle into training shards: every row gets
+    shard = hash(id) % n_shards and a within-shard rank ordered by
+    (hash, id) — the RNG-free "global random order, then split into
+    shard files" step that precedes training-data serialization.
+    Reproducible across runs, engines and partitionings (the hash IS
+    the permutation; no RNG state, no seed file), ties (hash
+    collisions) made total by id; independent of ``hash_split`` /
+    ``mixture_sample`` (distinct multiplier), so shuffle order carries
+    no correlation into the split or the mixture.
+
+    Scale shape: the hash + shard assignment is one zero-shuffle
+    vectorized pass; ranking happens on shard-ALIGNED blocks
+    (``grouped_apply`` — exactly one exchange, the one a shard writer
+    needs anyway so each output file is one block's write), with a
+    block-local sort standing in for the global one (hash-partitioning
+    by shard makes block-local rank == shard rank). Downstream, a
+    writer maps each shard block to one resumable output file.
+    """
+    import numpy as np
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import grouped_apply, partitions_for
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("shard_id", pa.int64()),
+            pa.field("shard_rank", pa.int64()),
+        ]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids & (_M32 - 1)) * _SHUF_MULT) & (_M32 - 1)
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64)),
+                "shard_id": pa.array((h % n_shards).astype(np.int64)),
+                "_h": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def rank_shard(t: pa.Table) -> pa.Table:
+        # shard-aligned block: local rank == global shard rank
+        return (
+            pl.from_arrow(t)
+            .sort(["shard_id", "_h", id_col])
+            .with_columns(
+                (pl.int_range(pl.len()) + 1)
+                .over("shard_id")
+                .cast(pl.Int64)
+                .alias("shard_rank")
+            )
+            .select(out_schema.names)
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    n_rows = ds.count()
+    return grouped_apply(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["shard_id"],
+        rank_shard,
+        num_partitions=min(n_shards, partitions_for(n_rows)),
+    )
