@@ -1913,7 +1913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "dedup_against": _q_dedup_against,
         "approx_top_words": _q_approx_top_words,
-        "approx_distinct_words": _q_approx_distinct_words,
+        "dup_span_removal": _q_dup_span_removal,
         "line_dedup_rebuild": _q_line_dedup_rebuild,
         "video_vhash_groups": _q_video_vhash_groups,
         "extract_text": _q_extract_text,
@@ -1924,7 +1924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "resumable_extract": _q_resumable_extract,
         "cust_orders_by_segment": _q_cust_orders_by_segment,
-        "lineitem_priority_join": _q_lineitem_priority_join,
+        "kmeans_clusters": _q_kmeans_clusters,
         "purchase_asof_view": _q_purchase_asof_view,
         "anchor_rollup": _q_anchor_rollup,
         "host_pagerank": _q_host_pagerank,
@@ -1969,8 +1969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "dup_span_removal": _q_dup_span_removal,
+        "lineitem_priority_join": _q_lineitem_priority_join,
+        "approx_distinct_words": _q_approx_distinct_words,
         "cluster_balanced_sample": _q_cluster_balanced_sample,
         "length_quantile_filter": _q_length_quantile_filter,
         "nfc_clean": _q_nfc_clean,
