@@ -1300,6 +1300,26 @@ def _q_jsonl_roundtrip(sf_dir: str):
     return read_jsonl(shard_dir, columns=["doc_id", "text"]).sort("doc_id")
 
 
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV ingestion: documents -> quoted .csv shards on disk (cached
+    on the parquet's identity) -> read_csv_shards -> (doc_id, text)
+    identical to the source. Embedded commas/quotes/newlines are
+    pytest-pinned (tests/test_sources_csv.py)."""
+    from textalyzer_ray.sources.tables import read_csv_shards, write_csv_shards
+
+    def build(tmp_dir, src, n_shards):
+        import pyarrow.parquet as pq
+
+        write_csv_shards(
+            tmp_dir,
+            pq.read_table(src, columns=["doc_id", "text"]),
+            n_shards=n_shards,
+        )
+
+    shard_dir = _cached_shard_dir(sf_dir, "csv", 4, build)
+    return read_csv_shards(shard_dir, columns=["doc_id", "text"]).sort("doc_id")
+
+
 def _q_compression_ratio(sf_dir: str):
     """Per-doc zlib redundancy signal (rows-only: SQL has no zlib)."""
     from textalyzer_ray.pipelines.analytics import compression_ratio
@@ -1967,6 +1987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "hash_sample": _q_hash_sample,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
         "lineitem_priority_join": _q_lineitem_priority_join,
@@ -2719,6 +2740,9 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN d5 f USING (doc_id) ORDER BY d.doc_id"
         ),
         "jsonl_roundtrip": (
+            "SELECT doc_id, text FROM documents ORDER BY doc_id"
+        ),
+        "csv_roundtrip": (
             "SELECT doc_id, text FROM documents ORDER BY doc_id"
         ),
         "purchase_view_range_join": (

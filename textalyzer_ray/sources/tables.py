@@ -130,3 +130,58 @@ def write_jsonl_shards(
         for f in files:
             f.close()
     return len(rows)
+
+
+def read_csv_shards(paths, columns: list[str] | None = None):
+    """CSV shards -> Dataset (the spreadsheet/export interchange
+    format). One read task per shard via ray.data.read_csv (Arrow C++
+    CSV reader); ``newlines_in_values`` is on because document text
+    legitimately contains line breaks — Arrow then parses quoted
+    multi-line fields correctly but cannot split a single file into
+    chunks, so parallelism = shard count (write many shards). Like
+    JSONL, the read can't prune columns on disk; prefer parquet for
+    anything read more than once."""
+    import pyarrow.csv as pcsv
+    import ray.data as rd
+
+    ds = rd.read_csv(
+        paths,
+        file_extensions=["csv"],
+        parse_options=pcsv.ParseOptions(newlines_in_values=True),
+    )
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def write_csv_shards(
+    out_dir: str, table, n_shards: int = 4, id_col: str = "doc_id"
+) -> int:
+    """Deterministic .csv shards from an Arrow table (test/bench
+    fixture writer; round-robin by row position, stdlib csv quoting so
+    embedded commas/quotes/newlines survive the round trip)."""
+    import csv
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = table.column_names
+    rows = list(zip(*(table[c].to_pylist() for c in cols)))
+    files, writers = [], []
+    try:
+        for s in range(n_shards):
+            f = open(
+                os.path.join(out_dir, f"part-{s}.csv"),
+                "w",
+                encoding="utf-8",
+                newline="",
+            )
+            files.append(f)
+            w = csv.writer(f, quoting=csv.QUOTE_MINIMAL)
+            w.writerow(cols)
+            writers.append(w)
+        for i, r in enumerate(rows):
+            writers[i % n_shards].writerow(r)
+    finally:
+        for f in files:
+            f.close()
+    return len(rows)
