@@ -1597,6 +1597,54 @@ def _q_doc_top_bigram(sf_dir: str):
     return doc_top_bigram(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Canonical-copy selection: exact dedup keeping the highest-score
+    copy (ties by lowest id) over a corpus with planted exact
+    duplicates (ids + 1M for even docs, + 2M for every third doc) and
+    an id-arithmetic integer score — the argmax flips between original
+    and copies, so the oracle gates real selection, not min-id."""
+    import pyarrow as pa
+
+    from textalyzer_ray.pipelines.dedup import dedup_keep_best
+
+    def with_score(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "score": pa.array((ids * 7) % 101),
+                "text": t["text"],
+            }
+        )
+
+    def copies(offset: int, mod: int):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sub = t.filter(pa.array(ids % mod == 0))
+            sub_ids = sub["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(sub_ids + offset),
+                    "text": sub["text"],
+                }
+            )
+
+        return fn
+
+    base = _docs(sf_dir, columns=["doc_id", "text"])
+    aug = base.union(
+        base.map_batches(copies(1_000_000, 2), batch_format="pyarrow"),
+        base.map_batches(copies(2_000_000, 3), batch_format="pyarrow"),
+    ).map_batches(with_score, batch_format="pyarrow")
+    return dedup_keep_best(aug, score_col="score").sort("doc_id")
+
+
 def _q_shard_shuffle(sf_dir: str):
     """Deterministic global shuffle into 8 training shards: hash order
     is the permutation (RNG-free, partitioning-invariant), ranking on
@@ -1997,6 +2045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_clean": _q_nfc_clean,
         "cluster_label_profile": _q_cluster_label_profile,
         "shard_shuffle": _q_shard_shuffle,
+        "dedup_keep_best": _q_dedup_keep_best,
         # rows-only (non-SQL-expressible: zlib, global greedy
         # suppression)
         "compression_ratio": _q_compression_ratio,
@@ -2853,6 +2902,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(CASE WHEN "
             "CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 2 = 0 "
             "THEN 0.25 ELSE 1.0 END * 4294967296) AS BIGINT) "
+            "ORDER BY doc_id"
+        ),
+        "dedup_keep_best": (
+            "WITH aug AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+            "WHERE doc_id % 2 = 0 "
+            "UNION ALL SELECT doc_id + 2000000, text FROM documents "
+            "WHERE doc_id % 3 = 0), "
+            "s AS (SELECT doc_id, (doc_id * 7) % 101 AS score, text FROM aug), "
+            "k AS (SELECT doc_id, score, text, "
+            "row_number() OVER (PARTITION BY text ORDER BY score DESC, doc_id) "
+            "AS rn, count(*) OVER (PARTITION BY text) AS n FROM s) "
+            "SELECT doc_id, CAST(score AS BIGINT) AS score, text, "
+            "CAST(n AS BIGINT) AS n_copies FROM k WHERE rn = 1 "
             "ORDER BY doc_id"
         ),
         "shard_shuffle": (

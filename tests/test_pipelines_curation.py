@@ -1043,3 +1043,56 @@ class TestShardShuffle:
         r2 = np.argsort(np.argsort(h2))
         corr = float(np.corrcoef(r1, r2)[0, 1])
         assert abs(corr) < 0.1, corr
+
+
+class TestNfcCleanProperty:
+    """Bounded-alphabet fuzz: polars' Rust NFC + regex must equal the
+    Python unicodedata reference over the domain the op targets
+    (latin + combining accents + controls + whitespace). The alphabet
+    is bounded deliberately — exotic new-Unicode codepoints could
+    legitimately differ between the engines' UCD versions and are not
+    what a web-text cleanup pass sees."""
+
+    ALPHABET = (
+        "abcXYZ 123"
+        "\t\n\x00\x01\x07\x0b\x1f\x7f"
+        "̧́̈"  # combining acute / diaeresis / cedilla
+        "eéAÅÅ"  # e, precomposed é, A, Å, angstrom sign
+        "Ａﬁ"  # fullwidth A, fi ligature
+    )
+
+    def test_fuzz_matches_unicodedata(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from textalyzer_ray.pipelines.curation import nfc_clean
+
+        ref = TestNfcClean._reference
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.lists(
+                st.text(alphabet=self.ALPHABET, max_size=40),
+                min_size=1,
+                max_size=6,
+            )
+        )
+        def check(texts):
+            ds = rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            list(range(len(texts))), pa.int64()
+                        ),
+                        "text": texts,
+                    }
+                )
+            )
+            rows = nfc_clean(ds).sort("doc_id").take_all()
+            for r, s in zip(rows, texts):
+                want = ref(s)
+                assert r["clean_text"] == want, repr(s)
+                assert r["n_raw"] == len(s.encode())
+                assert r["n_clean"] == len(want.encode())
+
+        check()

@@ -463,3 +463,63 @@ class TestConnectedComponentsPaths:
         rows = connected_components(edges).take_all()
         assert {r["cluster_id"] for r in rows} == {0}
         assert len(rows) == 31
+
+
+class TestDedupKeepBest:
+    def _run(self, rows, **kw):
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.dedup import dedup_keep_best
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "score": pa.array([r[1] for r in rows], pa.int64()),
+                "text": [r[2] for r in rows],
+            }
+        )
+        return (
+            dedup_keep_best(rd.from_arrow(t), score_col="score", **kw)
+            .sort("doc_id")
+            .take_all()
+        )
+
+    def test_keeps_argmax_score(self):
+        rows = [
+            (1, 5, "same text"),
+            (2, 9, "same text"),
+            (3, 7, "same text"),
+            (4, 1, "unique"),
+        ]
+        got = self._run(rows)
+        assert [(r["doc_id"], r["score"], r["n_copies"]) for r in got] == [
+            (2, 9, 3),
+            (4, 1, 1),
+        ]
+
+    def test_score_tie_breaks_by_lowest_id(self):
+        rows = [(7, 3, "t"), (2, 3, "t"), (9, 3, "t")]
+        got = self._run(rows)
+        assert [(r["doc_id"], r["n_copies"]) for r in got] == [(2, 3)]
+
+    def test_partitioning_invariant(self):
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.dedup import dedup_keep_best
+
+        rows = [(i, (i * 13) % 7, f"text {i % 5}") for i in range(60)]
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "score": pa.array([r[1] for r in rows], pa.int64()),
+                "text": [r[2] for r in rows],
+            }
+        )
+        one = dedup_keep_best(
+            rd.from_arrow(t), score_col="score"
+        ).sort("doc_id").to_pandas()
+        many = dedup_keep_best(
+            rd.from_arrow(t).repartition(7), score_col="score"
+        ).sort("doc_id").to_pandas()
+        assert one.equals(many)
+        assert len(one) == 5

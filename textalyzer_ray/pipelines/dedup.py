@@ -1032,3 +1032,58 @@ def winnow_duplicate_pairs(
         return t.filter(keep).select(["id_a", "id_b", "n_shared"]).cast(pair_schema)
 
     return jb.map_batches(frac_filter, batch_format="pyarrow")
+
+
+def dedup_keep_best(
+    ds: Dataset,
+    score_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Exact dedup that keeps the BEST copy of each duplicated text —
+    canonical selection by score (highest ``score_col``, ties by lowest
+    id) instead of ``exact_dedup``'s first-by-id rule. The shape every
+    recrawl pipeline needs: duplicates differ in metadata (fetch
+    quality, length, recency as an integer score) and the kept copy
+    should be the argmax, not the oldest. Same single key-aligned
+    exchange as ``exact_dedup_distributed`` (grouped_apply on the
+    content hash; group_by text inside the block is collision-proof),
+    one vectorized polars pass per block, zero per-group Python.
+    Output: (id, score, text, n_copies), one row per distinct text.
+    ``score_col`` must be integer-typed so the oracle hash-gates it.
+    """
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    def hash_stage(t: pa.Table) -> pa.Table:
+        return add_content_hash(t.select([id_col, score_col, text_col]), text_col)
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field(score_col, pa.int64()),
+            pa.field(text_col, pa.string()),
+            pa.field("n_copies", pa.int64()),
+        ]
+    )
+
+    def keep_best_block(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t)
+            .sort([pl.col(score_col), pl.col(id_col)], descending=[True, False])
+            .group_by(text_col, maintain_order=False)
+            .agg(
+                pl.col(id_col).first().cast(pl.Int64).alias(id_col),
+                pl.col(score_col).first().cast(pl.Int64).alias(score_col),
+                pl.len().cast(pl.Int64).alias("n_copies"),
+            )
+            .select(list(out_schema.names))
+        )
+        return out.to_arrow().cast(out_schema)
+
+    hashed = ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_apply(
+        hashed, ["content_hash"], keep_best_block, num_partitions=num_partitions
+    )
