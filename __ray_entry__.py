@@ -446,6 +446,54 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 4) -> str:
     )
 
 
+def _bpe_oracle_sql(tokens_cte: str, n_merges: int) -> str:
+    """Unrolled BPE trainer in DuckDB: per round, a self-join pair
+    count -> LIMIT-1 argmax (count desc, pair lex asc) -> greedy
+    leftmost merge application via gaps-and-islands (consecutive-match
+    chains keep odd row_numbers — the sequential scan as window SQL).
+    All-integer/string outputs, so the merge list hash-gates exactly.
+    Iterative CTEs MATERIALIZED (CLAUDE.md re-scan rule)."""
+    parts = [
+        f"WITH v AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) "
+        f"AS cnt FROM ({tokens_cte}) GROUP BY word)",
+        "r0 AS MATERIALIZED (SELECT word, cnt, i AS pos, word[i:i] AS sym "
+        "FROM (SELECT word, cnt, unnest(generate_series(1, length(word))) "
+        "AS i FROM v))",
+    ]
+    for t in range(1, n_merges + 1):
+        p = f"r{t-1}"
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT s1.sym AS l, s2.sym AS r2, "
+            f"sum(s1.cnt) AS w FROM {p} s1 JOIN {p} s2 "
+            f"ON s1.word = s2.word AND s2.pos = s1.pos + 1 "
+            f"GROUP BY s1.sym, s2.sym ORDER BY w DESC, l, r2 LIMIT 1)"
+        )
+        parts.append(
+            f"k{t} AS (SELECT *, CASE WHEN mt = 1 AND (row_number() OVER "
+            f"(PARTITION BY word, isl ORDER BY pos) % 2) = 1 THEN 1 ELSE 0 "
+            f"END AS kept FROM (SELECT *, CASE WHEN mt = 1 THEN pos - "
+            f"row_number() OVER (PARTITION BY word, mt ORDER BY pos) END "
+            f"AS isl FROM (SELECT word, cnt, pos, sym, CASE WHEN "
+            f"sym = (SELECT l FROM m{t}) AND lead(sym) OVER "
+            f"(PARTITION BY word ORDER BY pos) = (SELECT r2 FROM m{t}) "
+            f"THEN 1 ELSE 0 END AS mt FROM {p})))"
+        )
+        parts.append(
+            f"r{t} AS MATERIALIZED (SELECT word, cnt, "
+            f"row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, "
+            f"CASE WHEN kept = 1 THEN sym || lead_sym ELSE sym END AS sym "
+            f"FROM (SELECT *, lead(sym) OVER (PARTITION BY word ORDER BY pos) "
+            f"AS lead_sym, lag(kept) OVER (PARTITION BY word ORDER BY pos) "
+            f"AS prev_kept FROM k{t}) WHERE coalesce(prev_kept, 0) = 0)"
+        )
+    fin = " UNION ALL ".join(
+        f'SELECT CAST({t} AS BIGINT) AS rank, l AS "left", r2 AS "right", '
+        f"CAST(w AS BIGINT) AS pair_count FROM m{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return ", ".join(parts) + f" SELECT * FROM ({fin}) ORDER BY rank"
+
+
 def _hll_hash64_oracle_ctes(src: str, key: str, id_col: str) -> str:
     """CTE chain recomputing ``core.fingerprint.hll_hash64(key)`` per
     row of ``src`` (ASCII keys) -> final CTE ``bx3(id_col, hi, lo)``
@@ -1597,6 +1645,19 @@ def _q_doc_top_bigram(sf_dir: str):
     return doc_top_bigram(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_bpe_train(sf_dir: str):
+    """BPE tokenizer training (Sennrich et al. 2016): 8 merges over the
+    corpus-aggregated vocabulary (reference tokenizer). Returns the
+    merge list (rank, left, right, pair_count) — gated against the
+    trainer unrolled in SQL, including the greedy-leftmost chain rule
+    and the (count desc, pair lex) tie order."""
+    from textalyzer_ray.pipelines.bpe import bpe_train
+    from textalyzer_ray.pipelines.frequency import word_histogram
+
+    docs = _docs(sf_dir, columns=["text"])
+    return bpe_train(word_histogram(docs), n_merges=8)
+
+
 def _q_dedup_keep_best(sf_dir: str):
     """Canonical-copy selection: exact dedup keeping the highest-score
     copy (ties by lowest id) over a corpus with planted exact
@@ -2046,6 +2107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_label_profile": _q_cluster_label_profile,
         "shard_shuffle": _q_shard_shuffle,
         "dedup_keep_best": _q_dedup_keep_best,
+        "bpe_train": _q_bpe_train,
         # rows-only (non-SQL-expressible: zlib, global greedy
         # suppression)
         "compression_ratio": _q_compression_ratio,
@@ -2904,6 +2966,7 @@ def oracle_sql() -> dict[str, str]:
             "THEN 0.25 ELSE 1.0 END * 4294967296) AS BIGINT) "
             "ORDER BY doc_id"
         ),
+        "bpe_train": _bpe_oracle_sql(tokens_cte, n_merges=8),
         "dedup_keep_best": (
             "WITH aug AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 1000000, text FROM documents "

@@ -1,0 +1,115 @@
+"""BPE trainer (pipelines/bpe.py): pure-python reference equality,
+greedy-chain semantics, tie order, degenerate inputs."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from textalyzer_ray.pipelines.bpe import bpe_train
+
+pytestmark = pytest.mark.usefixtures("quiet_data_context")
+
+
+def reference(word_counts, n_merges):
+    """Classic sequential BPE trainer (get_stats + greedy leftmost)."""
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        stats = {}
+        for w, c in word_counts.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] = stats.get((s[i], s[i + 1]), 0) + c
+        if not stats:
+            break
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def run(word_counts, n_merges):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "word": list(word_counts),
+                "count": pa.array(list(word_counts.values()), pa.int64()),
+            }
+        )
+    )
+    out = bpe_train(ds, n_merges=n_merges)
+    return list(
+        zip(
+            out["left"].to_pylist(),
+            out["right"].to_pylist(),
+            out["pair_count"].to_pylist(),
+        )
+    )
+
+
+class TestBpeTrain:
+    def test_matches_sequential_reference(self):
+        wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "wide": 1}
+        assert run(wc, 6) == reference(wc, 6)
+
+    def test_greedy_chain_overlap(self):
+        # 'aaa' yields 2 overlapping (a,a) pairs in stats but only ONE
+        # merge application (leftmost); 'aaaa' yields two
+        wc = {"aaa": 4, "aaaa": 2}
+        got = run(wc, 2)
+        want = reference(wc, 2)
+        assert got == want
+        assert got[0] == ("a", "a", 4 * 2 + 2 * 3)
+
+    def test_tie_breaks_lexicographic(self):
+        # (a,b) and (c,d) both count 3 -> (a,b) first
+        wc = {"ab": 3, "cd": 3}
+        got = run(wc, 2)
+        assert got[0][:2] == ("a", "b")
+        assert got[1][:2] == ("c", "d")
+
+    def test_exhausts_when_no_pairs_remain(self):
+        wc = {"ab": 2}
+        got = run(wc, 5)
+        assert len(got) == 1  # after merging (a,b) nothing is adjacent
+
+    def test_single_char_words_only(self):
+        wc = {"a": 3, "b": 2}
+        assert run(wc, 3) == []
+
+    def test_merged_symbols_recombine(self):
+        # multi-round: merged symbol participates in later pairs
+        wc = {"abc": 5}
+        got = run(wc, 2)
+        assert got == [("a", "b", 5), ("ab", "c", 5)]
+
+    def test_partitioning_invariant(self):
+        wc = {f"w{i}xyz"[-(i % 4 + 2):]: i + 1 for i in range(40)}
+        ds1 = rd.from_arrow(
+            pa.table(
+                {
+                    "word": list(wc),
+                    "count": pa.array(list(wc.values()), pa.int64()),
+                }
+            )
+        )
+        one = bpe_train(ds1, n_merges=4).to_pydict()
+        ds2 = rd.from_arrow(
+            pa.table(
+                {
+                    "word": list(wc),
+                    "count": pa.array(list(wc.values()), pa.int64()),
+                }
+            )
+        ).repartition(7)
+        many = bpe_train(ds2, n_merges=4).to_pydict()
+        assert one == many

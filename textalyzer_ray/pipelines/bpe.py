@@ -1,0 +1,210 @@
+"""BPE tokenizer training over a corpus-aggregated vocabulary —
+the classic byte-pair-encoding trainer (Sennrich et al. 2016) in the
+get_stats / greedy-leftmost-merge formulation every modern tokenizer
+library implements, expressed Ray-Data-first.
+
+Scale shape: the trainer NEVER touches the corpus — it runs over the
+aggregated (word, count) vocabulary table (the output of the existing
+word-histogram partials), which is bounded by distinct-word count, not
+corpus size. Each merge round is:
+
+1. one streaming ``map_batches`` pass emitting batch-local partial
+   (left, right, weight) pair counts (overlapping occurrences counted,
+   the classic get_stats semantics),
+2. a ``key_counts`` partial-merge (skew-free: a hot pair's weight
+   arrives pre-combined per block),
+3. per-block argmax rows -> the driver reduces only blocks-many
+   candidate rows to the global best pair (count desc, pair lex asc —
+   the deterministic tie rule),
+4. one vectorized ``map_batches`` pass applying the merge greedily
+   left-to-right (flat symbol arrays + offsets; consecutive-match
+   chains — only possible when left == right — keep every other
+   match, reproducing the sequential scan without per-row Python).
+
+The evolving symbol table is materialized once per round (vocab-sized,
+never corpus-sized). The driver holds only the merge list.
+
+Reference tokenizer parity: words come from the same tokenization the
+rest of the repo pins (core/textmetrics.py), so the trained merges are
+reproducible bit-for-bit in SQL — see the unrolled oracle in
+__ray_entry__._bpe_oracle_sql.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+SYMS_TYPE = pa.list_(pa.string())
+
+
+def _flat_view(t: pa.Table, syms_col: str):
+    """(flat_symbols:np.object, word_id_per_flat:np.int64, offsets)"""
+    col = t[syms_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(col.values.to_pylist(), dtype=object)
+    lens = np.diff(offsets)
+    word_id = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return flat, word_id, offsets
+
+
+def _greedy_matches(flat, word_id, a: str, b: str) -> np.ndarray:
+    """Indices i where (flat[i], flat[i+1]) == (a, b) within one word,
+    after greedy left-to-right non-overlap resolution."""
+    if len(flat) < 2:
+        return np.empty(0, dtype=np.int64)
+    match = (flat[:-1] == a) & (flat[1:] == b) & (word_id[:-1] == word_id[1:])
+    idx = np.flatnonzero(match)
+    if len(idx) < 2:
+        return idx
+    # consecutive matched positions form chains (possible only when
+    # a == b); the sequential scan keeps every other match in a chain
+    chain = np.cumsum(np.concatenate([[0], (np.diff(idx) != 1).astype(np.int64)]))
+    _, first = np.unique(chain, return_index=True)
+    rank = np.arange(len(idx)) - first[chain]
+    return idx[rank % 2 == 0]
+
+
+def bpe_train(
+    words: Dataset,
+    n_merges: int = 6,
+    word_col: str = "word",
+    count_col: str = "count",
+) -> pa.Table:
+    """Train ``n_merges`` BPE merges over an aggregated (word, count)
+    dataset -> pa.Table (rank, left, right, pair_count) — the merge
+    list a tokenizer serializes. Deterministic: global argmax by
+    (count desc, left asc, right asc).
+
+    Consumes ``words`` once; the per-round symbol state is materialized
+    (vocab-sized) and consumed twice per round (pair counting + merge
+    application).
+    """
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from textalyzer_ray.stages.groups import key_counts
+
+    def init_syms(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([word_col, count_col])).with_columns(
+            pl.col(word_col).str.extract_all(r"(?s).").alias("syms"),
+            pl.col(count_col).cast(pl.Int64),
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    pa.field(word_col, pa.string()),
+                    pa.field(count_col, pa.int64()),
+                    pa.field("syms", SYMS_TYPE),
+                ]
+            )
+        )
+
+    state = words.map_batches(init_syms, batch_format="pyarrow").materialize()
+    merges: list[tuple[str, str, int]] = []
+
+    pair_schema = pa.schema(
+        [
+            pa.field("l", pa.string()),
+            pa.field("r", pa.string()),
+            pa.field("w", pa.int64()),
+        ]
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        flat, word_id, _ = _flat_view(t, "syms")
+        if len(flat) < 2:
+            return pair_schema.empty_table()
+        same = word_id[:-1] == word_id[1:]
+        cnt = t[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pl.DataFrame(
+            {
+                "l": flat[:-1][same],
+                "r": flat[1:][same],
+                "w": cnt[word_id[:-1][same]],
+            }
+        )
+        return (
+            df.group_by(["l", "r"])
+            .agg(pl.col("w").sum())
+            .to_arrow()
+            .cast(pair_schema)
+        )
+
+    def local_best(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = pl.from_arrow(t).sort(
+            ["sum_w", "l", "r"], descending=[True, False, False]
+        )
+        return df.head(1).to_arrow().cast(t.schema)
+
+    for rank in range(n_merges):
+        counted = key_counts(
+            state.map_batches(pair_partials, batch_format="pyarrow"),
+            ["l", "r"],
+            sum_cols=["w"],
+        )
+        batches = list(
+            counted.map_batches(local_best, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+        if not batches:
+            break
+        cands = pa.concat_tables(batches)
+        if cands.num_rows == 0:
+            break
+        rows = sorted(
+            zip(
+                cands["sum_w"].to_pylist(),
+                cands["l"].to_pylist(),
+                cands["r"].to_pylist(),
+            ),
+            key=lambda x: (-x[0], x[1], x[2]),
+        )
+        w, a, b = rows[0]
+        merges.append((a, b, int(w)))
+
+        def apply_merge(t: pa.Table, _a=a, _b=b) -> pa.Table:
+            flat, word_id, offsets = _flat_view(t, "syms")
+            keep = _greedy_matches(flat, word_id, _a, _b)
+            if len(keep) == 0:
+                return t
+            new_flat = flat.copy()
+            new_flat[keep] = _a + _b
+            drop = np.zeros(len(flat), dtype=bool)
+            drop[keep + 1] = True
+            new_flat = new_flat[~drop]
+            dels = np.zeros(t.num_rows, dtype=np.int64)
+            np.add.at(dels, word_id[keep], 1)
+            lens = np.diff(offsets) - dels
+            new_offsets = np.concatenate([[0], np.cumsum(lens)])
+            syms = pa.ListArray.from_arrays(
+                pa.array(new_offsets, pa.int32()),
+                pa.array(new_flat.tolist(), pa.string()),
+            )
+            return pa.table(
+                {
+                    word_col: t[word_col],
+                    count_col: pc.cast(t[count_col], pa.int64()),
+                    "syms": syms,
+                },
+                schema=t.schema,
+            )
+
+        state = state.map_batches(
+            apply_merge, batch_format="pyarrow"
+        ).materialize()
+
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(merges) + 1), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )
