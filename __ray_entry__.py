@@ -2057,7 +2057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_asof_view": _q_purchase_asof_view,
         "anchor_rollup": _q_anchor_rollup,
         "host_pagerank": _q_host_pagerank,
-        "gopher_quality": _q_gopher_quality,
+        "bpe_train": _q_bpe_train,
         "rep_signals": _q_rep_signals,
         "curation_funnel": _q_curation_funnel,
         "chars_quantiles": _q_chars_quantiles,
@@ -2107,7 +2107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_label_profile": _q_cluster_label_profile,
         "shard_shuffle": _q_shard_shuffle,
         "dedup_keep_best": _q_dedup_keep_best,
-        "bpe_train": _q_bpe_train,
+        "gopher_quality": _q_gopher_quality,
         # rows-only (non-SQL-expressible: zlib, global greedy
         # suppression)
         "compression_ratio": _q_compression_ratio,
