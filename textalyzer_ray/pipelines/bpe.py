@@ -40,15 +40,20 @@ SYMS_TYPE = pa.list_(pa.string())
 
 
 def _flat_view(t: pa.Table, syms_col: str):
-    """(flat_symbols:np.object, word_id_per_flat:np.int64, offsets)"""
+    """(flat_symbols:np.object, word_id_per_flat:np.int64, lens) via
+    pc.list_flatten / list_value_length — unlike raw ``.offsets`` /
+    ``.values`` these respect a sliced array's offset."""
+    import pyarrow.compute as pc
+
     col = t[syms_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = np.asarray(col.values.to_pylist(), dtype=object)
-    lens = np.diff(offsets)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    flat = np.asarray(pc.list_flatten(col).to_pylist(), dtype=object)
     word_id = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-    return flat, word_id, offsets
+    return flat, word_id, lens
 
 
 def _greedy_matches(flat, word_id, a: str, b: str) -> np.ndarray:
@@ -119,6 +124,8 @@ def bpe_train(
         if len(flat) < 2:
             return pair_schema.empty_table()
         same = word_id[:-1] == word_id[1:]
+        if not same.any():
+            return pair_schema.empty_table()
         cnt = t[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
         df = pl.DataFrame(
             {
@@ -170,7 +177,7 @@ def bpe_train(
         merges.append((a, b, int(w)))
 
         def apply_merge(t: pa.Table, _a=a, _b=b) -> pa.Table:
-            flat, word_id, offsets = _flat_view(t, "syms")
+            flat, word_id, lens = _flat_view(t, "syms")
             keep = _greedy_matches(flat, word_id, _a, _b)
             if len(keep) == 0:
                 return t
@@ -181,8 +188,7 @@ def bpe_train(
             new_flat = new_flat[~drop]
             dels = np.zeros(t.num_rows, dtype=np.int64)
             np.add.at(dels, word_id[keep], 1)
-            lens = np.diff(offsets) - dels
-            new_offsets = np.concatenate([[0], np.cumsum(lens)])
+            new_offsets = np.concatenate([[0], np.cumsum(lens - dels)])
             syms = pa.ListArray.from_arrays(
                 pa.array(new_offsets, pa.int32()),
                 pa.array(new_flat.tolist(), pa.string()),

@@ -1260,8 +1260,10 @@ def dup_span_removal(
       the join-free union-tag avoids acero's empty-partition failure,
       CLAUDE.md links.py lesson).
 
-    Consumes ``ds`` twice (pass 1 + rebuild) — pass a parquet-backed or
-    materialized dataset (CLAUDE.md minhash_dedup lesson).
+    Consumes ``ds`` twice on the broadcast path (pass 1 + rebuild) and
+    four times on the distributed path (pass 1, positional explode,
+    text tagging, row count) — pass a parquet-backed or materialized
+    dataset (CLAUDE.md minhash_dedup lesson).
     """
     import pyarrow.compute as pc
     import ray
@@ -1649,7 +1651,9 @@ def shard_shuffle(
     the permutation; no RNG state, no seed file), ties (hash
     collisions) made total by id; independent of ``hash_split`` /
     ``mixture_sample`` (distinct multiplier), so shuffle order carries
-    no correlation into the split or the mixture.
+    no correlation into the split or the mixture. Consumes ``ds``
+    twice (row count + assignment) — pass a parquet-backed or
+    materialized dataset.
 
     Scale shape: the hash + shard assignment is one zero-shuffle
     vectorized pass; ranking happens on shard-ALIGNED blocks
