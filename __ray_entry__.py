@@ -446,13 +446,15 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 4) -> str:
     )
 
 
-def _bpe_oracle_sql(tokens_cte: str, n_merges: int) -> str:
+def _bpe_oracle_ctes(tokens_cte: str, n_merges: int) -> tuple[str, str]:
     """Unrolled BPE trainer in DuckDB: per round, a self-join pair
     count -> LIMIT-1 argmax (count desc, pair lex asc) -> greedy
     leftmost merge application via gaps-and-islands (consecutive-match
     chains keep odd row_numbers — the sequential scan as window SQL).
     All-integer/string outputs, so the merge list hash-gates exactly.
-    Iterative CTEs MATERIALIZED (CLAUDE.md re-scan rule)."""
+    Iterative CTEs MATERIALIZED (CLAUDE.md re-scan rule). Returns
+    (cte_chain, final_symbol_state_cte) so composing oracles
+    (bpe_doc_tokens) can extend the chain; merge CTEs are m1..mN."""
     parts = [
         f"WITH v AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) "
         f"AS cnt FROM ({tokens_cte}) GROUP BY word)",
@@ -486,12 +488,17 @@ def _bpe_oracle_sql(tokens_cte: str, n_merges: int) -> str:
             f"AS lead_sym, lag(kept) OVER (PARTITION BY word ORDER BY pos) "
             f"AS prev_kept FROM k{t}) WHERE coalesce(prev_kept, 0) = 0)"
         )
+    return ", ".join(parts), f"r{n_merges}"
+
+
+def _bpe_oracle_sql(tokens_cte: str, n_merges: int) -> str:
+    ctes, _ = _bpe_oracle_ctes(tokens_cte, n_merges)
     fin = " UNION ALL ".join(
         f'SELECT CAST({t} AS BIGINT) AS rank, l AS "left", r2 AS "right", '
         f"CAST(w AS BIGINT) AS pair_count FROM m{t}"
         for t in range(1, n_merges + 1)
     )
-    return ", ".join(parts) + f" SELECT * FROM ({fin}) ORDER BY rank"
+    return ctes + f" SELECT * FROM ({fin}) ORDER BY rank"
 
 
 def _hll_hash64_oracle_ctes(src: str, key: str, id_col: str) -> str:
@@ -1658,6 +1665,17 @@ def _q_bpe_train(sf_dir: str):
     return bpe_train(word_histogram(docs), n_merges=8)
 
 
+def _q_bpe_doc_tokens(sf_dir: str):
+    """Per-doc token counts under the corpus-trained 8-merge BPE
+    tokenizer — the token-budget question, answered by the trained
+    tokenizer rather than the raw one. The oracle replays training AND
+    application (word-level final segmentation joined to doc tokens)."""
+    from textalyzer_ray.pipelines.bpe import bpe_doc_token_counts
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return bpe_doc_token_counts(docs, n_merges=8).sort("doc_id")
+
+
 def _q_dedup_keep_best(sf_dir: str):
     """Canonical-copy selection: exact dedup keeping the highest-score
     copy (ties by lowest id) over a corpus with planted exact
@@ -2108,6 +2126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_shuffle": _q_shard_shuffle,
         "dedup_keep_best": _q_dedup_keep_best,
         "gopher_quality": _q_gopher_quality,
+        "bpe_doc_tokens": _q_bpe_doc_tokens,
         # rows-only (non-SQL-expressible: zlib, global greedy
         # suppression)
         "compression_ratio": _q_compression_ratio,
@@ -2967,6 +2986,18 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id"
         ),
         "bpe_train": _bpe_oracle_sql(tokens_cte, n_merges=8),
+        "bpe_doc_tokens": (
+            lambda _c=_bpe_oracle_ctes(tokens_cte, 8): (
+                f"{_c[0]}, ws AS (SELECT word, CAST(count(*) AS BIGINT) "
+                f"AS n_syms FROM {_c[1]} GROUP BY word), "
+                f"tk AS ({tokens_cte}) "
+                "SELECT d.doc_id, CAST(coalesce(x.n, 0) AS BIGINT) "
+                "AS n_bpe_tokens FROM documents d LEFT JOIN ("
+                "SELECT doc_id, sum(n_syms) AS n FROM tk "
+                "JOIN ws USING (word) GROUP BY doc_id) x USING (doc_id) "
+                "ORDER BY d.doc_id"
+            )
+        )(),
         "dedup_keep_best": (
             "WITH aug AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 1000000, text FROM documents "

@@ -113,3 +113,69 @@ class TestBpeTrain:
         ).repartition(7)
         many = bpe_train(ds2, n_merges=4).to_pydict()
         assert one == many
+
+
+class TestBpeDocTokenCounts:
+    def test_matches_reference_application(self):
+        import re
+
+        from textalyzer_ray.pipelines.bpe import bpe_doc_token_counts
+
+        docs = [
+            (0, "low low low lower newest"),
+            (1, "newest widest newest"),
+            (2, ""),
+            (3, "zzz"),
+        ]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                    "text": [d[1] for d in docs],
+                }
+            )
+        ).materialize()
+        got = bpe_doc_token_counts(ds, n_merges=4).sort("doc_id").take_all()
+
+        # reference: train on the aggregated vocab, apply per word
+        import collections
+
+        wc = collections.Counter(
+            w.lower()
+            for _, s in docs
+            for w in re.split(r"[^A-Za-z]+", s)
+            if w
+        )
+        merges = reference(wc, 4)
+        seqs = {w: list(w) for w in wc}
+        for a, b, _ in merges:
+            for w in seqs:
+                s, o, i = seqs[w], [], 0
+                while i < len(s):
+                    if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                        o.append(a + b)
+                        i += 2
+                    else:
+                        o.append(s[i])
+                        i += 1
+                seqs[w] = o
+        want = []
+        for i, s in docs:
+            toks = [w.lower() for w in re.split(r"[^A-Za-z]+", s) if w]
+            want.append((i, sum(len(seqs[w]) for w in toks)))
+        assert [(r["doc_id"], r["n_bpe_tokens"]) for r in got] == want
+
+    def test_fewer_tokens_than_chars(self):
+        from textalyzer_ray.pipelines.bpe import bpe_doc_token_counts
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": ["aaaa aaaa aaaa", "aaaa"],
+                }
+            )
+        ).materialize()
+        got = bpe_doc_token_counts(ds, n_merges=2).sort("doc_id").take_all()
+        # merges (a,a) then (aa,aa): each 'aaaa' -> 1 token
+        assert [r["n_bpe_tokens"] for r in got] == [3, 1]

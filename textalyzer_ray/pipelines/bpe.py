@@ -78,11 +78,15 @@ def bpe_train(
     n_merges: int = 6,
     word_col: str = "word",
     count_col: str = "count",
+    return_state: bool = False,
 ) -> pa.Table:
     """Train ``n_merges`` BPE merges over an aggregated (word, count)
     dataset -> pa.Table (rank, left, right, pair_count) — the merge
     list a tokenizer serializes. Deterministic: global argmax by
-    (count desc, left asc, right asc).
+    (count desc, left asc, right asc). With ``return_state`` True,
+    returns (merges, state_dataset) where state is the post-merge
+    (word, count, syms) vocabulary — the trained tokenizer's word
+    segmentation, what ``bpe_doc_token_counts`` applies.
 
     Consumes ``words`` once; the per-round symbol state is materialized
     (vocab-sized) and consumed twice per round (pair counting + merge
@@ -206,7 +210,7 @@ def bpe_train(
             apply_merge, batch_format="pyarrow"
         ).materialize()
 
-    return pa.table(
+    out = pa.table(
         {
             "rank": pa.array(range(1, len(merges) + 1), pa.int64()),
             "left": pa.array([m[0] for m in merges], pa.string()),
@@ -214,3 +218,86 @@ def bpe_train(
             "pair_count": pa.array([m[2] for m in merges], pa.int64()),
         }
     )
+    return (out, state) if return_state else out
+
+
+def bpe_doc_token_counts(
+    docs: Dataset,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Apply a corpus-trained BPE tokenizer to its own corpus: train
+    ``n_merges`` merges over the aggregated vocabulary, then count each
+    document's trained-tokenizer tokens — the "how many BPE tokens is
+    my corpus" question behind token budgets, shard packing and
+    mixture math. Output: (id, n_bpe_tokens:int64), 0 for empty docs.
+
+    Scale shape: training never touches the corpus (see ``bpe_train``);
+    application broadcasts only the vocab-sized (word, n_syms) map
+    (``ray.put`` + per-worker cache — the lm_surprisal broadcast-model
+    precedent, bounded by distinct words, not corpus rows) and the
+    counting pass is one zero-shuffle vectorized join per batch.
+
+    Consumes ``docs`` twice (vocabulary aggregation + counting) — pass
+    a parquet-backed or materialized dataset.
+    """
+    import polars as pl
+    import pyarrow.compute as pc
+    import ray
+
+    from textalyzer_ray.pipelines.frequency import word_histogram
+    from textalyzer_ray.stages.groups import _worker_object_cache
+    from textalyzer_ray.stages.tokenize import exploded_tokens
+
+    _, state = bpe_train(
+        word_histogram(docs.map_batches(
+            lambda t: t.select([text_col]), batch_format="pyarrow"
+        )),
+        n_merges=n_merges,
+        return_state=True,
+    )
+
+    def to_lens(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "word": t["word"],
+                "n_syms": pc.cast(pc.list_value_length(t["syms"]), pa.int64()),
+            }
+        )
+
+    vocab = pa.concat_tables(
+        state.map_batches(to_lens, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    vref = ray.put(vocab)
+
+    out_schema = pa.schema(
+        [pa.field(id_col, pa.int64()), pa.field("n_bpe_tokens", pa.int64())]
+    )
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        cache = _worker_object_cache()
+        ck = vref.hex() if hasattr(vref, "hex") else str(vref)
+        vdf = cache.get(ck)
+        if vdf is None:
+            vdf = cache[ck] = pl.from_arrow(ray.get(vref))
+        toks = pl.from_arrow(exploded_tokens(t, id_col, text_col)).cast(
+            {id_col: pl.Int64}
+        )
+        per = (
+            toks.join(vdf, on="word", how="left")
+            .group_by(id_col)
+            .agg(pl.col("n_syms").sum().cast(pl.Int64).alias("n_bpe_tokens"))
+        )
+        base = pl.from_arrow(t.select([id_col])).cast({id_col: pl.Int64})
+        return (
+            base.join(per, on=id_col, how="left")
+            .with_columns(pl.col("n_bpe_tokens").fill_null(0))
+            .select(out_schema.names)
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return docs.map_batches(count_batch, batch_format="pyarrow")
