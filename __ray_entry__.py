@@ -1665,6 +1665,41 @@ def _q_bpe_train(sf_dir: str):
     return bpe_train(word_histogram(docs), n_merges=8)
 
 
+def _q_skyline_docs(sf_dir: str):
+    """Pareto skyline under (maximize token count, minimize chars) —
+    the densest-documents preference front. Local skyline per block +
+    one candidate-set pass (skyline-of-skylines identity)."""
+    import pyarrow as pa
+
+    from textalyzer_ray.pipelines.analytics import skyline
+    from textalyzer_ray.stages.tokenize import doc_token_counts
+
+    def attrs(t: pa.Table) -> pa.Table:
+        counts = doc_token_counts(t, id_col="doc_id", text_col="text")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": counts["n_tokens"],
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "n_chars"]).map_batches(
+        attrs, batch_format="pyarrow"
+    )
+    return skyline(docs, max_col="n_tokens", min_col="n_chars").sort("doc_id")
+
+
+def _q_grouping_sets(sf_dir: str):
+    """All four (lang, source) grouping-set aggregates in ONE corpus
+    pass (LMFAO batches-of-group-bys), tagged with the SQL GROUPING()
+    bitmask."""
+    from textalyzer_ray.pipelines.analytics import grouping_sets_rollup
+
+    docs = _docs(sf_dir, columns=["lang", "source", "n_chars"])
+    return grouping_sets_rollup(docs).sort(["gid", "lang", "source"])
+
+
 def _q_bpe_doc_tokens(sf_dir: str):
     """Per-doc token counts under the corpus-trained 8-merge BPE
     tokenizer — the token-budget question, answered by the trained
@@ -2127,6 +2162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "gopher_quality": _q_gopher_quality,
         "bpe_doc_tokens": _q_bpe_doc_tokens,
+        "skyline_docs": _q_skyline_docs,
+        "grouping_sets": _q_grouping_sets,
         # rows-only (non-SQL-expressible: zlib, global greedy
         # suppression)
         "compression_ratio": _q_compression_ratio,
@@ -2986,6 +3023,25 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id"
         ),
         "bpe_train": _bpe_oracle_sql(tokens_cte, n_merges=8),
+        "skyline_docs": (
+            "WITH t AS (SELECT d.doc_id, CAST(coalesce(x.n, 0) AS BIGINT) "
+            "AS n_tokens, d.n_chars FROM documents d LEFT JOIN ("
+            f"SELECT doc_id, count(*) AS n FROM ({tokens_cte}) "
+            "GROUP BY doc_id) x USING (doc_id)) "
+            "SELECT doc_id, n_tokens, n_chars FROM t a "
+            "WHERE NOT EXISTS (SELECT 1 FROM t b "
+            "WHERE b.n_tokens >= a.n_tokens AND b.n_chars <= a.n_chars "
+            "AND (b.n_tokens > a.n_tokens OR b.n_chars < a.n_chars)) "
+            "ORDER BY doc_id"
+        ),
+        "grouping_sets": (
+            "SELECT CAST(GROUPING(lang, source) AS BIGINT) AS gid, "
+            "coalesce(lang, '') AS lang, coalesce(source, '') AS source, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_n_chars FROM documents "
+            "GROUP BY GROUPING SETS ((lang, source), (lang), (source), ()) "
+            "ORDER BY gid, lang, source"
+        ),
         "bpe_doc_tokens": (
             lambda _c=_bpe_oracle_ctes(tokens_cte, 8): (
                 f"{_c[0]}, ws AS (SELECT word, CAST(count(*) AS BIGINT) "

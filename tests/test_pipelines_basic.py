@@ -328,3 +328,86 @@ class TestRangeJoinEmpty:
         assert range_join_by_key(empty, one, key="user_id").count() == 0
         assert range_join_by_key(one, empty, key="user_id").count() == 0
         assert range_join_by_key(empty, empty, key="user_id").count() == 0
+
+
+class TestSkyline:
+    def test_matches_brute_force(self):
+        from textalyzer_ray.pipelines.analytics import skyline
+
+        rng = np.random.RandomState(1)
+        n = 400
+        mx = rng.randint(0, 50, n).astype(np.int64)
+        mn = rng.randint(0, 50, n).astype(np.int64)
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n)),
+                "tok": pa.array(mx),
+                "ch": pa.array(mn),
+            }
+        )
+        got = (
+            skyline(rd.from_arrow(t).repartition(7), "tok", "ch")
+            .sort("doc_id")
+            .take_all()
+        )
+        keep = [
+            i
+            for i in range(n)
+            if not any(
+                mx[j] >= mx[i]
+                and mn[j] <= mn[i]
+                and (mx[j] > mx[i] or mn[j] < mn[i])
+                for j in range(n)
+            )
+        ]
+        assert [r["doc_id"] for r in got] == keep
+
+    def test_duplicate_points_all_kept(self):
+        from textalyzer_ray.pipelines.analytics import skyline
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "tok": pa.array([10, 10, 5, 10], pa.int64()),
+                "ch": pa.array([3, 3, 1, 9], pa.int64()),
+            }
+        )
+        got = skyline(rd.from_arrow(t), "tok", "ch").sort("doc_id").take_all()
+        # (10,3) twins both survive; (5,1) survives (lower ch);
+        # (10,9) dominated by (10,3)
+        assert [r["doc_id"] for r in got] == [1, 2, 3]
+
+
+class TestGroupingSets:
+    def test_matches_duckdb_grouping_sets(self):
+        import duckdb
+
+        from textalyzer_ray.pipelines.analytics import grouping_sets_rollup
+
+        t = pa.table(
+            {
+                "lang": ["en", "en", "de", "de", "de", "fr"],
+                "source": ["a", "b", "a", "a", "b", "b"],
+                "n_chars": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            }
+        )
+        rows = (
+            grouping_sets_rollup(rd.from_arrow(t).repartition(4))
+            .sort(["gid", "lang", "source"])
+            .take_all()
+        )
+        con = duckdb.connect()
+        con.register("d", t)
+        want = con.execute(
+            "SELECT CAST(GROUPING(lang, source) AS BIGINT) gid, "
+            "coalesce(lang,'') lang, coalesce(source,'') source, "
+            "CAST(count(*) AS BIGINT) n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) sum_n_chars FROM d "
+            "GROUP BY GROUPING SETS ((lang, source),(lang),(source),()) "
+            "ORDER BY gid, lang, source"
+        ).fetchall()
+        got = [
+            (r["gid"], r["lang"], r["source"], r["n_docs"], r["sum_n_chars"])
+            for r in rows
+        ]
+        assert got == want

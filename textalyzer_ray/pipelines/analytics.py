@@ -289,3 +289,139 @@ def compression_ratio(
         )
 
     return ds.map_batches(score, batch_format="pyarrow").sort(id_col)
+
+
+def skyline(
+    ds: Dataset,
+    max_col: str,
+    min_col: str,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Pareto skyline (preference query, VLDB-classic operator family):
+    the rows not dominated by any other row under (maximize
+    ``max_col``, minimize ``min_col``) — a dominates b iff a is >= on
+    the max objective, <= on the min objective, and strictly better on
+    at least one. Duplicate objective points are mutually undominated
+    and all kept.
+
+    Distributed via the skyline-of-skylines identity: a global skyline
+    row survives its block's local skyline, so one vectorized local
+    pass per block leaves only blocks x |front| candidate rows, and a
+    single-block second pass finishes. Both passes run the same sorted
+    prefix-min kernel (numpy) — no pairwise loop.
+    """
+    import numpy as np
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field(max_col, pa.int64()),
+            pa.field(min_col, pa.int64()),
+        ]
+    )
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        mx = t[max_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = t[min_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        big = np.iinfo(np.int64).max
+        # per distinct max-value: only rows at the group's min-col
+        # minimum can survive, and the group survives iff that minimum
+        # is STRICTLY below every strictly-larger max-value's minimum
+        # (a suffix-min over ascending max values)
+        vals, inv = np.unique(mx, return_inverse=True)
+        gmin = np.full(len(vals), big)
+        np.minimum.at(gmin, inv, mn)
+        suffix = np.concatenate(
+            [np.minimum.accumulate(gmin[::-1])[::-1][1:], [big]]
+        )
+        keep_val = gmin < suffix
+        kept = keep_val[inv] & (mn == gmin[inv])
+        return pa.table(
+            {
+                id_col: pa.array(ids[kept]),
+                max_col: pa.array(mx[kept]),
+                min_col: pa.array(mn[kept]),
+            },
+            schema=out_schema,
+        )
+
+    cands = ds.map_batches(local_skyline, batch_format="pyarrow").repartition(1)
+    return cands.map_batches(local_skyline, batch_format="pyarrow")
+
+
+def grouping_sets_rollup(
+    ds: Dataset,
+    cols: tuple[str, str] = ("lang", "source"),
+    sum_col: str = "n_chars",
+) -> Dataset:
+    """GROUPING SETS in ONE input pass (the LMFAO batches-of-group-bys
+    idea, VLDB 2020): every batch emits partial aggregates for ALL four
+    groupings — (a, b), (a), (b), () — union-tagged with the SQL
+    GROUPING() bitmask (bit set = column aggregated out, first column
+    = MSB), and one keyed merge finishes. One corpus scan instead of
+    four; aggregated-out string columns carry '' (disambiguated by the
+    bitmask). Output: (gid, a, b, n_docs, sum_<col>).
+    """
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import key_counts
+
+    a, b = cols
+    out_schema = pa.schema(
+        [
+            pa.field("gid", pa.int64()),
+            pa.field(a, pa.string()),
+            pa.field(b, pa.string()),
+            pa.field("n_docs", pa.int64()),
+            pa.field(f"sum_{sum_col}", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([a, b, sum_col]))
+        outs = []
+        # SQL GROUPING(a, b) bitmask: LAST argument is the LSB, so
+        # gid 1 = b aggregated out (grouping (a)), gid 2 = (b)
+        for gid, keys in ((0, [a, b]), (1, [a]), (2, [b]), (3, [])):
+            agg = (
+                df.group_by(keys).agg(
+                    pl.len().cast(pl.Int64).alias("n_docs"),
+                    pl.col(sum_col).sum().cast(pl.Int64).alias(f"sum_{sum_col}"),
+                )
+                if keys
+                else df.select(
+                    pl.len().cast(pl.Int64).alias("n_docs"),
+                    pl.col(sum_col).sum().cast(pl.Int64).alias(f"sum_{sum_col}"),
+                )
+            )
+            agg = agg.with_columns(pl.lit(gid, dtype=pl.Int64).alias("gid"))
+            for missing in (a, b):
+                if missing not in keys:
+                    agg = agg.with_columns(pl.lit("").alias(missing))
+            outs.append(agg.select(out_schema.names))
+        return pl.concat(outs).to_arrow().cast(out_schema)
+
+    merged = key_counts(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["gid", a, b],
+        sum_cols=["n_docs", f"sum_{sum_col}"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .select(
+                pl.col("gid"),
+                pl.col(a),
+                pl.col(b),
+                pl.col("sum_n_docs").alias("n_docs"),
+                pl.col(f"sum_sum_{sum_col}").alias(f"sum_{sum_col}"),
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
