@@ -228,6 +228,11 @@ def run_bench() -> dict:
         "dup_span_removal",
         lambda: contract._q_dup_span_removal(sf_dir).count(),
     )
+    # BPE train+apply (8 iterative vocab rounds + broadcast-apply pass)
+    timed(
+        "bpe_doc_tokens",
+        lambda: contract._q_bpe_doc_tokens(sf_dir).count(),
+    )
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)

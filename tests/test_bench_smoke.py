@@ -45,5 +45,6 @@ def test_bench_emits_single_json_line():
         "lm_surprisal",
         "kmeans",
         "dup_span_removal",
+        "bpe_doc_tokens",
     }
     assert data["n_docs"] == 500
