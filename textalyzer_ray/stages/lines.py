@@ -53,7 +53,9 @@ def explode_lines(
     )
     df = (
         df.select([id_col, "__lines"])
-        .explode("__lines")
+        # current polars behavior, pinned: Polars 2.0 flips the default
+        # and the warning otherwise fires once per batch
+        .explode("__lines", empty_as_null=True)
         .with_columns(
             (pl.col("__lines").cum_count().over(id_col)).cast(pl.Int32).alias("line_number")
         )
