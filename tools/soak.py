@@ -4,6 +4,7 @@ scorer over a replicated sf0.1 corpus, with memory evidence.
 
 Usage: python tools/soak.py [--funnel-repl N] [--dedup-repl N]
        [--lm-repl N] [--span-repl N] [--kmeans-repl N]
+       [--bpe-vocab N] [--bpe-rounds N]
 
 Two workloads, sized differently on purpose:
 
@@ -314,7 +315,9 @@ def main() -> dict:
     out["span_docs_per_sec"] = round(out["span_docs"] / out["span_sec"], 1)
     n_rows = int(pa.compute.sum(chk["rows"]).as_py())
     n_bad = int(pa.compute.sum(chk["bad"]).as_py())
-    assert n_rows == out["span_docs"] and n_bad == 0, (n_rows, n_bad)
+    assert n_rows == out["span_docs"], n_rows
+    if span_repl >= 2:  # full coverage only when every gram has df >= 2
+        assert n_bad == 0, n_bad
 
     # ---- kmeans soak (late-r3): replicated embeddings, distinct ids ----
     # Identical vectors under distinct ids: assignments replicate, so
@@ -364,6 +367,71 @@ def main() -> dict:
         sizes_one,
     )
 
+    # ---- BPE-train soak (late-r3): large synthetic vocabulary ----
+    # The trainer's scale axis is DISTINCT WORDS (it never sees the
+    # corpus), so the soak generates a big vocabulary from pure id
+    # arithmetic (base-26 words, id-arithmetic counts) and checks the
+    # distributed merges against the sequential reference in-process.
+    bpe_vocab = arg("--bpe-vocab", 200_000)
+    bpe_rounds = arg("--bpe-rounds", 4)
+    from textalyzer_ray.pipelines.bpe import bpe_train
+
+    def word_of(i: int) -> str:
+        s = []
+        i += 26  # min 2 chars
+        while i:
+            s.append(chr(ord("a") + i % 26))
+            i //= 26
+        return "".join(s)
+
+    vocab_words = [word_of(i) for i in range(bpe_vocab)]
+    vocab_counts = [(i * 7) % 101 + 1 for i in range(bpe_vocab)]
+    vds = rd.from_arrow(
+        pa.table(
+            {
+                "word": pa.array(vocab_words, pa.string()),
+                "count": pa.array(vocab_counts, pa.int64()),
+            }
+        )
+    ).repartition(num_cpus).materialize()
+    t0 = time.monotonic()
+    got = bpe_train(vds, n_merges=bpe_rounds)
+    out["bpe_sec"] = round(time.monotonic() - t0, 3)
+    out["bpe_vocab"] = bpe_vocab
+    out["bpe_words_per_sec"] = round(
+        bpe_vocab * bpe_rounds / out["bpe_sec"], 1
+    )
+    # sequential reference over the same vocabulary
+    seqs = {w: list(w) for w in vocab_words}
+    wc = dict(zip(vocab_words, vocab_counts))
+    want = []
+    for _ in range(bpe_rounds):
+        stats: dict = {}
+        for w, c in wc.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] = stats.get((s[i], s[i + 1]), 0) + c
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((a, b, cnt))
+        for w in seqs:
+            s, o, i = seqs[w], [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    o.append(a + b)
+                    i += 2
+                else:
+                    o.append(s[i])
+                    i += 1
+            seqs[w] = o
+    got_rows = list(
+        zip(
+            got["left"].to_pylist(),
+            got["right"].to_pylist(),
+            got["pair_count"].to_pylist(),
+        )
+    )
+    assert got_rows == want, (got_rows, want)
+
     stop.set()
     t.join(timeout=2)
     if samples and total_store:
@@ -378,7 +446,8 @@ def main() -> dict:
         + out["dedup_sec"]
         + out["lm_sec"]
         + out["span_sec"]
-        + out["kmeans_sec"],
+        + out["kmeans_sec"]
+        + out["bpe_sec"],
         3,
     )
     return out
