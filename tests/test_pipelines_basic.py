@@ -411,3 +411,52 @@ class TestGroupingSets:
             for r in rows
         ]
         assert got == want
+
+
+class TestSkylineProperty:
+    def test_fuzz_matches_brute_force(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from textalyzer_ray.pipelines.analytics import skyline
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=8),
+                    st.integers(min_value=0, max_value=8),
+                ),
+                min_size=1,
+                max_size=30,
+            )
+        )
+        def check(points):
+            mx = [p[0] for p in points]
+            mn = [p[1] for p in points]
+            t = pa.table(
+                {
+                    "doc_id": pa.array(range(len(points)), pa.int64()),
+                    "tok": pa.array(mx, pa.int64()),
+                    "ch": pa.array(mn, pa.int64()),
+                }
+            )
+            got = [
+                r["doc_id"]
+                for r in skyline(rd.from_arrow(t).repartition(3), "tok", "ch")
+                .sort("doc_id")
+                .take_all()
+            ]
+            want = [
+                i
+                for i in range(len(points))
+                if not any(
+                    mx[j] >= mx[i]
+                    and mn[j] <= mn[i]
+                    and (mx[j] > mx[i] or mn[j] < mn[i])
+                    for j in range(len(points))
+                )
+            ]
+            assert got == want, points
+
+        check()
