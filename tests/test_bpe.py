@@ -179,3 +179,57 @@ class TestBpeDocTokenCounts:
         got = bpe_doc_token_counts(ds, n_merges=2).sort("doc_id").take_all()
         # merges (a,a) then (aa,aa): each 'aaaa' -> 1 token
         assert [r["n_bpe_tokens"] for r in got] == [3, 1]
+
+
+class TestBpeDistributedPath:
+    """small_threshold=0 forces the per-round Dataset path; it must
+    equal both the sequential reference and the one-task small path."""
+
+    def test_paths_agree(self):
+        wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaa": 4}
+        ds1 = rd.from_arrow(
+            pa.table(
+                {
+                    "word": list(wc),
+                    "count": pa.array(list(wc.values()), pa.int64()),
+                }
+            )
+        )
+        big = bpe_train(ds1, n_merges=5, small_threshold=0)
+        ds2 = rd.from_arrow(
+            pa.table(
+                {
+                    "word": list(wc),
+                    "count": pa.array(list(wc.values()), pa.int64()),
+                }
+            )
+        )
+        small = bpe_train(ds2, n_merges=5)
+        assert big.to_pydict() == small.to_pydict()
+        got = list(
+            zip(
+                big["left"].to_pylist(),
+                big["right"].to_pylist(),
+                big["pair_count"].to_pylist(),
+            )
+        )
+        assert got == reference(wc, 5)
+
+    def test_return_state_agrees_across_paths(self):
+        wc = {"abab": 3, "abc": 2}
+        def run(thresh):
+            ds = rd.from_arrow(
+                pa.table(
+                    {
+                        "word": list(wc),
+                        "count": pa.array(list(wc.values()), pa.int64()),
+                    }
+                )
+            )
+            m, st = bpe_train(ds, n_merges=2, return_state=True,
+                              small_threshold=thresh)
+            rows = sorted(
+                (r["word"], tuple(r["syms"])) for r in st.take_all()
+            )
+            return m.to_pydict(), rows
+        assert run(0) == run(2_000_000)

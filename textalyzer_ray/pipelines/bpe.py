@@ -79,6 +79,7 @@ def bpe_train(
     word_col: str = "word",
     count_col: str = "count",
     return_state: bool = False,
+    small_threshold: int = 2_000_000,
 ) -> pa.Table:
     """Train ``n_merges`` BPE merges over an aggregated (word, count)
     dataset -> pa.Table (rank, left, right, pair_count) — the merge
@@ -91,9 +92,18 @@ def bpe_train(
     Consumes ``words`` once; the per-round symbol state is materialized
     (vocab-sized) and consumed twice per round (pair counting + merge
     application).
+
+    Measured-size small path (CLAUDE.md one-task-loop lesson: iterative
+    Dataset loops pay operator startup EVERY round): when the vocab has
+    <= ``small_threshold`` words, ONE remote task runs all rounds over
+    the word block refs with the same vectorized kernels — blocks never
+    land on the driver, and at a ~30-word bench vocabulary this removes
+    8 rounds x 2 Ray passes of pure fixed cost.
     """
     import polars as pl
     import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
 
     from textalyzer_ray.stages.groups import key_counts
 
@@ -113,6 +123,91 @@ def bpe_train(
         )
 
     state = words.map_batches(init_syms, batch_format="pyarrow").materialize()
+
+    if state.count() <= small_threshold:
+
+        @ray.remote(num_returns=2)
+        def train_local(n: int, *blocks: pa.Table):
+            t = pa.concat_tables(blocks)
+            flat, word_id, lens = _flat_view(t, "syms")
+            counts = t[count_col].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            local_merges = []
+            for _ in range(n):
+                if len(flat) < 2:
+                    break
+                same = word_id[:-1] == word_id[1:]
+                if not same.any():
+                    break
+                import polars as pl2
+
+                best = (
+                    pl2.DataFrame(
+                        {
+                            "l": flat[:-1][same],
+                            "r": flat[1:][same],
+                            "w": counts[word_id[:-1][same]],
+                        }
+                    )
+                    .group_by(["l", "r"])
+                    .agg(pl2.col("w").sum())
+                    .sort(["w", "l", "r"], descending=[True, False, False])
+                    .head(1)
+                )
+                a, b, w = (
+                    best["l"][0],
+                    best["r"][0],
+                    int(best["w"][0]),
+                )
+                local_merges.append((a, b, w))
+                keep = _greedy_matches(flat, word_id, a, b)
+                if len(keep):
+                    flat = flat.copy()
+                    flat[keep] = a + b
+                    drop = np.zeros(len(flat), dtype=bool)
+                    drop[keep + 1] = True
+                    dels = np.zeros(t.num_rows, dtype=np.int64)
+                    np.add.at(dels, word_id[keep], 1)
+                    lens = lens - dels
+                    flat = flat[~drop]
+                    word_id = np.repeat(
+                        np.arange(t.num_rows, dtype=np.int64), lens
+                    )
+            merges_tbl = pa.table(
+                {
+                    "rank": pa.array(
+                        range(1, len(local_merges) + 1), pa.int64()
+                    ),
+                    "left": pa.array([m[0] for m in local_merges], pa.string()),
+                    "right": pa.array(
+                        [m[1] for m in local_merges], pa.string()
+                    ),
+                    "pair_count": pa.array(
+                        [m[2] for m in local_merges], pa.int64()
+                    ),
+                }
+            )
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            state_tbl = pa.table(
+                {
+                    word_col: t[word_col],
+                    count_col: t[count_col],
+                    "syms": pa.ListArray.from_arrays(
+                        pa.array(offs, pa.int32()),
+                        pa.array(flat.tolist(), pa.string()),
+                    ),
+                },
+                schema=t.schema,
+            )
+            return merges_tbl, state_tbl
+
+        mref, sref = train_local.remote(n_merges, *state.to_arrow_refs())
+        out = ray.get(mref)  # n_merges rows — driver-safe by contract
+        if return_state:
+            return out, rd.from_arrow_refs([sref])
+        return out
+
     merges: list[tuple[str, str, int]] = []
 
     pair_schema = pa.schema(

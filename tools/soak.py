@@ -395,7 +395,9 @@ def main() -> dict:
         )
     ).repartition(num_cpus).materialize()
     t0 = time.monotonic()
-    got = bpe_train(vds, n_merges=bpe_rounds)
+    # force the per-round Dataset path — the soak's point is the
+    # distributed trainer's scale shape, not the one-task small path
+    got = bpe_train(vds, n_merges=bpe_rounds, small_threshold=0)
     out["bpe_sec"] = round(time.monotonic() - t0, 3)
     out["bpe_vocab"] = bpe_vocab
     out["bpe_words_per_sec"] = round(
