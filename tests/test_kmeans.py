@@ -228,3 +228,40 @@ class TestPassthroughCols:
         assert got["cluster"].tolist() == want.tolist()
         assert got["label"].tolist() == [i % 3 for i in range(30)]
         assert list(got.columns) == ["vec_id", "cluster", "label"]
+
+
+class TestKmeansPaths:
+    """small_threshold=0 forces the per-round Dataset path; both paths
+    must produce identical assignments (margins dwarf sum-order)."""
+
+    def test_paths_agree(self):
+        t, m = _emb_table(n=70, seed=9)
+        small = (
+            kmeans_assign(rd.from_arrow(t), k=4, n_iter=3)
+            .sort("vec_id")
+            .to_pandas()
+        )
+        big = (
+            kmeans_assign(
+                rd.from_arrow(t), k=4, n_iter=3, small_threshold=0
+            )
+            .sort("vec_id")
+            .to_pandas()
+        )
+        assert small.equals(big)
+        want, _ = _reference(m, k=4, n_iter=3)
+        assert small["cluster"].tolist() == want.tolist()
+
+    def test_passthrough_on_small_path(self):
+        t, _ = _emb_table(n=30, seed=2)
+        t = t.append_column(
+            "label", pa.array([i % 3 for i in range(30)], pa.int32())
+        )
+        got = (
+            kmeans_assign(
+                rd.from_arrow(t), k=3, n_iter=2, passthrough_cols=["label"]
+            )
+            .sort("vec_id")
+            .to_pandas()
+        )
+        assert got["label"].tolist() == [i % 3 for i in range(30)]

@@ -889,6 +889,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     passthrough_cols: list[str] | None = None,
+    small_threshold: int = 1_000_000,
 ) -> Dataset:
     """Distributed Lloyd k-means over an embedding column -> one
     (id, cluster:int64) row per vector, the canonical iterative-ML
@@ -920,9 +921,16 @@ def kmeans_assign(
     checks it clears the cross-engine sum-order error bound by orders
     of magnitude. Only integer columns leave the pipeline.
 
-    Consumes ``ds`` n_iter + 2 times — pass a parquet-backed (or
-    materialized) dataset, never an ephemeral lineage (CLAUDE.md
-    minhash_dedup lesson).
+    Consumes ``ds`` n_iter + 3 times (row count + init + rounds +
+    final) — pass a parquet-backed (or materialized) dataset, never an
+    ephemeral lineage (CLAUDE.md minhash_dedup lesson).
+
+    Measured-size small path (CLAUDE.md one-task-loop lesson): below
+    ``small_threshold`` vectors (~0.5 GB at dim 64), ONE remote task
+    runs every Lloyd round over the block refs with the same kernels —
+    iterative Dataset loops otherwise pay per-round operator startup.
+    Cross-path assignment equality is safe by the same measured margins
+    that certify the oracle (sum-order differences ~1e-13).
     """
     import pyarrow.compute as pc
 
@@ -969,6 +977,44 @@ def kmeans_assign(
         )
         return np.argmin(d2, axis=1)  # first occurrence on ties
 
+    extra = list(passthrough_cols or [])
+
+    def _out_schema(t: pa.Table) -> pa.Schema:
+        return pa.schema(
+            [pa.field(id_col, pa.int64()), pa.field("cluster", pa.int64())]
+            + [t.schema.field(c) for c in extra]
+        )
+
+    if ds.count() <= small_threshold:
+        import ray.data as rd
+
+        @ray.remote
+        def lloyd_local(c0: np.ndarray, *blocks: pa.Table) -> pa.Table:
+            t = pa.concat_tables(blocks)
+            m = _stack_embeddings(t, emb_col)
+            c = c0.copy()
+            for _ in range(n_iter):
+                a = _assign(m, c)
+                new = c.copy()
+                for j in range(k):
+                    sel = m[a == j]
+                    if len(sel):
+                        new[j] = sel.sum(axis=0) / len(sel)
+                c = new
+            a = _assign(m, c)
+            cols = {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "cluster": pa.array(a.astype(np.int64)),
+            }
+            for name in extra:
+                cols[name] = t[name]
+            return pa.table(cols, schema=_out_schema(t))
+
+        # assignments stay in the object store (from_arrow_refs)
+        return rd.from_arrow_refs(
+            [lloyd_local.remote(cents, *ds.to_arrow_refs())]
+        )
+
     for _ in range(n_iter):
         cref = ray.put(cents)
 
@@ -1004,15 +1050,11 @@ def kmeans_assign(
         )
 
     cref = ray.put(cents)
-    extra = list(passthrough_cols or [])
 
     def final(t: pa.Table, _cref=cref) -> pa.Table:
         # passthrough columns ride the final batch-local pass, so
         # attaching metadata to assignments costs no join/shuffle
-        out_schema = pa.schema(
-            [pa.field(id_col, pa.int64()), pa.field("cluster", pa.int64())]
-            + [t.schema.field(c) for c in extra]
-        )
+        out_schema = _out_schema(t)
         c = ray.get(_cref)
         m = _stack_embeddings(t, emb_col)
         if m.size == 0:

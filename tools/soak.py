@@ -347,7 +347,9 @@ def main() -> dict:
     t0 = time.monotonic()
     sizes_big = dict(
         (r["cluster"], r["count()"])
-        for r in kmeans_assign(big_emb, k=8, n_iter=4)
+        # force the per-round path — the soak measures the distributed
+        # trainer's scale shape, not the one-task small path
+        for r in kmeans_assign(big_emb, k=8, n_iter=4, small_threshold=0)
         .groupby("cluster")
         .count()
         .take_all()
