@@ -1665,6 +1665,33 @@ def _q_bpe_train(sf_dir: str):
     return bpe_train(word_histogram(docs), n_merges=8)
 
 
+_INTERVAL_SPECS = [
+    # (interval_id, start iso, end iso) — hour-aligned, 6h windows on
+    # five consecutive days of the events range
+    (d - 1, f"2024-01-{d:02d} 06:00:00", f"2024-01-{d:02d} 12:00:00")
+    for d in range(1, 6)
+]
+
+
+def _q_interval_counts(sf_dir: str):
+    """Many interval-frequency queries from ONE event scan (the
+    stream-frequency-over-intervals shape): a (type, hour) bucket
+    index is built once and consulted dataset-side for all five
+    six-hour windows."""
+    from datetime import datetime, timezone
+
+    from textalyzer_ray.pipelines.analytics import interval_counts
+    from textalyzer_ray.sources.tables import read_table
+
+    def hours(iso: str) -> int:
+        dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp()) // 3600
+
+    intervals = [(hours(a), hours(b)) for _, a, b in _INTERVAL_SPECS]
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    return interval_counts(ev, intervals).sort(["interval_id", "event_type"])
+
+
 def _q_skyline_docs(sf_dir: str):
     """Pareto skyline under (maximize token count, minimize chars) —
     the densest-documents preference front. Local skyline per block +
@@ -2164,6 +2191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_doc_tokens": _q_bpe_doc_tokens,
         "skyline_docs": _q_skyline_docs,
         "grouping_sets": _q_grouping_sets,
+        "interval_counts": _q_interval_counts,
         # rows-only (non-SQL-expressible: zlib, global greedy
         # suppression)
         "compression_ratio": _q_compression_ratio,
@@ -3033,6 +3061,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE b.n_tokens >= a.n_tokens AND b.n_chars <= a.n_chars "
             "AND (b.n_tokens > a.n_tokens OR b.n_chars < a.n_chars)) "
             "ORDER BY doc_id"
+        ),
+        "interval_counts": (
+            " UNION ALL ".join(
+                f"SELECT CAST({k} AS BIGINT) AS interval_id, event_type, "
+                f"CAST(count(*) AS BIGINT) AS n FROM events "
+                f"WHERE ts >= TIMESTAMP '{a}' AND ts < TIMESTAMP '{b}' "
+                "GROUP BY event_type"
+                for k, a, b in _INTERVAL_SPECS
+            )
+            + " ORDER BY interval_id, event_type"
         ),
         "grouping_sets": (
             "SELECT CAST(GROUPING(lang, source) AS BIGINT) AS gid, "

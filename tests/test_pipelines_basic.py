@@ -460,3 +460,73 @@ class TestSkylineProperty:
             assert got == want, points
 
         check()
+
+
+class TestIntervalCounts:
+    def test_matches_direct_filter(self):
+        import datetime as dt
+
+        from textalyzer_ray.pipelines.analytics import interval_counts
+
+        base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        rows = []
+        for i in range(500):
+            rows.append(
+                (
+                    base + dt.timedelta(minutes=17 * i),
+                    ["click", "view", "error"][i % 3],
+                )
+            )
+        t = pa.table(
+            {
+                "ts": pa.array(
+                    [r[0].replace(tzinfo=None) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "event_type": [r[1] for r in rows],
+            }
+        )
+        h0 = int(base.timestamp()) // 3600
+        intervals = [(h0 + 2, h0 + 8), (h0 + 10, h0 + 11), (h0 + 0, h0 + 1)]
+        got = (
+            interval_counts(rd.from_arrow(t).repartition(5), intervals)
+            .sort(["interval_id", "event_type"])
+            .take_all()
+        )
+        want = []
+        for k, (a, b) in enumerate(intervals):
+            counts = {}
+            for ts, ty in rows:
+                h = int(ts.timestamp()) // 3600
+                if a <= h < b:
+                    counts[ty] = counts.get(ty, 0) + 1
+            for ty in sorted(counts):
+                want.append((k, ty, counts[ty]))
+        assert [
+            (r["interval_id"], r["event_type"], r["n"]) for r in got
+        ] == want
+
+    def test_half_open_boundaries(self):
+        import datetime as dt
+
+        from textalyzer_ray.pipelines.analytics import interval_counts
+
+        base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        h0 = int(base.timestamp()) // 3600
+        # one event exactly at the start hour, one at the end hour
+        t = pa.table(
+            {
+                "ts": pa.array(
+                    [
+                        base.replace(tzinfo=None),
+                        (base + dt.timedelta(hours=2)).replace(tzinfo=None),
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "event_type": ["click", "click"],
+            }
+        )
+        got = interval_counts(
+            rd.from_arrow(t), [(h0, h0 + 2)]
+        ).take_all()
+        assert [(r["interval_id"], r["n"]) for r in got] == [(0, 1)]

@@ -425,3 +425,109 @@ def grouping_sets_rollup(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def interval_counts(
+    events: Dataset,
+    intervals: list[tuple[int, int]],
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> Dataset:
+    """Stream-frequency-over-intervals (the VLDB'18 problem shape):
+    answer MANY interval-frequency queries from ONE scan. ``intervals``
+    are half-open hour-aligned [start_hour, end_hour) pairs in epoch
+    hours. One streaming pass builds per-batch (type, hour-bucket)
+    partials; the merged bucket index — bounded by types x hours, never
+    by event rows — is consulted dataset-side (each bucket row fans out
+    to the intervals containing it), so the driver sees only the final
+    |intervals| x |types| answer rows. Output:
+    (interval_id, event_type, n), only non-empty cells, sorted upstream
+    by the caller."""
+    import numpy as np
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import key_counts
+
+    bounds = np.asarray(intervals, dtype=np.int64)
+
+    bucket_schema = pa.schema(
+        [
+            pa.field(type_col, pa.string()),
+            pa.field("bucket", pa.int64()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        micros = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return (
+            pl.DataFrame(
+                {
+                    type_col: pl.Series(
+                        t[type_col].to_pandas().astype(str)
+                    ),
+                    "bucket": micros // 3_600_000_000,
+                }
+            )
+            .group_by([type_col, "bucket"])
+            .len()
+            .with_columns(pl.col("len").cast(pl.Int64).alias("n"))
+            .select([type_col, "bucket", "n"])
+            .to_arrow()
+            .cast(bucket_schema)
+        )
+
+    index = key_counts(
+        events.map_batches(partials, batch_format="pyarrow"),
+        [type_col, "bucket"],
+        sum_cols=["n"],
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("interval_id", pa.int64()),
+            pa.field(type_col, pa.string()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        n = t["sum_n"].to_numpy(zero_copy_only=False)
+        types = t[type_col].to_pandas().astype(str).to_numpy()
+        # bucket x interval membership (K small by contract)
+        hit = (b[:, None] >= bounds[None, :, 0]) & (
+            b[:, None] < bounds[None, :, 1]
+        )
+        rows, cols = np.nonzero(hit)
+        if len(rows) == 0:
+            return out_schema.empty_table()
+        return (
+            pl.DataFrame(
+                {
+                    "interval_id": cols.astype(np.int64),
+                    type_col: types[rows],
+                    "n": n[rows],
+                }
+            )
+            .group_by(["interval_id", type_col])
+            .agg(pl.col("n").sum().cast(pl.Int64))
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return key_counts(
+        index.map_batches(fan_out, batch_format="pyarrow"),
+        ["interval_id", type_col],
+        sum_cols=["n"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "interval_id": t["interval_id"],
+                type_col: t[type_col],
+                "n": t["sum_n"],
+            },
+            schema=out_schema,
+        ),
+        batch_format="pyarrow",
+    )
