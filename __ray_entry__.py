@@ -1968,6 +1968,94 @@ def _q_sessionize(sf_dir: str):
     return user_sessionize(ev).sort(["user_id", "session_id"])
 
 
+_BM25_TERMS = ["stream", "hash", "join", "window", "scan", "sort"]
+
+
+def _q_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009) for a fixed
+    6-term query: ONE streaming text pass emits compact per-doc
+    (dl, tf..) features with sentinel-row corpus totals; scoring is a
+    second vectorized pass with per-block top-k prune. score_q =
+    floor(score * 2^20 + 0.5) keeps the gate column BIGINT; the raw
+    double margins (boundary 4.1e-4, k-th gap 3.3e-3 at sf0.001) are
+    pytest-pinned in tests/test_pipelines_retrieval.py."""
+    from textalyzer_ray.pipelines.retrieval import bm25_topk
+
+    return bm25_topk(
+        _docs(sf_dir, columns=["doc_id", "text"]), _BM25_TERMS, k=25
+    )
+
+
+def _q_funnel_stages(sf_dir: str):
+    """Ordered-funnel analysis over events: users by completed prefix
+    of signup -> view -> click -> purchase, each step strictly after
+    the previous greedy-earliest step and within 24 h of it. One
+    user-aligned exchange; per-block polars min-filter chain; |steps|+1
+    row merge."""
+    from textalyzer_ray.pipelines.analytics import funnel_analysis
+    from textalyzer_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_analysis(ev)
+
+
+def _q_cohort_retention(sf_dir: str):
+    """Daily cohort-retention matrix over events: cohort = day of each
+    user's first event; n_users active per (cohort, day offset) cell.
+    Distinct-(user, day) partials prune the event volume before the one
+    user-aligned exchange; the merge is bounded by cohorts x offsets."""
+    from textalyzer_ray.pipelines.analytics import cohort_retention
+    from textalyzer_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ev)
+
+
+def _bm25_oracle_sql(tokens_cte: str, k: int = 25) -> str:
+    """BM25 replayed in SQL: identical expression tree as
+    pipelines/retrieval.py (left-to-right term accumulation, the
+    (1 - b) + b*dl/avgdl grouping, floor(x + 0.5) quantization), with
+    every float literal cast to DOUBLE — a bare 0.5 is DECIMAL in
+    DuckDB and decimal arithmetic would diverge from the pipeline's
+    IEEE doubles. ln() is the only transcendental; the measured
+    score margins dwarf any 1-ulp engine difference."""
+    terms = _BM25_TERMS
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ", ".join(
+        f"count(*) FILTER (word = '{t}') AS tf{j}" for j, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"count(*) FILTER (tf{j} > 0) AS df{j}" for j in range(len(terms))
+    )
+    avgdl = "(CAST(st.sdl AS DOUBLE) / st.n)"
+    denom_base = (
+        "((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * dl.dl / " + avgdl + ")"
+    )
+    contribs = " + ".join(
+        f"ln(1.0::DOUBLE + (st.n - dfs.df{j} + 0.5::DOUBLE) / "
+        f"(dfs.df{j} + 0.5::DOUBLE)) * "
+        f"((tf.tf{j} * (1.2::DOUBLE + 1.0::DOUBLE)) / "
+        f"(tf.tf{j} + 1.2::DOUBLE * {denom_base}))"
+        for j in range(len(terms))
+    )
+    return (
+        f"WITH toks AS MATERIALIZED ({tokens_cte}), "
+        "dls AS MATERIALIZED (SELECT d.doc_id, coalesce(t.n, 0) AS dl "
+        "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n "
+        "FROM toks GROUP BY 1) t USING (doc_id)), "
+        "st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dls), "
+        f"tf AS (SELECT doc_id, {tf_cols} FROM toks "
+        f"WHERE word IN ({in_list}) GROUP BY doc_id), "
+        f"dfs AS (SELECT {df_cols} FROM tf), "
+        "sc AS (SELECT tf.doc_id, dl.dl, "
+        f"{contribs} AS score "
+        "FROM tf JOIN dls dl USING (doc_id), st, dfs) "
+        "SELECT doc_id, dl, CAST(floor(score * 1048576.0::DOUBLE + "
+        "0.5::DOUBLE) AS BIGINT) AS score_q "
+        f"FROM sc ORDER BY score_q DESC, doc_id LIMIT {k}"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: documents -> synthesized pages ->
     main-content extraction -> per-doc readability/quality metrics."""
@@ -2092,10 +2180,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (bigram_histogram, word_histogram_by_lang, winnow_fingerprints,
     # orders_by_region_nation, parts_by_supplier_nation,
     # readability_components, host_outdegree, extract_fixtures,
-    # extract_pdf_text, site_linkgraph, ivf_topk — each still covered
-    # by a same-family query above the cap: extraction by
-    # extract_text/warc_extract, linkgraph by host_pagerank +
-    # anchor_rollup, ANN by similarity_topk). Rows-only entries close
+    # extract_pdf_text, site_linkgraph, ivf_topk, knn_graph,
+    # boilerplate_removal — each still covered by a same-family query
+    # above the cap: extraction by extract_text/warc_extract, linkgraph
+    # by host_pagerank + anchor_rollup, ANN by similarity_topk, exact
+    # similarity kernels by cosine_pairs, C4-line family by
+    # line_dedup_rebuild; bm25_topk (retrieval) and funnel_stages
+    # (ordered-funnel) took the freed slots). Rows-only entries close
     # the dict.
     return {
         # SQL-oracled — one per family, strongest evidence first
@@ -2114,9 +2205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "single_line_dups": _q_single_line_dups,
         "audio_afp_groups": _q_audio_afp_groups,
         "similarity_topk": _q_similarity_topk,
-        "boilerplate_removal": _q_boilerplate_removal,
+        "bm25_topk": _q_bm25_topk,
         "cosine_pairs": _q_cosine_pairs,
-        "knn_graph": _q_knn_graph,
+        "funnel_stages": _q_funnel_stages,
         "embedding_clusters": _q_embedding_clusters,
         "cap_per_source": _q_cap_per_source,
         "hash_split": _q_hash_split,
@@ -2192,6 +2283,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_docs": _q_skyline_docs,
         "grouping_sets": _q_grouping_sets,
         "interval_counts": _q_interval_counts,
+        "cohort_retention": _q_cohort_retention,
+        "knn_graph": _q_knn_graph,
+        "boilerplate_removal": _q_boilerplate_removal,
         # rows-only (non-SQL-expressible: zlib, global greedy
         # suppression)
         "compression_ratio": _q_compression_ratio,
@@ -3071,6 +3165,45 @@ def oracle_sql() -> dict[str, str]:
                 for k, a, b in _INTERVAL_SPECS
             )
             + " ORDER BY interval_id, event_type"
+        ),
+        "bm25_topk": _bm25_oracle_sql(tokens_cte),
+        "funnel_stages": (
+            "WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t "
+            "FROM events WHERE event_type = 'signup' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t "
+            "FROM events e JOIN s1 USING (user_id) "
+            "WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t "
+            "AND epoch_us(e.ts) <= s1.t + 86400000000 GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t "
+            "FROM events e JOIN s2 USING (user_id) "
+            "WHERE e.event_type = 'click' AND epoch_us(e.ts) > s2.t "
+            "AND epoch_us(e.ts) <= s2.t + 86400000000 GROUP BY 1), "
+            "s4 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t "
+            "FROM events e JOIN s3 USING (user_id) "
+            "WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s3.t "
+            "AND epoch_us(e.ts) <= s3.t + 86400000000 GROUP BY 1), "
+            "u AS (SELECT DISTINCT user_id FROM events WHERE event_type "
+            "IN ('signup', 'view', 'click', 'purchase')), "
+            "st AS (SELECT u.user_id, CASE "
+            "WHEN s4.t IS NOT NULL THEN 4 WHEN s3.t IS NOT NULL THEN 3 "
+            "WHEN s2.t IS NOT NULL THEN 2 WHEN s1.t IS NOT NULL THEN 1 "
+            "ELSE 0 END AS stage FROM u "
+            "LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) "
+            "LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)) "
+            "SELECT CAST(stage AS BIGINT) AS stage, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM st GROUP BY stage ORDER BY stage"
+        ),
+        "cohort_retention": (
+            "WITH uw AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events), "
+            "c AS (SELECT user_id, min(day) AS cohort_day "
+            "FROM uw GROUP BY user_id) "
+            "SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day, "
+            "CAST(uw.day - c.cohort_day AS BIGINT) AS day_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM uw JOIN c USING (user_id) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "grouping_sets": (
             "SELECT CAST(GROUPING(lang, source) AS BIGINT) AS gid, "

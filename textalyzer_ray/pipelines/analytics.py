@@ -196,6 +196,186 @@ def user_sessionize(
     )
 
 
+def cohort_retention(
+    ds_events: Dataset, bucket_s: int = 86400
+) -> Dataset:
+    """Classic cohort-retention analysis over the events stream:
+    cohort = the bucket (day by default) of each user's FIRST event;
+    for every (cohort, offset) cell, the number of that cohort's users
+    active ``offset`` buckets after their first one. Output
+    (cohort_day, day_offset, n_users), all BIGINT, sorted.
+
+    Shape: a per-batch distinct-(user, bucket) partial prunes the raw
+    event volume to at most users x active-buckets rows BEFORE the one
+    user-aligned hash exchange; the block kernel (each user wholly in
+    one block) computes min-bucket + offsets for every user at once in
+    polars; per-block (cohort, offset) counts are disjoint across
+    blocks by user-alignment, so a tiny key_counts merge — bounded by
+    cohorts x offsets, never by event rows — finishes."""
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import grouped_apply, key_counts
+
+    bucket_us = bucket_s * 1_000_000
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        day = pc.divide(micros, bucket_us)  # int floor-div (ts >= epoch)
+        return (
+            pa.table({"user_id": t["user_id"], "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+
+    uw = ds_events.select_columns(["user_id", "ts"]).map_batches(
+        distinct_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    cell_schema = pa.schema(
+        [
+            pa.field("cohort_day", pa.int64()),
+            pa.field("day_offset", pa.int64()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def cells_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cell_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .unique()  # cross-batch duplicates of (user, day)
+            .with_columns(pl.col("day").min().over("user_id").alias("cohort_day"))
+            .with_columns((pl.col("day") - pl.col("cohort_day")).alias("day_offset"))
+            .group_by(["cohort_day", "day_offset"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .select(["cohort_day", "day_offset", "n"])
+            .to_arrow()
+            .cast(cell_schema)
+        )
+
+    merged = key_counts(
+        grouped_apply(uw, ["user_id"], cells_block),
+        ["cohort_day", "day_offset"],
+        sum_cols=["n"],
+    )
+    out_schema = pa.schema(
+        [
+            pa.field("cohort_day", pa.int64()),
+            pa.field("day_offset", pa.int64()),
+            pa.field("n_users", pa.int64()),
+        ]
+    )
+    return merged.map_batches(
+        lambda t: pa.table(
+            {
+                "cohort_day": t["cohort_day"],
+                "day_offset": t["day_offset"],
+                "n_users": t["sum_n"],
+            },
+            schema=out_schema,
+        ),
+        batch_format="pyarrow",
+    ).sort(["cohort_day", "day_offset"])
+
+
+def funnel_analysis(
+    ds_events: Dataset,
+    steps: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+    window_s: int = 86400,
+) -> Dataset:
+    """Ordered-funnel analysis (the product-analytics staple): per user,
+    how many prefix steps of ``steps`` were completed, where step k
+    counts only if an event of its type occurs STRICTLY after the
+    chosen step-(k-1) event and within ``window_s`` of it, and each
+    step greedily takes its EARLIEST qualifying event (the standard
+    deterministic funnel semantics — greedy-earliest makes the answer
+    unique). Output (stage, n_users): users whose completed-prefix
+    length is exactly ``stage`` (0 = touched a funnel event type but
+    never completed step 1). All BIGINT.
+
+    Shape: filter to the funnel's event types at the read, one
+    user-aligned hash exchange, then a per-block polars kernel runs the
+    whole len(steps)-round min-filter chain for EVERY user in the block
+    at once (no per-user Python); per-block (stage, count) partials are
+    user-disjoint, so a |steps|+1-row key_counts merge finishes."""
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import grouped_apply, key_counts
+
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    win_us = window_s * 1_000_000
+    step_list = list(steps)
+
+    part_schema = pa.schema(
+        [pa.field("stage", pa.int64()), pa.field("n", pa.int64())]
+    )
+
+    def stages_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        df = pl.from_arrow(t).with_columns(
+            pl.col("ts").cast(pl.Int64).alias("us")
+        )
+        users = df.select("user_id").unique()
+        cur = (
+            df.filter(pl.col("event_type") == step_list[0])
+            .group_by("user_id")
+            .agg(pl.col("us").min().alias("t"))
+        )
+        marks = [cur.select("user_id")]
+        for s in step_list[1:]:
+            cur = (
+                df.filter(pl.col("event_type") == s)
+                .join(cur, on="user_id", how="inner")
+                .filter(
+                    (pl.col("us") > pl.col("t"))
+                    & (pl.col("us") <= pl.col("t") + win_us)
+                )
+                .group_by("user_id")
+                .agg(pl.col("us").min().alias("t"))
+            )
+            marks.append(cur.select("user_id"))
+        # completions are prefix-contiguous, so stage = how many of the
+        # per-step survivor sets contain the user
+        stamped = pl.concat(marks).group_by("user_id").agg(
+            pl.len().cast(pl.Int64).alias("stage")
+        )
+        return (
+            users.join(stamped, on="user_id", how="left")
+            .with_columns(pl.col("stage").fill_null(0))
+            .group_by("stage")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .select(["stage", "n"])
+            .to_arrow()
+            .cast(part_schema)
+        )
+
+    step_set = pa.array(step_list, pa.string())
+
+    def keep_funnel_types(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"], value_set=step_set))
+
+    ev = ds_events.select_columns(["user_id", "ts", "event_type"]).map_batches(
+        keep_funnel_types, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = key_counts(
+        grouped_apply(ev, ["user_id"], stages_block),
+        ["stage"],
+        sum_cols=["n"],
+    )
+    out_schema = pa.schema(
+        [pa.field("stage", pa.int64()), pa.field("n_users", pa.int64())]
+    )
+    return merged.map_batches(
+        lambda t: pa.table(
+            {"stage": t["stage"], "n_users": t["sum_n"]}, schema=out_schema
+        ),
+        batch_format="pyarrow",
+    ).sort("stage")
+
+
 def column_quantiles(
     ds: Dataset, col: str, qs: list[float]
 ) -> "pa.Table":
