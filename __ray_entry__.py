@@ -2011,6 +2011,17 @@ def _q_cohort_retention(sf_dir: str):
     return cohort_retention(ev)
 
 
+def _q_pmi_collocations(sf_dir: str):
+    """PMI collocation mining (Church & Hanks 1990): adjacent bigrams
+    with corpus count >= 5 scored by lift = (c_xy * N) / (c_x * c_y).
+    One tokenize pass emits unigram+bigram+total partials via sentinel
+    keys; candidates filter BEFORE any join; lift is one int/int double
+    division so the float column hash-matches the SQL replay."""
+    from textalyzer_ray.pipelines.collocations import pmi_collocations
+
+    return pmi_collocations(_docs(sf_dir, columns=["text"]), min_count=5)
+
+
 def _bm25_oracle_sql(tokens_cte: str, k: int = 25) -> str:
     """BM25 replayed in SQL: identical expression tree as
     pipelines/retrieval.py (left-to-right term accumulation, the
@@ -2284,6 +2295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets": _q_grouping_sets,
         "interval_counts": _q_interval_counts,
         "cohort_retention": _q_cohort_retention,
+        "pmi_collocations": _q_pmi_collocations,
         "knn_graph": _q_knn_graph,
         "boilerplate_removal": _q_boilerplate_removal,
         # rows-only (non-SQL-expressible: zlib, global greedy
@@ -3193,6 +3205,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(stage AS BIGINT) AS stage, "
             "CAST(count(*) AS BIGINT) AS n_users "
             "FROM st GROUP BY stage ORDER BY stage"
+        ),
+        "pmi_collocations": (
+            "WITH w AS MATERIALIZED (SELECT list_filter("
+            f"regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'), "
+            "x -> x <> '') AS ws FROM documents), "
+            "b AS (SELECT ws[i] AS w1, ws[i+1] AS w2, "
+            "CAST(count(*) AS BIGINT) AS c_xy "
+            "FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i "
+            "FROM w WHERE len(ws) >= 2) GROUP BY 1, 2 "
+            "HAVING count(*) >= 5), "
+            "u AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS c "
+            f"FROM ({tokens_cte}) GROUP BY 1), "
+            f"n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ({tokens_cte})) "
+            "SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y, "
+            "(b.c_xy * n.n) / (u1.c * u2.c) AS lift "
+            "FROM b JOIN u u1 ON b.w1 = u1.word "
+            "JOIN u u2 ON b.w2 = u2.word, n ORDER BY w1, w2"
         ),
         "cohort_retention": (
             "WITH uw AS (SELECT DISTINCT user_id, "
