@@ -2022,6 +2022,17 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_docs(sf_dir, columns=["text"]), min_count=5)
 
 
+def _q_chunk_windows(sf_dir: str):
+    """Sliding-window chunking (RAG / context prep): 32-word windows
+    advancing by 24 over each doc's space-split words, short tail kept.
+    Pure row-expanding map_batches — zero shuffle, fully streaming."""
+    from textalyzer_ray.pipelines.chunking import chunk_windows
+
+    return chunk_windows(
+        _docs(sf_dir, columns=["doc_id", "text"]), size=32, stride=24
+    ).sort(["doc_id", "chunk_id"])
+
+
 def _bm25_oracle_sql(tokens_cte: str, k: int = 25) -> str:
     """BM25 replayed in SQL: identical expression tree as
     pipelines/retrieval.py (left-to-right term accumulation, the
@@ -2296,6 +2307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_counts": _q_interval_counts,
         "cohort_retention": _q_cohort_retention,
         "pmi_collocations": _q_pmi_collocations,
+        "chunk_windows": _q_chunk_windows,
         "knn_graph": _q_knn_graph,
         "boilerplate_removal": _q_boilerplate_removal,
         # rows-only (non-SQL-expressible: zlib, global greedy
@@ -3205,6 +3217,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(stage AS BIGINT) AS stage, "
             "CAST(count(*) AS BIGINT) AS n_users "
             "FROM st GROUP BY stage ORDER BY stage"
+        ),
+        "chunk_windows": (
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' ') "
+            "AS ws FROM documents), "
+            "k AS (SELECT doc_id, ws, unnest(generate_series(0, "
+            "(greatest(len(ws) - 32, 0) + 23) // 24)) AS chunk_id FROM w) "
+            "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+            "CAST(len(array_slice(ws, chunk_id * 24 + 1, "
+            "chunk_id * 24 + 32)) AS BIGINT) AS n_words, "
+            "array_to_string(array_slice(ws, chunk_id * 24 + 1, "
+            "chunk_id * 24 + 32), ' ') AS chunk_text "
+            "FROM k ORDER BY doc_id, chunk_id"
         ),
         "pmi_collocations": (
             "WITH w AS MATERIALIZED (SELECT list_filter("
