@@ -2022,6 +2022,17 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_docs(sf_dir, columns=["text"]), min_count=5)
 
 
+def _q_word_triangles(sf_dir: str):
+    """Per-node triangle counts over the word co-occurrence graph
+    (bigram edges with count >= 5) via degree-ordered edge orientation
+    (Suri & Vassilvitskii 2011): dedup/degree/wedge/match all
+    key-aligned, wedge volume bounded by the O(sqrt(m)) oriented
+    out-degree."""
+    from textalyzer_ray.pipelines.graph import word_graph_triangles
+
+    return word_graph_triangles(_docs(sf_dir, columns=["text"]), min_count=5)
+
+
 def _q_chunk_windows(sf_dir: str):
     """Sliding-window chunking (RAG / context prep): 32-word windows
     advancing by 24 over each doc's space-split words, short tail kept.
@@ -2308,6 +2319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "pmi_collocations": _q_pmi_collocations,
         "chunk_windows": _q_chunk_windows,
+        "word_triangles": _q_word_triangles,
         "knn_graph": _q_knn_graph,
         "boilerplate_removal": _q_boilerplate_removal,
         # rows-only (non-SQL-expressible: zlib, global greedy
@@ -3217,6 +3229,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(stage AS BIGINT) AS stage, "
             "CAST(count(*) AS BIGINT) AS n_users "
             "FROM st GROUP BY stage ORDER BY stage"
+        ),
+        "word_triangles": (
+            "WITH w AS MATERIALIZED (SELECT list_filter("
+            f"regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'), "
+            "x -> x <> '') AS ws FROM documents), "
+            "bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2 "
+            "FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i "
+            "FROM w WHERE len(ws) >= 2) GROUP BY 1, 2 "
+            "HAVING count(*) >= 5), "
+            "e AS MATERIALIZED (SELECT DISTINCT least(w1, w2) AS a, "
+            "greatest(w1, w2) AS b FROM bg WHERE w1 <> w2), "
+            "tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            "FROM e e1 JOIN e e2 ON e2.a = e1.b "
+            "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) "
+            "SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM ("
+            "SELECT x AS node FROM tri UNION ALL SELECT y FROM tri "
+            "UNION ALL SELECT z FROM tri) GROUP BY node ORDER BY node"
         ),
         "chunk_windows": (
             "WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' ') "

@@ -1,0 +1,356 @@
+"""Distributed triangle counting (graph clustering structure).
+
+``triangle_counts`` is the degree-ordered edge-orientation algorithm
+(Cohen 2009 / Suri & Vassilvitskii 2011, the MapReduce-classic): orient
+every undirected edge from its lower-(degree, name) endpoint to the
+higher one — a DAG whose max out-degree is O(sqrt(m)) — then each
+node's out-neighbor PAIRS (wedges) are matched against the oriented
+edge set; every triangle {x, y, z} with rank x < y < z is found exactly
+once, as the wedge (y, z) at apex x. Output: (node, n_tri) — the
+per-node triangle participation counts (numerator of the local
+clustering coefficient).
+
+Scale shape: dedup/degree/wedge/match are all key-aligned exchanges
+sized to the MEASURED edge count; wedge generation is a per-block
+polars self-join (out-degree bound makes per-apex work O(sqrt(m))²
+= O(m) worst-case per block); the wedge-edge match is a union-tag
+grouped semi-join — never acero, so sparse partitions are harmless.
+Degree attachment auto-switches on the measured node count: broadcast
+the (node, deg) table below ``broadcast_threshold`` (zero extra
+shuffle), else two ``union_tag_lookup`` exchanges.
+
+``word_graph_triangles`` applies it to the word co-occurrence graph
+(adjacent-bigram edges with corpus count >= min_count — the TextRank
+word network), the text-native graph this corpus actually has
+(the synthetic host link graph is a star: zero triangles by
+construction).
+"""
+
+from __future__ import annotations
+
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+
+def _node_field(edges: Dataset, a_col: str) -> pa.DataType:
+    from textalyzer_ray.stages.groups import id_type_of
+
+    return id_type_of(edges, a_col)
+
+
+def triangle_counts(
+    edges: Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    broadcast_threshold: int = 2_000_000,
+) -> Dataset:
+    """(node, n_tri) over the undirected simple graph induced by the
+    (a_col, b_col) edge list: self-loops dropped, parallel/reversed
+    duplicates collapsed. Sorted by node."""
+    import numpy as np  # noqa: F401  (polars backs onto numpy kernels)
+
+    node_t = _node_field(edges, a_col)
+    und_schema = pa.schema([pa.field("a", node_t), pa.field("b", node_t)])
+
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return und_schema.empty_table()
+        df = (
+            pl.from_arrow(t.select([a_col, b_col]))
+            .select(
+                pl.min_horizontal(a_col, b_col).alias("a"),
+                pl.max_horizontal(a_col, b_col).alias("b"),
+            )
+            .filter(pl.col("a") != pl.col("b"))
+        )
+        return df.to_arrow().cast(und_schema)
+
+    from textalyzer_ray.stages.groups import key_counts, partitions_for
+
+    dist = (
+        key_counts(
+            edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True),
+            ["a", "b"],
+        )
+        .map_batches(
+            lambda t: t.select(["a", "b"]).cast(und_schema),
+            batch_format="pyarrow",
+        )
+        .materialize()  # consumed by degrees + attach
+    )
+    m = dist.count()
+    out_schema = pa.schema(
+        [pa.field("node", node_t), pa.field("n_tri", pa.int64())]
+    )
+    if m == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+    parts = partitions_for(m)
+
+    node_schema = pa.schema([pa.field("node", node_t)])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        nodes = pl.concat(
+            [
+                df.select(pl.col("a").alias("node")),
+                df.select(pl.col("b").alias("node")),
+            ]
+        )
+        return nodes.to_arrow().cast(node_schema)
+
+    degrees = key_counts(
+        dist.map_batches(endpoints, batch_format="pyarrow"), ["node"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"node": pc.cast(t["node"], node_t), "deg": t["count"]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_nodes = degrees.count()
+
+    if n_nodes <= broadcast_threshold:
+        withdeg = _attach_deg_broadcast(dist, degrees, node_t)
+    else:
+        withdeg = _attach_deg_distributed(dist, degrees, node_t, parts)
+
+    orient_schema = pa.schema(
+        [
+            pa.field("u", node_t),
+            pa.field("v", node_t),
+            pa.field("dv", pa.int64()),
+        ]
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return orient_schema.empty_table()
+        df = pl.from_arrow(t)
+        swap = (pl.col("db") < pl.col("da")) | (
+            (pl.col("db") == pl.col("da")) & (pl.col("b") < pl.col("a"))
+        )
+        out = df.select(
+            pl.when(swap).then(pl.col("b")).otherwise(pl.col("a")).alias("u"),
+            pl.when(swap).then(pl.col("a")).otherwise(pl.col("b")).alias("v"),
+            pl.when(swap).then(pl.col("da")).otherwise(pl.col("db")).alias("dv"),
+        )
+        return out.to_arrow().cast(orient_schema)
+
+    oriented = withdeg.map_batches(orient, batch_format="pyarrow")
+
+    # union-tag schema shared by wedges and edges for the match stage
+    tag_schema = pa.schema(
+        [
+            pa.field("x", node_t),
+            pa.field("y", node_t),
+            pa.field("apex", node_t),
+            pa.field("side", pa.int8()),
+        ]
+    )
+
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    def wedge_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tag_schema.empty_table()
+        df = pl.from_arrow(t)
+        j = df.join(df, on="u", suffix="_r")
+        j = j.filter(
+            (pl.col("dv") < pl.col("dv_r"))
+            | ((pl.col("dv") == pl.col("dv_r")) & (pl.col("v") < pl.col("v_r")))
+        )
+        out = j.select(
+            pl.col("v").alias("x"),
+            pl.col("v_r").alias("y"),
+            pl.col("u").alias("apex"),
+            pl.lit(1, dtype=pl.Int8).alias("side"),
+        )
+        return out.to_arrow().cast(tag_schema)
+
+    wedges = grouped_apply(oriented, ["u"], wedge_block, parts)
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "x": pc.cast(t["u"], node_t),
+                "y": pc.cast(t["v"], node_t),
+                "apex": pa.nulls(n, node_t),
+                "side": pa.array([0] * n, pa.int8()),
+            },
+            schema=tag_schema,
+        )
+
+    # oriented is re-executed here (cheap lineage off materialized dist)
+    edge_tags = oriented.map_batches(tag_edges, batch_format="pyarrow")
+
+    part_schema = pa.schema(
+        [pa.field("node", node_t), pa.field("n", pa.int64())]
+    )
+
+    def match_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        df = pl.from_arrow(t)
+        e = df.filter(pl.col("side") == 0).select(["x", "y"])
+        w = df.filter(pl.col("side") == 1)
+        tri = w.join(e, on=["x", "y"], how="semi")
+        if tri.height == 0:
+            return part_schema.empty_table()
+        nodes = pl.concat(
+            [
+                tri.select(pl.col("apex").alias("node")),
+                tri.select(pl.col("x").alias("node")),
+                tri.select(pl.col("y").alias("node")),
+            ]
+        )
+        out = nodes.group_by("node").agg(pl.len().cast(pl.Int64).alias("n"))
+        return out.to_arrow().cast(part_schema)
+
+    partials = grouped_apply(
+        wedges.union(edge_tags), ["x", "y"], match_block, parts
+    )
+    return (
+        key_counts(partials, ["node"], sum_cols=["n"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pc.cast(t["node"], node_t),
+                    "n_tri": t["sum_n"],
+                },
+                schema=out_schema,
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("node")
+    )
+
+
+def _attach_deg_broadcast(
+    dist: Dataset, degrees: Dataset, node_t: pa.DataType
+) -> Dataset:
+    import ray
+
+    deg_ref = ray.put(pa.concat_tables(ray.get(degrees.to_arrow_refs())))
+
+    def annotate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    pa.field("a", node_t),
+                    pa.field("b", node_t),
+                    pa.field("da", pa.int64()),
+                    pa.field("db", pa.int64()),
+                ]
+            ).empty_table()
+        from textalyzer_ray.stages.groups import _worker_object_cache
+
+        cache = _worker_object_cache()
+        ck = deg_ref.hex()
+        dm = cache.get(ck)
+        if dm is None:
+            dm = cache[ck] = pl.from_arrow(ray.get(deg_ref))
+        df = (
+            pl.from_arrow(t)
+            .join(dm.rename({"node": "a", "deg": "da"}), on="a", how="inner")
+            .join(dm.rename({"node": "b", "deg": "db"}), on="b", how="inner")
+        )
+        return df.to_arrow()
+
+    return dist.map_batches(annotate, batch_format="pyarrow")
+
+
+def _attach_deg_distributed(
+    dist: Dataset, degrees: Dataset, node_t: pa.DataType, parts: int
+) -> Dataset:
+    from textalyzer_ray.pipelines.joins import union_tag_lookup
+
+    da = union_tag_lookup(
+        dist,
+        degrees.map_batches(
+            lambda t: pa.table({"a": t["node"], "deg": t["deg"]}),
+            batch_format="pyarrow",
+        ),
+        "a",
+        "deg",
+        "da",
+        parts,
+    )
+    return union_tag_lookup(
+        da,
+        degrees.map_batches(
+            lambda t: pa.table({"b": t["node"], "deg": t["deg"]}),
+            batch_format="pyarrow",
+        ),
+        "b",
+        "deg",
+        "db",
+        parts,
+    )
+
+
+def word_cooccurrence_edges(
+    ds_docs: Dataset, min_count: int = 5, text_col: str = "text"
+) -> Dataset:
+    """(a, b) word-graph edges: adjacent-token bigrams with corpus
+    count >= min_count (direction kept here; triangle_counts
+    undirects)."""
+    from textalyzer_ray.stages.groups import key_counts
+    from textalyzer_ray.stages.tokenize import _flat_tokens
+
+    pair_schema = pa.schema(
+        [
+            pa.field("a", pa.string()),
+            pa.field("b", pa.string()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tokens, parents = _flat_tokens(t, text_col)
+        if len(tokens) == 0:
+            return pair_schema.empty_table()
+        df = (
+            pl.from_arrow(pa.table({"doc": parents, "a": tokens}))
+            .with_columns(pl.col("a").shift(-1).over("doc").alias("b"))
+            .drop_nulls("b")
+            .group_by(["a", "b"])
+            .len()
+            .select("a", "b", pl.col("len").cast(pl.Int64).alias("n"))
+        )
+        return df.to_arrow().cast(pair_schema)
+
+    merged = key_counts(
+        ds_docs.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["a", "b"],
+        sum_cols=["n"],
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = t.filter(pc.greater_equal(t["sum_n"], min_count))
+        return pa.table({"a": k["a"], "b": k["b"]}).cast(
+            pa.schema([pa.field("a", pa.string()), pa.field("b", pa.string())])
+        )
+
+    return merged.map_batches(keep, batch_format="pyarrow")
+
+
+def word_graph_triangles(
+    ds_docs: Dataset,
+    min_count: int = 5,
+    text_col: str = "text",
+    broadcast_threshold: int = 2_000_000,
+) -> Dataset:
+    """(node, n_tri) over the bigram word graph — which words sit in
+    tightly clustered collocation neighborhoods."""
+    return triangle_counts(
+        word_cooccurrence_edges(ds_docs, min_count, text_col),
+        "a",
+        "b",
+        broadcast_threshold,
+    )

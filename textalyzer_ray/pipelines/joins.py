@@ -242,3 +242,81 @@ def range_join_by_key(
     return grouped_apply(both, [key], band_block).sort(
         [left_id, right_id + "_right"]
     )
+
+
+def union_tag_lookup(
+    big: Dataset,
+    lookup: Dataset,
+    key_col: str,
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Join-free distributed lookup: attach ``lookup[value_col]`` to
+    every ``big`` row whose ``key_col`` matches (inner), via ONE
+    union-tag hash exchange + a per-block polars join — the
+    host_pagerank pattern generalized. Unlike ``bucketed_join`` this
+    never touches acero, so hash partitions with fewer distinct keys
+    than partitions (schema-less empty blocks, CLAUDE.md) are harmless.
+
+    ``lookup`` must be unique on ``key_col`` (counts/degree tables are
+    by construction); ``big`` keeps its column order, ``out_col``
+    appended."""
+    import pyarrow as pa_
+
+    from textalyzer_ray.stages.groups import grouped_apply, id_type_of
+
+    big_schema = big.schema()
+    if big_schema is None:
+        return big  # lazy-empty lineage: nothing to attach
+    big_fields = list(big_schema.base_schema)
+    if out_col in [f.name for f in big_fields]:
+        raise ValueError(f"{out_col} already in big's schema")
+    val_type = id_type_of(lookup, value_col)
+    tag_fields = big_fields + [
+        pa_.field(out_col, val_type),
+        pa_.field("__side", pa_.int8()),
+    ]
+    tag_schema = pa_.schema(tag_fields)
+    names = [f.name for f in big_fields]
+
+    def tag_big(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        t = t.select(names)
+        t = t.append_column(out_col, pa_.nulls(n, val_type))
+        return t.append_column(
+            "__side", pa_.array([1] * n, pa_.int8())
+        ).cast(tag_schema)
+
+    def tag_lookup(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for f in big_fields:
+            cols[f.name] = (
+                t[key_col].cast(f.type)
+                if f.name == key_col
+                else pa_.nulls(n, f.type)
+            )
+        cols[out_col] = t[value_col].cast(val_type)
+        cols["__side"] = pa_.array([0] * n, pa_.int8())
+        return pa_.table(cols, schema=tag_schema)
+
+    both = big.map_batches(tag_big, batch_format="pyarrow").union(
+        lookup.map_batches(tag_lookup, batch_format="pyarrow")
+    )
+    out_schema = pa_.schema(big_fields + [pa_.field(out_col, val_type)])
+
+    def merge_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t)
+        vm = df.filter(pl.col("__side") == 0).select(
+            [key_col, pl.col(out_col).alias("__v")]
+        )
+        cand = df.filter(pl.col("__side") == 1).drop([out_col, "__side"])
+        out = cand.join(vm, on=key_col, how="inner").rename({"__v": out_col})
+        return out.select([f.name for f in out_schema]).to_arrow().cast(
+            out_schema
+        )
+
+    return grouped_apply(both, [key_col], merge_block, num_partitions)
