@@ -780,19 +780,16 @@ def _q_orders_by_region_nation(sf_dir: str):
 # ---- rows-only (non-SQL-expressible) --------------------------------------
 
 
-def _augmented_docs(sf_dir: str, n_copies: int = 10):
-    """documents + near-duplicate copies of the first ``n_copies`` docs
-    (doc_id + 1_000_000, one word changed) — deterministic corpus that
-    makes the sketch-dedup pipelines produce non-trivial output."""
+def _near_copies_table(sf_dir: str, n_copies: int = 10):
+    """Near-duplicate copies of the first ``n_copies`` docs
+    (doc_id + 1_000_000, one word changed) as an Arrow table."""
     import pyarrow as pa
-    import ray.data as rd
-
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ids = t["doc_id"].to_pylist()[:n_copies]
     texts = t["text"].to_pylist()[:n_copies]
-    near = pa.table(
+    return pa.table(
         {
             "doc_id": pa.array([i + 1_000_000 for i in ids], pa.int64()),
             "text": pa.array(
@@ -800,16 +797,22 @@ def _augmented_docs(sf_dir: str, n_copies: int = 10):
             ),
         }
     )
-    from textalyzer_ray.sources.tables import read_table
 
-    from textalyzer_ray.sources.tables import cpu_heavy_min_blocks
+
+def _augmented_docs(sf_dir: str, n_copies: int = 10):
+    """documents + near-duplicate copies (_near_copies_table) —
+    deterministic corpus that makes the sketch-dedup pipelines produce
+    non-trivial output."""
+    import ray.data as rd
+
+    from textalyzer_ray.sources.tables import cpu_heavy_min_blocks, read_table
 
     return read_table(
         sf_dir,
         "documents",
         columns=["doc_id", "text"],
         min_blocks=cpu_heavy_min_blocks(),
-    ).union(rd.from_arrow(near))
+    ).union(rd.from_arrow(_near_copies_table(sf_dir, n_copies)))
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -2022,6 +2025,30 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_docs(sf_dir, columns=["text"]), min_count=5)
 
 
+def _q_lsh_index_dedup(sf_dir: str):
+    """Incremental near-dedup through the sharded mutable LSH index
+    (state/lsh_index.py): wave 1 = the corpus, wave 2 = the near-copy
+    recrawl; each wave is added to the band/doc shard actors then
+    queried for earlier near-duplicates (exact hash-set Jaccard >= 0.7
+    verification at the corpus's measured recall-1 banding margins).
+    Equals the one-shot rule "drop every doc with an earlier
+    near-duplicate", which the oracle states as NOT IN the exact
+    all-pairs Jaccard pair set."""
+    import ray.data as rd
+
+    from textalyzer_ray.sources.tables import cpu_heavy_min_blocks, read_table
+    from textalyzer_ray.state.lsh_index import lsh_index_dedup
+
+    w1 = read_table(
+        sf_dir,
+        "documents",
+        columns=["doc_id", "text"],
+        min_blocks=cpu_heavy_min_blocks(),
+    )
+    w2 = rd.from_arrow(_near_copies_table(sf_dir))
+    return lsh_index_dedup([w1, w2], jaccard_threshold=0.7, bands=32)
+
+
 def _q_word_triangles(sf_dir: str):
     """Per-node triangle counts over the word co-occurrence graph
     (bigram edges with count >= 5) via degree-ordered edge orientation
@@ -2320,6 +2347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_collocations,
         "chunk_windows": _q_chunk_windows,
         "word_triangles": _q_word_triangles,
+        "lsh_index_dedup": _q_lsh_index_dedup,
         "knn_graph": _q_knn_graph,
         "boilerplate_removal": _q_boilerplate_removal,
         # rows-only (non-SQL-expressible: zlib, global greedy
@@ -2784,6 +2812,11 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": (
             f"WITH {jac_ctes} "
             "SELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b"
+        ),
+        "lsh_index_dedup": (
+            f"WITH {jac_ctes} "
+            "SELECT doc_id FROM aug WHERE doc_id NOT IN "
+            "(SELECT id_b FROM jpairs) ORDER BY doc_id"
         ),
         "minhash_dedup": (
             f"WITH RECURSIVE {jac_ctes}, "
