@@ -2025,6 +2025,20 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_docs(sf_dir, columns=["text"]), min_count=5)
 
 
+_BLOCKLIST = ["batch", "quantile", "spill"]
+
+
+def _q_blocklist_audit(sf_dir: str):
+    """C4-style badwords audit: per-doc blocklist token hit count and
+    the kept bit (no hits). One streaming tokenize pass, vectorized
+    pc.is_in over the flat token array, zero shuffle."""
+    from textalyzer_ray.pipelines.curation import blocklist_audit
+
+    return blocklist_audit(
+        _docs(sf_dir, columns=["doc_id", "text"]), _BLOCKLIST
+    ).sort("doc_id")
+
+
 def _q_lsh_index_dedup(sf_dir: str):
     """Incremental near-dedup through the sharded mutable LSH index
     (state/lsh_index.py): wave 1 = the corpus, wave 2 = the near-copy
@@ -2348,6 +2362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_windows": _q_chunk_windows,
         "word_triangles": _q_word_triangles,
         "lsh_index_dedup": _q_lsh_index_dedup,
+        "blocklist_audit": _q_blocklist_audit,
         "knn_graph": _q_knn_graph,
         "boilerplate_removal": _q_boilerplate_removal,
         # rows-only (non-SQL-expressible: zlib, global greedy
@@ -3262,6 +3277,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(stage AS BIGINT) AS stage, "
             "CAST(count(*) AS BIGINT) AS n_users "
             "FROM st GROUP BY stage ORDER BY stage"
+        ),
+        "blocklist_audit": (
+            "WITH h AS (SELECT doc_id, CAST(coalesce(sum(CASE WHEN "
+            "word IN ('batch', 'quantile', 'spill') THEN 1 ELSE 0 END), 0) "
+            f"AS BIGINT) AS n_hits FROM ({tokens_cte}) GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, "
+            "CAST(CASE WHEN coalesce(h.n_hits, 0) = 0 THEN 1 ELSE 0 END "
+            "AS BIGINT) AS kept "
+            "FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id"
         ),
         "word_triangles": (
             "WITH w AS MATERIALIZED (SELECT list_filter("

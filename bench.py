@@ -233,6 +233,15 @@ def run_bench() -> dict:
         "bpe_doc_tokens",
         lambda: contract._q_bpe_doc_tokens(sf_dir).count(),
     )
+    # BM25 ranked retrieval (one streaming feature pass + vectorized
+    # scoring with per-block top-k prune) — r3 session addition
+    timed("bm25", lambda: contract._q_bm25_topk(sf_dir).count())
+    # word-graph triangle counting (degree-oriented wedge/match
+    # exchanges sized to the measured edge count) — r3 session addition
+    timed(
+        "word_triangles",
+        lambda: contract._q_word_triangles(sf_dir).count(),
+    )
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)

@@ -1096,3 +1096,45 @@ class TestNfcCleanProperty:
                 assert r["n_clean"] == len(want.encode())
 
         check()
+
+
+class TestBlocklistAudit:
+    def test_counts_and_kept(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.curation import blocklist_audit
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": [
+                    "clean words only here",
+                    "bad Bad BAD word",  # tokenizer lowercases: 3 hits
+                    "bad embedded notbad badge",  # token-exact: 1 hit
+                    "",
+                ],
+            }
+        )
+        got = (
+            blocklist_audit(rd.from_arrow(t).repartition(3), ["bad", "worse"])
+            .sort("doc_id")
+            .take_all()
+        )
+        assert got == [
+            {"doc_id": 0, "n_hits": 0, "kept": 1},
+            {"doc_id": 1, "n_hits": 3, "kept": 0},
+            {"doc_id": 2, "n_hits": 1, "kept": 0},
+            {"doc_id": 3, "n_hits": 0, "kept": 1},
+        ]
+
+    def test_empty_dataset(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.curation import blocklist_audit
+
+        t = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
+        assert blocklist_audit(rd.from_arrow(t), ["x"]).take_all() == []

@@ -1710,3 +1710,59 @@ def shard_shuffle(
         rank_shard,
         num_partitions=min(n_shards, partitions_for(n_rows)),
     )
+
+
+def blocklist_audit(
+    ds: Dataset,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Blocklist (badwords) audit — the C4-style term filter with
+    counts: per doc, how many token occurrences match the broadcast
+    ``terms`` list, and whether the doc survives (kept = no hits).
+    Output (id_col, n_hits, kept), all BIGINT (kept as 0/1).
+
+    Scale shape: the term list is query-sized and lives in the batch
+    closure; ONE streaming tokenize pass per batch does a vectorized
+    ``pc.is_in`` over the flat token array + a segment-sum back to
+    docs — zero shuffle, zero state. For million-entry lexicons swap
+    the closure list for a ``ray.put`` set probed the same way (the
+    decontaminate broadcast pattern)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from textalyzer_ray.stages.tokenize import _flat_tokens
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("n_hits", pa.int64()),
+            pa.field("kept", pa.int64()),
+        ]
+    )
+    term_arr = pa.array(sorted(set(terms)), pa.string())
+
+    def audit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        tokens, parents = _flat_tokens(t, text_col)
+        n = t.num_rows
+        hits = np.zeros(n, dtype=np.int64)
+        if len(tokens):
+            m = pc.is_in(tokens, value_set=term_arr)
+            mnp = m.to_numpy(zero_copy_only=False)
+            par = parents.to_numpy(zero_copy_only=False)
+            np.add.at(hits, par[mnp], 1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_hits": pa.array(hits),
+                "kept": pa.array((hits == 0).astype(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        audit, batch_format="pyarrow", zero_copy_batch=True
+    )
