@@ -2025,6 +2025,36 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_docs(sf_dir, columns=["text"]), min_count=5)
 
 
+def _q_vector_index_topk(sf_dir: str):
+    """Incremental sharded IVF vector index (state/vector_index.py):
+    even vec_ids are indexed into cell-sharded actors, odd vec_ids
+    probe top-5 with n_probe = all cells — exact brute-force cosine
+    top-k by construction, so the SQL window oracle is hard. Rank
+    determinism: the minimum adjacent cosine gap across ranks 1..6 is
+    measured and pytest-pinned (tests/test_state_vector_index.py)
+    against the ~1e-15 cross-engine cosine error."""
+    import pyarrow.compute as pc
+
+    from textalyzer_ray.sources.tables import read_table
+    from textalyzer_ray.state.vector_index import vector_index_topk
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def half(parity: int):
+        def f(t):
+            import numpy as np
+            import pyarrow as pa
+
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == parity))
+
+        return f
+
+    idx = emb.map_batches(half(0), batch_format="pyarrow")
+    qs = emb.map_batches(half(1), batch_format="pyarrow")
+    return vector_index_topk(idx, qs, k=5)
+
+
 _BLOCKLIST = ["batch", "quantile", "spill"]
 
 
@@ -2363,6 +2393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_triangles": _q_word_triangles,
         "lsh_index_dedup": _q_lsh_index_dedup,
         "blocklist_audit": _q_blocklist_audit,
+        "vector_index_topk": _q_vector_index_topk,
         "knn_graph": _q_knn_graph,
         "boilerplate_removal": _q_boilerplate_removal,
         # rows-only (non-SQL-expressible: zlib, global greedy
@@ -3277,6 +3308,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(stage AS BIGINT) AS stage, "
             "CAST(count(*) AS BIGINT) AS n_users "
             "FROM st GROUP BY stage ORDER BY stage"
+        ),
+        "vector_index_topk": (
+            "WITH s AS (SELECT q.vec_id AS qid, r.vec_id AS vid, "
+            "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(r.embedding AS DOUBLE[])) AS cos "
+            "FROM embeddings q JOIN embeddings r "
+            "ON q.vec_id % 2 = 1 AND r.vec_id % 2 = 0), "
+            "rk AS (SELECT qid, vid, CAST(row_number() OVER ("
+            "PARTITION BY qid ORDER BY cos DESC, vid) AS BIGINT) AS rank "
+            "FROM s) "
+            "SELECT qid, rank, vid AS vec_id FROM rk WHERE rank <= 5 "
+            "ORDER BY qid, rank"
         ),
         "blocklist_audit": (
             "WITH h AS (SELECT doc_id, CAST(coalesce(sum(CASE WHEN "
