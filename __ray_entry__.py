@@ -2025,6 +2025,22 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_docs(sf_dir, columns=["text"]), min_count=5)
 
 
+def _q_stream_windows(sf_dir: str):
+    """Streaming event-time tumbling windows with watermark + late
+    drop (Dataflow-model semantics): 4 hash-interleaved arrival waves
+    stream through sharded window actors; after each wave the
+    watermark advances to max-seen - 30 min, and later-wave events
+    whose window closed drop under window_id = -1. Exactly replayed in
+    SQL as a per-wave running max."""
+    from textalyzer_ray.sources.tables import read_table
+    from textalyzer_ray.state.stream_window import stream_windows
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    return stream_windows(
+        ev, n_waves=4, window_s=3600, allowed_lateness_s=1800
+    )
+
+
 def _q_vector_index_topk(sf_dir: str):
     """Incremental sharded IVF vector index (state/vector_index.py):
     even vec_ids are indexed into cell-sharded actors, odd vec_ids
@@ -2394,6 +2410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_index_dedup": _q_lsh_index_dedup,
         "blocklist_audit": _q_blocklist_audit,
         "vector_index_topk": _q_vector_index_topk,
+        "stream_windows": _q_stream_windows,
         "knn_graph": _q_knn_graph,
         "boilerplate_removal": _q_boilerplate_removal,
         # rows-only (non-SQL-expressible: zlib, global greedy
@@ -3308,6 +3325,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(stage AS BIGINT) AS stage, "
             "CAST(count(*) AS BIGINT) AS n_users "
             "FROM st GROUP BY stage ORDER BY stage"
+        ),
+        "stream_windows": (
+            "WITH e AS (SELECT event_type, epoch_us(ts) AS us, "
+            "CAST((CAST(event_id AS HUGEINT) % 4294967296 * 2654435761 "
+            "% 4294967296) % 4 AS BIGINT) AS wave FROM events), "
+            "wm AS (SELECT g.w AS wave, (SELECT max(us) - 1800000000 "
+            "FROM e WHERE e.wave < g.w) AS wmk "
+            "FROM generate_series(0, 3) g(w)), "
+            "ev AS (SELECT e.event_type, e.us // 3600000000 AS win, "
+            "(e.us // 3600000000 + 1) * 3600000000 AS wend, wm.wmk "
+            "FROM e JOIN wm USING (wave)) "
+            "SELECT CAST(CASE WHEN wmk IS NOT NULL AND wend <= wmk "
+            "THEN -1 ELSE win END AS BIGINT) AS window_id, event_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM ev "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "vector_index_topk": (
             "WITH s AS (SELECT q.vec_id AS qid, r.vec_id AS vid, "
