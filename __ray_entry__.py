@@ -359,17 +359,32 @@ def _q_host_pagerank(sf_dir: str):
     )
 
 
-def _pagerank_oracle_sql(n_iter: int = 10, d: float = 0.85) -> str:
-    """Unrolled k-iteration PageRank in pure SQL over the re-derived
-    link set. Every CTE is MATERIALIZED: a plain CTE is inlined at each
+def _pagerank_oracle_sql(
+    n_iter: int = 10,
+    d: float = 0.85,
+    prelude: str | None = None,
+    edge_cte: str | None = None,
+    node_col: str = "host",
+) -> str:
+    """Unrolled k-iteration PageRank in pure SQL over any edge set.
+    Every CTE is MATERIALIZED: a plain CTE is inlined at each
     reference, and pr_k references pr_{k-1} three times, so the
     un-materialized plan re-scans documents 3^k times (measured: EMFILE
     at k=10). Float-op grouping mirrors the pipeline exactly:
-    pr*(w/W), then base + d*(contrib + dang/N)."""
+    pr*(w/W), then base + d*(contrib + dang/N).
+
+    ``prelude`` + ``edge_cte`` override the default host link graph:
+    edge_cte must define ``e(s, t, w DOUBLE)``. ``node_col`` names the
+    output node column."""
+    if prelude is None:
+        prelude = _LINKS_CTE
+        edge_cte = (
+            "e AS MATERIALIZED (SELECT 'docs.example' AS s, out_host AS t, "
+            "CAST(count(*) AS DOUBLE) AS w FROM links GROUP BY out_host)"
+        )
     p = [
-        f"WITH {_LINKS_CTE}, ",
-        "e AS MATERIALIZED (SELECT 'docs.example' AS s, out_host AS t, "
-        "CAST(count(*) AS DOUBLE) AS w FROM links GROUP BY out_host), ",
+        f"WITH {prelude}, ",
+        f"{edge_cte}, ",
         "nodes AS MATERIALIZED (SELECT s AS host FROM e UNION SELECT t FROM e), ",
         "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), ",
         "outw AS MATERIALIZED (SELECT s, sum(w) AS ow FROM e GROUP BY s), ",
@@ -389,7 +404,7 @@ def _pagerank_oracle_sql(n_iter: int = 10, d: float = 0.85) -> str:
             f"FROM nodes n LEFT JOIN c{k} c ON c.host = n.host)"
         )
     p.append(
-        " SELECT host, pr, CAST(row_number() OVER "
+        f" SELECT host AS {node_col}, pr, CAST(row_number() OVER "
         "(ORDER BY pr DESC, host ASC) AS BIGINT) AS pr_rank "
         f"FROM pr{n_iter} ORDER BY pr_rank"
     )
@@ -2025,6 +2040,28 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_docs(sf_dir, columns=["text"]), min_count=5)
 
 
+def _q_textrank_keywords(sf_dir: str):
+    """TextRank keyword scoring: weighted PageRank over the
+    symmetrized bigram word graph (edges = unordered pairs with summed
+    direction counts >= 5, emitted both ways). Composes the existing
+    host_pagerank operator; the oracle reuses the unrolled PageRank
+    CTE chain over the word edge set. pr double hash safety: measured
+    cross-engine maxdiff and 9-decimal boundary margins pinned in
+    tests/test_pipelines_graph.py."""
+    from textalyzer_ray.pipelines.graph import textrank_keywords
+
+    return textrank_keywords(_docs(sf_dir, columns=["text"]), min_count=5)
+
+
+def _q_inverted_index(sf_dir: str):
+    """Inverted-index build: (word, df, postings-as-sorted-id-string)
+    per corpus term. In-batch DISTINCT (word, doc) partials, one
+    word-aligned exchange, per-block polars list build."""
+    from textalyzer_ray.pipelines.retrieval import inverted_index
+
+    return inverted_index(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def _q_stream_windows(sf_dir: str):
     """Streaming event-time tumbling windows with watermark + late
     drop (Dataflow-model semantics): 4 hash-interleaved arrival waves
@@ -2306,25 +2343,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # by host_pagerank + anchor_rollup, ANN by similarity_topk, exact
     # similarity kernels by cosine_pairs, C4-line family by
     # line_dedup_rebuild; bm25_topk (retrieval) and funnel_stages
-    # (ordered-funnel) took the freed slots). Rows-only entries close
-    # the dict.
+    # (ordered-funnel) took the freed slots). This session's stateful
+    # showcases took four more: lsh_index_dedup replaced minhash_dedup
+    # (near-dedup family still witnessed by minhash_pairs, and the
+    # index oracle subsumes the keep rule), stream_windows replaced
+    # winnow_pairs (sketch pairs still witnessed by minhash_pairs +
+    # simhash_pairs; winnow_fingerprints sits just above the cap),
+    # word_triangles replaced line_width_histogram_chunks (line family
+    # witnessed by line_length_histogram), vector_index_topk replaced
+    # similarity_topk (same exact-top-k semantics through the sharded
+    # index). Rows-only entries close the dict.
     return {
         # SQL-oracled — one per family, strongest evidence first
         "word_histogram": _q_word_histogram,
         "line_length_histogram": _q_line_length_histogram,
         "doc_token_counts": _q_doc_token_counts,
         "minhash_pairs": _q_minhash_pairs,
-        "minhash_dedup": _q_minhash_dedup,
+        "lsh_index_dedup": _q_lsh_index_dedup,
         "simhash_pairs": _q_simhash_pairs,
-        "winnow_pairs": _q_winnow_pairs,
+        "stream_windows": _q_stream_windows,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "sessionize": _q_sessionize,
-        "line_width_histogram_chunks": _q_line_width_histogram_chunks,
+        "word_triangles": _q_word_triangles,
         "image_dhash_groups": _q_image_dhash_groups,
         "exact_dedup_distributed": _q_exact_dedup_distributed,
         "single_line_dups": _q_single_line_dups,
         "audio_afp_groups": _q_audio_afp_groups,
-        "similarity_topk": _q_similarity_topk,
+        "vector_index_topk": _q_vector_index_topk,
         "bm25_topk": _q_bm25_topk,
         "cosine_pairs": _q_cosine_pairs,
         "funnel_stages": _q_funnel_stages,
@@ -2406,11 +2451,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "pmi_collocations": _q_pmi_collocations,
         "chunk_windows": _q_chunk_windows,
-        "word_triangles": _q_word_triangles,
-        "lsh_index_dedup": _q_lsh_index_dedup,
         "blocklist_audit": _q_blocklist_audit,
-        "vector_index_topk": _q_vector_index_topk,
-        "stream_windows": _q_stream_windows,
+        "inverted_index": _q_inverted_index,
+        "textrank_keywords": _q_textrank_keywords,
+        "minhash_dedup": _q_minhash_dedup,
+        "winnow_pairs": _q_winnow_pairs,
+        "line_width_histogram_chunks": _q_line_width_histogram_chunks,
+        "similarity_topk": _q_similarity_topk,
         "knn_graph": _q_knn_graph,
         "boilerplate_removal": _q_boilerplate_removal,
         # rows-only (non-SQL-expressible: zlib, global greedy
@@ -3325,6 +3372,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(stage AS BIGINT) AS stage, "
             "CAST(count(*) AS BIGINT) AS n_users "
             "FROM st GROUP BY stage ORDER BY stage"
+        ),
+        "textrank_keywords": _pagerank_oracle_sql(
+            prelude=(
+                "w AS MATERIALIZED (SELECT list_filter("
+                f"regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'), "
+                "x -> x <> '') AS ws FROM documents), "
+                "bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS c "
+                "FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i "
+                "FROM w WHERE len(ws) >= 2) GROUP BY 1, 2), "
+                "und AS (SELECT least(w1, w2) AS a, greatest(w1, w2) AS b, "
+                "sum(c) AS cw FROM bg WHERE w1 <> w2 GROUP BY 1, 2 "
+                "HAVING sum(c) >= 5)"
+            ),
+            edge_cte=(
+                "e AS MATERIALIZED (SELECT a AS s, b AS t, "
+                "CAST(cw AS DOUBLE) AS w FROM und "
+                "UNION ALL SELECT b, a, CAST(cw AS DOUBLE) FROM und)"
+            ),
+            node_col="word",
+        ),
+        "inverted_index": (
+            f"WITH dw AS (SELECT DISTINCT word, doc_id FROM ({tokens_cte})) "
+            "SELECT word, CAST(count(*) AS BIGINT) AS df, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "AS postings FROM dw GROUP BY word ORDER BY word"
         ),
         "stream_windows": (
             "WITH e AS (SELECT event_type, epoch_us(ts) AS us, "

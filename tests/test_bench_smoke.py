@@ -46,5 +46,7 @@ def test_bench_emits_single_json_line():
         "kmeans",
         "dup_span_removal",
         "bpe_doc_tokens",
+        "bm25",
+        "word_triangles",
     }
     assert data["n_docs"] == 500

@@ -78,3 +78,75 @@ class TestTriangles:
             {"node": "beta", "n_tri": 1},
             {"node": "gamma", "n_tri": 1},
         ]
+
+
+class TestTextRank:
+    def test_matches_numpy_reference(self):
+        import numpy as np
+
+        from textalyzer_ray.pipelines.graph import textrank_keywords
+
+        texts = ["alpha beta gamma alpha beta delta"] * 4
+        got = textrank_keywords(
+            rd.from_arrow(pa.table({"text": texts})), min_count=3, n_iter=10
+        ).take_all()
+        # reference PageRank on the symmetrized bigram graph
+        # bigrams per doc: (alpha,beta)x2, (beta,gamma), (gamma,alpha),
+        # (beta,delta) -> x4 docs; und counts: {a,b}:8? per doc: a-b 2,
+        # b-g 1, g-a 1, b-d 1 -> x4
+        nodes = sorted({"alpha", "beta", "gamma", "delta"})
+        idx = {n: i for i, n in enumerate(nodes)}
+        und = {("alpha", "beta"): 8, ("beta", "gamma"): 4,
+               ("alpha", "gamma"): 4, ("beta", "delta"): 4}
+        N = len(nodes)
+        W = np.zeros((N, N))
+        for (a, b), w in und.items():
+            W[idx[a], idx[b]] = w
+            W[idx[b], idx[a]] = w
+        out_w = W.sum(axis=1)
+        pr = np.full(N, 1.0 / N)
+        d = 0.85
+        for _ in range(10):
+            contrib = np.zeros(N)
+            for s in range(N):
+                if out_w[s]:
+                    for t in range(N):
+                        if W[s, t]:
+                            contrib[t] += pr[s] * (W[s, t] / out_w[s])
+            dang = pr[out_w == 0].sum()
+            pr = (1 - d) / N + d * (contrib + dang / N)
+        order = sorted(range(N), key=lambda i: (-pr[i], nodes[i]))
+        assert [r["word"] for r in got] == [nodes[i] for i in order]
+        for r in got:
+            assert abs(r["pr"] - pr[idx[r["word"]]]) < 1e-12
+
+    def test_sf001_margins_vs_duckdb(self):
+        """Cross-engine pr parity + the two hash-safety margins: the
+        engine-vs-DuckDB maxdiff must sit far below both the minimum
+        adjacent pr gap (rank stability) and the minimum distance to a
+        9-decimal rounding boundary (value-hash stability)."""
+        import duckdb
+        import numpy as np
+
+        import __ray_entry__ as contract
+
+        sf = "/root/testdata/sf0.001"
+        got = contract._q_textrank_keywords(sf).take_all()
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        want = con.sql(contract.oracle_sql()["textrank_keywords"]).fetchall()
+        gm = {r["word"]: (r["pr"], r["pr_rank"]) for r in got}
+        wm = {r[0]: (r[1], r[2]) for r in want}
+        assert set(gm) == set(wm) and len(gm) > 10
+        maxdiff = max(abs(gm[k][0] - wm[k][0]) for k in gm)
+        assert all(gm[k][1] == wm[k][1] for k in gm)
+        prs = sorted((v[0] for v in gm.values()), reverse=True)
+        min_gap = min(a - b for a, b in zip(prs, prs[1:]))
+        bdist = min(
+            abs((p * 1e9) - np.floor(p * 1e9) - 0.5) * 1e-9 for p in prs
+        )
+        assert maxdiff < 1e-14
+        assert min_gap > 1e3 * maxdiff, (min_gap, maxdiff)
+        assert bdist > 1e3 * maxdiff, (bdist, maxdiff)

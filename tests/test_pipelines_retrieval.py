@@ -219,3 +219,35 @@ FROM uw JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"""
         assert [
             (r["cohort_day"], r["day_offset"], r["n_users"]) for r in got
         ] == [tuple(r) for r in want]
+
+
+class TestInvertedIndex:
+    def test_postings_exact(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.retrieval import inverted_index
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([5, 3, 9], pa.int64()),
+                "text": ["b a b a", "a c", ""],
+            }
+        )
+        got = inverted_index(rd.from_arrow(t).repartition(3)).take_all()
+        assert got == [
+            {"word": "a", "df": 2, "postings": "3,5"},
+            {"word": "b", "df": 1, "postings": "5"},
+            {"word": "c", "df": 1, "postings": "3"},
+        ]
+
+    def test_empty(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.retrieval import inverted_index
+
+        t = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
+        assert inverted_index(rd.from_arrow(t)).take_all() == []

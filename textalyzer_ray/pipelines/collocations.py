@@ -214,119 +214,29 @@ def _attach_broadcast(big: Dataset, uni: Dataset, n_tokens: int) -> Dataset:
 def _attach_distributed(
     big: Dataset, uni: Dataset, n_tokens: int, n_uni: int
 ) -> Dataset:
-    """Large-vocabulary path: two join-free union-tag exchanges. Each
-    round hash-partitions (vocab rows) ∪ (candidate rows) by one word
-    column and a per-block polars join attaches that column's count —
-    no acero join, so sparse partitions with schema-less empty blocks
-    are harmless (CLAUDE.md)."""
-    from textalyzer_ray.stages.groups import grouped_apply, partitions_for
-
-    tag_schema = pa.schema(
-        [
-            pa.field("key", pa.string()),
-            pa.field("w1", pa.string()),
-            pa.field("w2", pa.string()),
-            pa.field("c_xy", pa.int64()),
-            pa.field("c_prev", pa.int64()),
-            pa.field("c", pa.int64()),
-            pa.field("side", pa.int8()),
-        ]
-    )
-
-    def tag_uni(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table(
-            {
-                "key": t["word"],
-                "w1": pa.nulls(n, pa.string()),
-                "w2": pa.nulls(n, pa.string()),
-                "c_xy": pa.nulls(n, pa.int64()),
-                "c_prev": pa.nulls(n, pa.int64()),
-                "c": t["c"],
-                "side": pa.array([0] * n, pa.int8()),
-            },
-            schema=tag_schema,
-        )
-
-    def tag_big(key_col: str, with_prev: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            return pa.table(
-                {
-                    "key": t[key_col],
-                    "w1": t["w1"],
-                    "w2": t["w2"],
-                    "c_xy": t["c_xy"],
-                    "c_prev": t["c_x"] if with_prev else pa.nulls(n, pa.int64()),
-                    "c": pa.nulls(n, pa.int64()),
-                    "side": pa.array([1] * n, pa.int8()),
-                },
-                schema=tag_schema,
-            )
-
-        return fn
-
-    def join_block(out_name: str):
-        def fn(t: pa.Table) -> pa.Table:
-            df = pl.from_arrow(t)
-            vocab = df.filter(pl.col("side") == 0).select(
-                ["key", pl.col("c").alias(out_name)]
-            )
-            cand = df.filter(pl.col("side") == 1).drop(["c", "side"])
-            return (
-                cand.join(vocab, on="key", how="inner")
-                .drop("key")
-                .to_arrow()
-            )
-
-        return fn
+    """Large-vocabulary path: two join-free ``union_tag_lookup``
+    exchanges (pipelines/joins.py), keyed on w1 then w2 — no acero
+    join, so sparse partitions with schema-less empty blocks are
+    harmless (CLAUDE.md)."""
+    from textalyzer_ray.pipelines.joins import union_tag_lookup
+    from textalyzer_ray.stages.groups import partitions_for
 
     parts = partitions_for(n_uni)
-    r1 = grouped_apply(
-        uni.map_batches(tag_uni, batch_format="pyarrow").union(
-            big.map_batches(tag_big("w1", False), batch_format="pyarrow")
-        ),
-        ["key"],
-        join_block("c_x"),
-        num_partitions=parts,
-    )
-    # r1: (w1, w2, c_xy, c_prev=null, c_x); re-tag keyed on w2
-    def retag(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table(
-            {
-                "key": t["w2"],
-                "w1": t["w1"],
-                "w2": t["w2"],
-                "c_xy": t["c_xy"],
-                "c_prev": t["c_x"],
-                "c": pa.nulls(n, pa.int64()),
-                "side": pa.array([1] * n, pa.int8()),
-            },
-            schema=tag_schema,
+
+    def uni_as(key: str) -> Dataset:
+        return uni.map_batches(
+            lambda t, k=key: pa.table({k: t["word"], "c": t["c"]}),
+            batch_format="pyarrow",
         )
 
-    r2 = grouped_apply(
-        uni.map_batches(tag_uni, batch_format="pyarrow").union(
-            r1.map_batches(retag, batch_format="pyarrow")
-        ),
-        ["key"],
-        join_block("c_y"),
-        num_partitions=parts,
-    )
+    r1 = union_tag_lookup(big, uni_as("w1"), "w1", "c", "c_x", parts)
+    r2 = union_tag_lookup(r1, uni_as("w2"), "w2", "c", "c_y", parts)
 
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return OUT_SCHEMA.empty_table()
-        df = pl.from_arrow(t).select(
-            [
-                "w1",
-                "w2",
-                "c_xy",
-                pl.col("c_prev").alias("c_x"),
-                "c_y",
-                pl.lit(n_tokens).cast(pl.Int64).alias("n_tokens"),
-            ]
+        df = pl.from_arrow(t).with_columns(
+            pl.lit(n_tokens).cast(pl.Int64).alias("n_tokens")
         )
         return _lift_table(df)
 

@@ -298,6 +298,103 @@ def word_cooccurrence_edges(
     """(a, b) word-graph edges: adjacent-token bigrams with corpus
     count >= min_count (direction kept here; triangle_counts
     undirects)."""
+    counts = word_cooccurrence_counts(ds_docs, text_col)
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = t.filter(pc.greater_equal(t["n"], min_count))
+        return pa.table({"a": k["a"], "b": k["b"]}).cast(
+            pa.schema([pa.field("a", pa.string()), pa.field("b", pa.string())])
+        )
+
+    return counts.map_batches(keep, batch_format="pyarrow")
+
+
+def word_graph_triangles(
+    ds_docs: Dataset,
+    min_count: int = 5,
+    text_col: str = "text",
+    broadcast_threshold: int = 2_000_000,
+) -> Dataset:
+    """(node, n_tri) over the bigram word graph — which words sit in
+    tightly clustered collocation neighborhoods."""
+    return triangle_counts(
+        word_cooccurrence_edges(ds_docs, min_count, text_col),
+        "a",
+        "b",
+        broadcast_threshold,
+    )
+
+
+def symmetric_word_edges(
+    ds_docs: Dataset, min_count: int = 5, text_col: str = "text"
+) -> Dataset:
+    """(a, b, w) symmetrized bigram edges: for every unordered word
+    pair {a, b}, a != b, w = count(a->b) + count(b->a), kept when
+    w >= min_count and emitted in BOTH directions (the undirected
+    TextRank graph as a directed edge list). Self-loops dropped."""
+    from textalyzer_ray.stages.groups import key_counts
+
+    directed = word_cooccurrence_counts(ds_docs, text_col)
+
+    und_schema = pa.schema(
+        [
+            pa.field("a", pa.string()),
+            pa.field("b", pa.string()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def to_unordered(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return und_schema.empty_table()
+        df = (
+            pl.from_arrow(t)
+            .filter(pl.col("a") != pl.col("b"))
+            .select(
+                pl.min_horizontal("a", "b").alias("a"),
+                pl.max_horizontal("a", "b").alias("b"),
+                pl.col("n"),
+            )
+        )
+        return df.to_arrow().cast(und_schema)
+
+    und = key_counts(
+        directed.map_batches(to_unordered, batch_format="pyarrow"),
+        ["a", "b"],
+        sum_cols=["n"],
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("a", pa.string()),
+            pa.field("b", pa.string()),
+            pa.field("w", pa.int64()),
+        ]
+    )
+
+    def both_ways(t: pa.Table) -> pa.Table:
+        k = t.filter(pc.greater_equal(t["sum_n"], min_count))
+        if k.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(k.select(["a", "b", "sum_n"]))
+        fwd = df.select(
+            pl.col("a"), pl.col("b"), pl.col("sum_n").alias("w")
+        )
+        rev = df.select(
+            pl.col("b").alias("a"), pl.col("a").alias("b"),
+            pl.col("sum_n").alias("w"),
+        )
+        return pl.concat([fwd, rev]).to_arrow().cast(out_schema)
+
+    return und.map_batches(both_ways, batch_format="pyarrow")
+
+
+def word_cooccurrence_counts(
+    ds_docs: Dataset, text_col: str = "text"
+) -> Dataset:
+    """(a, b, n) directed adjacent-bigram counts (the edge-weight
+    input of symmetric_word_edges; word_cooccurrence_edges keeps only
+    the thresholded keys)."""
     from textalyzer_ray.stages.groups import key_counts
     from textalyzer_ray.stages.tokenize import _flat_tokens
 
@@ -330,27 +427,41 @@ def word_cooccurrence_edges(
         ["a", "b"],
         sum_cols=["n"],
     )
-
-    def keep(t: pa.Table) -> pa.Table:
-        k = t.filter(pc.greater_equal(t["sum_n"], min_count))
-        return pa.table({"a": k["a"], "b": k["b"]}).cast(
-            pa.schema([pa.field("a", pa.string()), pa.field("b", pa.string())])
-        )
-
-    return merged.map_batches(keep, batch_format="pyarrow")
+    return merged.map_batches(
+        lambda t: pa.table(
+            {"a": t["a"], "b": t["b"], "n": t["sum_n"]}
+        ).cast(pair_schema),
+        batch_format="pyarrow",
+    )
 
 
-def word_graph_triangles(
+def textrank_keywords(
     ds_docs: Dataset,
     min_count: int = 5,
+    damping: float = 0.85,
+    n_iter: int = 10,
     text_col: str = "text",
-    broadcast_threshold: int = 2_000_000,
 ) -> Dataset:
-    """(node, n_tri) over the bigram word graph — which words sit in
-    tightly clustered collocation neighborhoods."""
-    return triangle_counts(
-        word_cooccurrence_edges(ds_docs, min_count, text_col),
-        "a",
-        "b",
-        broadcast_threshold,
+    """TextRank keyword scoring (Mihalcea & Tarau 2004): weighted
+    PageRank over the symmetrized bigram word graph -> (word, pr,
+    pr_rank) by (pr desc, word). Composes symmetric_word_edges with
+    the existing host_pagerank operator (identical float-op order, so
+    the measured cross-engine parity of the PageRank chain carries
+    over)."""
+    from textalyzer_ray.pipelines.links import host_pagerank
+
+    edges = symmetric_word_edges(ds_docs, min_count, text_col).map_batches(
+        lambda t: pa.table(
+            {
+                "src_host": t["a"],
+                "dst_host": t["b"],
+                "n_links": t["w"],
+            }
+        ),
+        batch_format="pyarrow",
     )
+    pr = host_pagerank(edges, damping=damping, n_iter=n_iter)
+    return pr.map_batches(
+        lambda t: t.rename_columns(["word", "pr", "pr_rank"]),
+        batch_format="pyarrow",
+    ).sort("pr_rank")

@@ -247,3 +247,78 @@ def bm25_margins(
         "min_boundary_dist": float(frac.min()) if len(frac) else float("inf"),
         "kth_gap": kth_gap,
     }
+
+
+def inverted_index(
+    ds_docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Inverted-index build: (word, df, postings) per distinct corpus
+    term, postings = comma-joined doc ids ascending — the index a BM25
+    /boolean retrieval service would serve from.
+
+    Scale shape: per-batch DISTINCT (word, doc) partials kill token
+    multiplicity in-batch; ONE word-aligned exchange (grouped_apply)
+    lands every term's postings in one block, where a single polars
+    group_by builds df + the sorted joined list — no per-term Python.
+    Posting lists are inherently term-frequency-sized; at 100 TB a
+    stopword's postings row is the corpus, so a production variant
+    caps postings per term (df stays exact) — the cap is a LIMIT
+    inside the block kernel, partitioning unchanged."""
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import grouped_apply, key_counts
+    from textalyzer_ray.stages.tokenize import _flat_tokens
+
+    pair_schema = pa.schema(
+        [pa.field("word", pa.string()), pa.field(id_col, pa.int64())]
+    )
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        tokens, parents = _flat_tokens(t, text_col)
+        if len(tokens) == 0:
+            return pair_schema.empty_table()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        df = pl.from_arrow(pa.table({"word": tokens, "par": parents})).unique()
+        par = df["par"].to_numpy()
+        return pa.table(
+            {
+                "word": df["word"].to_arrow(),
+                id_col: pa.array(ids[par].astype(np.int64)),
+            }
+        ).cast(pair_schema)
+
+    pairs = key_counts(
+        ds_docs.select_columns([id_col, text_col]).map_batches(
+            distinct_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["word", id_col],
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("word", pa.string()),
+            pa.field("df", pa.int64()),
+            pa.field("postings", pa.string()),
+        ]
+    )
+
+    def build_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t.select(["word", id_col]))
+            .sort(["word", id_col])
+            .group_by("word", maintain_order=True)
+            .agg(
+                pl.len().cast(pl.Int64).alias("df"),
+                pl.col(id_col).cast(pl.String).str.join(",").alias("postings"),
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return grouped_apply(pairs, ["word"], build_block).sort("word")

@@ -436,6 +436,84 @@ def main() -> dict:
     )
     assert got_rows == want, (got_rows, want)
 
+    # ---- incremental LSH-index soak (r3 continuation) ----
+    # Reuses the tagged replicated corpus: replicas have disjoint
+    # shingle sets and id-disjoint increasing ranges, so splitting the
+    # replica axis into waves gives id-ordered waves (the index's
+    # global-semantics precondition) and the kept count must equal the
+    # single-replica kept count x repl exactly.
+    from textalyzer_ray.state.lsh_index import lsh_index_dedup
+
+    lsh_waves = arg("--lsh-waves", 4)
+    per_wave = max(1, dedup_repl // lsh_waves)
+
+    def replica_slice(lo: int, hi: int):
+        def f(tt: pa.Table) -> pa.Table:
+            r = tt["doc_id"].to_numpy(zero_copy_only=False) // 10_000_000
+            return tt.filter(pa.array((r >= lo) & (r < hi)))
+
+        return f
+
+    waves = [
+        big.map_batches(
+            replica_slice(w * per_wave, (w + 1) * per_wave if w < lsh_waves - 1 else dedup_repl),
+            batch_format="pyarrow",
+        )
+        for w in range(lsh_waves)
+    ]
+    t0 = time.monotonic()
+    kept_lsh = lsh_index_dedup(waves, bands=32).count()
+    out["lsh_sec"] = round(time.monotonic() - t0, 3)
+    out["lsh_docs"] = n_docs * dedup_repl
+    out["lsh_waves"] = lsh_waves
+    out["lsh_kept"] = kept_lsh
+    out["lsh_docs_per_sec"] = round(n_docs * dedup_repl / out["lsh_sec"], 1)
+    # single-replica reference (replica 0; kept structure is
+    # tag-invariant by symmetry)
+    kept_one = lsh_index_dedup(
+        [big.map_batches(replica_slice(0, 1), batch_format="pyarrow")],
+        bands=32,
+    ).count()
+    assert kept_lsh == kept_one * dedup_repl, (kept_lsh, kept_one, dedup_repl)
+
+    # ---- streaming-window soak (r3 continuation) ----
+    # Events replicated with id offsets (hash waves interleave event
+    # time, forcing heavy late-drop traffic through the watermark
+    # path); invariants: nothing lost (sum n == total events) and the
+    # result is shard-count-invariant.
+    from textalyzer_ray.state.stream_window import stream_windows
+
+    sw_repl = arg("--sw-repl", 32)
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+
+    def replicate_events(tt: pa.Table) -> pa.Table:
+        parts = []
+        for r in range(sw_repl):
+            parts.append(
+                tt.set_column(
+                    tt.schema.get_field_index("event_id"),
+                    "event_id",
+                    pa.compute.add(tt["event_id"], r * 100_000_000),
+                )
+            )
+        return pa.concat_tables(parts)
+
+    big_ev = (
+        ev.map_batches(replicate_events, batch_format="pyarrow")
+        .repartition(num_cpus)
+        .materialize()
+    )
+    t0 = time.monotonic()
+    sw = stream_windows(big_ev, n_waves=4, n_shards=2).take_all()
+    out["sw_sec"] = round(time.monotonic() - t0, 3)
+    out["sw_events"] = n_events * sw_repl
+    out["sw_events_per_sec"] = round(n_events * sw_repl / out["sw_sec"], 1)
+    assert sum(r["n"] for r in sw) == n_events * sw_repl
+    out["sw_late_events"] = sum(r["n"] for r in sw if r["window_id"] == -1)
+    sw4 = stream_windows(big_ev, n_waves=4, n_shards=4).take_all()
+    assert sw4 == sw  # shard-count invariance
+
     stop.set()
     t.join(timeout=2)
     if samples and total_store:
@@ -451,7 +529,9 @@ def main() -> dict:
         + out["lm_sec"]
         + out["span_sec"]
         + out["kmeans_sec"]
-        + out["bpe_sec"],
+        + out["bpe_sec"]
+        + out["lsh_sec"]
+        + out["sw_sec"],
         3,
     )
     return out
