@@ -2040,6 +2040,62 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_docs(sf_dir, columns=["text"]), min_count=5)
 
 
+def _q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) layout over events on (user_id, hour):
+    vectorized bit interleave, one global (zval, id) sort, equi-depth
+    shard ids via the distributed prefix scan. 31-bit input masks keep
+    the identical spread chain signed-64-exact in DuckDB."""
+    import pyarrow as pa
+
+    from textalyzer_ray.pipelines.layout import zorder_layout
+    from textalyzer_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def with_hour(t):
+        import pyarrow.compute as pc
+
+        hr = pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000)
+        return pa.table(
+            {"event_id": t["event_id"], "user_id": t["user_id"], "hr": hr}
+        )
+
+    return zorder_layout(
+        ev.map_batches(with_hour, batch_format="pyarrow"),
+        "user_id",
+        "hr",
+        n_shards=16,
+    )
+
+
+def _zorder_spread_ctes(n_shards: int = 16) -> str:
+    """The engine's spread chain replayed as sequential BIGINT CTEs."""
+    masks = [
+        (16, 281470681808895),
+        (8, 71777214294589695),
+        (4, 1085102592571150095),
+        (2, 3689348814741910323),
+        (1, 6148914691236517205),
+    ]
+    p = [
+        "b AS (SELECT event_id, user_id & 2147483647 AS x, "
+        "(epoch_us(ts) // 3600000000) & 2147483647 AS y FROM events)",
+        "z0 AS (SELECT event_id, x, y FROM b)",
+    ]
+    for i, (sh, m) in enumerate(masks, start=1):
+        p.append(
+            f"z{i} AS (SELECT event_id, (x | (x << {sh})) & {m} AS x, "
+            f"(y | (y << {sh})) & {m} AS y FROM z{i-1})"
+        )
+    p.append(
+        "zz AS (SELECT event_id, x | (y << 1) AS zval FROM z5), "
+        "r AS (SELECT event_id, zval, row_number() OVER "
+        "(ORDER BY zval, event_id) - 1 AS rk, count(*) OVER () AS n "
+        "FROM zz)"
+    )
+    return ", ".join(p)
+
+
 def _q_textrank_keywords(sf_dir: str):
     """TextRank keyword scoring: weighted PageRank over the
     symmetrized bigram word graph (edges = unordered pairs with summed
@@ -2454,6 +2510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_audit": _q_blocklist_audit,
         "inverted_index": _q_inverted_index,
         "textrank_keywords": _q_textrank_keywords,
+        "zorder_layout": _q_zorder_layout,
         "minhash_dedup": _q_minhash_dedup,
         "winnow_pairs": _q_winnow_pairs,
         "line_width_histogram_chunks": _q_line_width_histogram_chunks,
@@ -3372,6 +3429,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(stage AS BIGINT) AS stage, "
             "CAST(count(*) AS BIGINT) AS n_users "
             "FROM st GROUP BY stage ORDER BY stage"
+        ),
+        "zorder_layout": (
+            f"WITH {_zorder_spread_ctes()} "
+            "SELECT event_id, CAST(zval AS BIGINT) AS zval, "
+            "CAST(rk * 16 // n AS BIGINT) AS shard_id "
+            "FROM r ORDER BY event_id"
         ),
         "textrank_keywords": _pagerank_oracle_sql(
             prelude=(

@@ -1,0 +1,113 @@
+"""Z-order layout: Morton-code correctness, equi-depth shards,
+zone-map pruning advantage over time-ordered sharding."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from textalyzer_ray.pipelines.layout import (
+    zone_maps,
+    zorder_layout,
+    zorder_value,
+)
+
+pytestmark = pytest.mark.usefixtures("quiet_data_context")
+
+
+def brute_morton(x, y):
+    out = 0
+    for b in range(31):
+        out |= ((x >> b) & 1) << (2 * b)
+        out |= ((y >> b) & 1) << (2 * b + 1)
+    return out
+
+
+class TestZOrder:
+    def test_morton_matches_bitwise_reference(self):
+        rng = np.random.default_rng(3)
+        x = rng.integers(0, 2**31, 500, dtype=np.int64)
+        y = rng.integers(0, 2**31, 500, dtype=np.int64)
+        got = zorder_value(x, y)
+        want = np.array(
+            [brute_morton(int(a), int(b)) for a, b in zip(x, y)], dtype=np.int64
+        )
+        assert (got == want).all()
+
+    def _grid(self, n_users=64, n_hours=64):
+        ids, us, hs = [], [], []
+        k = 0
+        for u in range(n_users):
+            for h in range(n_hours):
+                ids.append(k)
+                us.append(u)
+                hs.append(h)
+                k += 1
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "user_id": pa.array(us, pa.int64()),
+                "hr": pa.array(hs, pa.int64()),
+            }
+        )
+
+    def test_equi_depth_shards_and_rank_formula(self):
+        t = self._grid(16, 16)
+        lay = zorder_layout(
+            rd.from_arrow(t).repartition(5), "user_id", "hr", n_shards=8
+        ).take_all()
+        assert len(lay) == 256
+        counts: dict = {}
+        for r in lay:
+            counts[r["shard_id"]] = counts.get(r["shard_id"], 0) + 1
+        assert counts == {s: 32 for s in range(8)}
+        # shard ids are nondecreasing along the z-order
+        by_z = sorted(lay, key=lambda r: (r["zval"], r["event_id"]))
+        sids = [r["shard_id"] for r in by_z]
+        assert sids == sorted(sids)
+
+    def test_zone_map_pruning_beats_time_order(self):
+        """The point of the layout: for a single-user probe, the
+        fraction of shards whose [min_user, max_user] zone intersects
+        must be far smaller under z-order than under hour-ordered
+        sharding (where every shard spans every user)."""
+        t = self._grid(64, 64)
+        src = rd.from_arrow(t).materialize()
+        lay = zorder_layout(src, "user_id", "hr", n_shards=16)
+        zm = zone_maps(lay, src, ["user_id", "hr"]).to_pylist()
+        assert sum(r["n_rows"] for r in zm) == 64 * 64
+
+        def hit_fraction(maps, probe_user):
+            hit = [
+                m for m in maps
+                if m["min_user_id"] <= probe_user <= m["max_user_id"]
+            ]
+            return len(hit) / len(maps)
+
+        z_frac = np.mean([hit_fraction(zm, u) for u in (0, 17, 63)])
+        # hour-ordered sharding: shard = hr bucket -> every shard holds
+        # every user -> zone maps never prune
+        t2 = sorted(t.to_pylist(), key=lambda r: (r["hr"], r["event_id"]))
+        per = len(t2) // 16
+        tmaps = []
+        for s in range(16):
+            rows = t2[s * per : (s + 1) * per]
+            tmaps.append(
+                {
+                    "min_user_id": min(r["user_id"] for r in rows),
+                    "max_user_id": max(r["user_id"] for r in rows),
+                }
+            )
+        t_frac = np.mean([hit_fraction(tmaps, u) for u in (0, 17, 63)])
+        assert t_frac == 1.0  # time sharding cannot prune user probes
+        assert z_frac <= 0.5, z_frac  # z-order prunes at least half
+
+    def test_empty(self):
+        t = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "hr": pa.array([], pa.int64()),
+            }
+        )
+        assert zorder_layout(rd.from_arrow(t), "user_id", "hr").take_all() == []

@@ -1,0 +1,214 @@
+"""Z-order (Morton) data layout + zone maps — the lakehouse
+data-clustering step (Delta/Iceberg Z-ORDER): interleave the bits of
+two columns so rows close in BOTH dimensions land in the same output
+shard, then per-shard min/max zone maps let range scans prune shards
+on either column.
+
+Scale shape: the z-value is pure per-row bit math (vectorized numpy,
+one pass); the only wide step is ONE global sort by (zval, id) — the
+same sort any layout rewrite pays — followed by the repo's
+distributed prefix-scan (token_shards pattern: one (first-key, count)
+scalar per block to the driver, exclusive offsets broadcast back) to
+turn sorted position into an equi-depth shard id. Zone maps are a
+per-shard aggregate over the result.
+
+Cross-engine exactness: inputs are masked to 31 bits, so every shift/
+mask stays inside signed-64 range and the identical spread chain runs
+in DuckDB BIGINT operators — zval, rank and shard_id are all
+integer-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+_MASKS = (
+    (16, np.uint64(0x0000FFFF0000FFFF)),
+    (8, np.uint64(0x00FF00FF00FF00FF)),
+    (4, np.uint64(0x0F0F0F0F0F0F0F0F)),
+    (2, np.uint64(0x3333333333333333)),
+    (1, np.uint64(0x5555555555555555)),
+)
+
+
+def spread_bits(v: np.ndarray) -> np.ndarray:
+    """Spread the low 31 bits of ``v`` onto even bit positions (the
+    Morton interleave half), uint64 vectorized."""
+    x = v.astype(np.uint64) & np.uint64(0x7FFFFFFF)
+    for shift, mask in _MASKS:
+        x = (x | (x << np.uint64(shift))) & mask
+    return x
+
+
+def zorder_value(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Morton code of (x, y), 31 bits each -> 62-bit int64."""
+    return (spread_bits(x) | (spread_bits(y) << np.uint64(1))).astype(
+        np.int64
+    )
+
+
+def zorder_layout(
+    ds: Dataset,
+    x_col: str,
+    y_col: str,
+    n_shards: int = 16,
+    id_col: str = "event_id",
+) -> Dataset:
+    """(id_col, zval, shard_id): z-value per row and its equi-depth
+    shard under the z-order sort (shard = global_rank * n_shards // N).
+    Sorted by id_col."""
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("zval", pa.int64()),
+            pa.field("shard_id", pa.int64()),
+        ]
+    )
+
+    def zval_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "zval": pa.array([], pa.int64()),
+                }
+            )
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {id_col: t[id_col], "zval": pa.array(zorder_value(x, y))}
+        )
+
+    zs = (
+        ds.map_batches(zval_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["zval", id_col])
+        .materialize()
+    )
+
+    def block_head(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "z0": pa.array([], pa.int64()),
+                    "i0": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "z0": pa.array([t["zval"][0].as_py()], pa.int64()),
+                "i0": pa.array([t[id_col][0].as_py()], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    heads = zs.map_batches(
+        block_head, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    heads.sort(key=lambda r: (r["z0"], r["i0"]))
+    total = sum(r["n"] for r in heads)
+    if total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+    offsets = {}
+    run = 0
+    for r in heads:
+        offsets[(r["z0"], r["i0"])] = run
+        run += r["n"]
+
+    import ray
+
+    oref = ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        from textalyzer_ray.stages.groups import _worker_object_cache
+
+        cache = _worker_object_cache()
+        offs = cache.get(oref.hex())
+        if offs is None:
+            offs = cache[oref.hex()] = ray.get(oref)
+        base = offs[(t["zval"][0].as_py(), t[id_col][0].as_py())]
+        rank = base + np.arange(t.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "zval": t["zval"],
+                "shard_id": pa.array(rank * n_shards // total),
+            },
+            schema=out_schema,
+        )
+
+    return zs.map_batches(
+        assign, batch_format="pyarrow", batch_size=None
+    ).sort(id_col)
+
+
+def zone_maps(
+    layout: Dataset,
+    source: Dataset,
+    cols: list[str],
+    id_col: str = "event_id",
+) -> pa.Table:
+    """Per-shard min/max zone maps of ``cols`` (driver-sized: one row
+    per shard). Joins the layout's shard assignment back to the source
+    columns via a broadcast of the shard map (layouts are id -> small
+    int; at corpus scale use union_tag_lookup instead)."""
+    import polars as pl
+    import ray
+
+    lay = pa.concat_tables(ray.get(layout.to_arrow_refs()))
+    lref = ray.put(lay.select([id_col, "shard_id"]))
+
+    def tag(t: pa.Table) -> pa.Table:
+        from textalyzer_ray.stages.groups import _worker_object_cache
+
+        cache = _worker_object_cache()
+        lm = cache.get(lref.hex())
+        if lm is None:
+            lm = cache[lref.hex()] = pl.from_arrow(ray.get(lref))
+        return (
+            pl.from_arrow(t.select([id_col] + cols))
+            .join(lm, on=id_col, how="inner")
+            .to_arrow()
+        )
+
+    tagged = source.map_batches(tag, batch_format="pyarrow")
+    aggs = []
+    for c in cols:
+        aggs += [
+            pl.col(c).min().alias(f"min_{c}"),
+            pl.col(c).max().alias(f"max_{c}"),
+        ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("shard_id")
+            .agg(*aggs, pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    parts = [
+        b
+        for b in tagged.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ]
+    merged = pl.from_arrow(pa.concat_tables(parts))
+    fin = []
+    for c in cols:
+        fin += [
+            pl.col(f"min_{c}").min().alias(f"min_{c}"),
+            pl.col(f"max_{c}").max().alias(f"max_{c}"),
+        ]
+    return (
+        merged.group_by("shard_id")
+        .agg(*fin, pl.col("n").sum().alias("n_rows"))
+        .sort("shard_id")
+        .to_arrow()
+    )
