@@ -2040,6 +2040,22 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_docs(sf_dir, columns=["text"]), min_count=5)
 
 
+def _q_stream_range_join(sf_dir: str):
+    """Streaming band join with bounded state (symmetric hash join +
+    watermark eviction): purchases x views-in-the-prior-hour streamed
+    as 4 ts-ordered waves through key-sharded join actors; rows evict
+    once no future arrival can pair with them, so the emitted pair set
+    EQUALS the batch banded join (the oracle) while peak state stays
+    band-sized (pytest-pinned)."""
+    from textalyzer_ray.sources.tables import read_table
+    from textalyzer_ray.state.stream_join import stream_range_join
+
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    return stream_range_join(ev, n_waves=4)
+
+
 def _q_zorder_layout(sf_dir: str):
     """Z-order (Morton) layout over events on (user_id, hour):
     vectorized bit interleave, one global (zval, id) sort, equi-depth
@@ -2511,6 +2527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "textrank_keywords": _q_textrank_keywords,
         "zorder_layout": _q_zorder_layout,
+        "stream_range_join": _q_stream_range_join,
         "minhash_dedup": _q_minhash_dedup,
         "winnow_pairs": _q_winnow_pairs,
         "line_width_histogram_chunks": _q_line_width_histogram_chunks,
@@ -3429,6 +3446,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(stage AS BIGINT) AS stage, "
             "CAST(count(*) AS BIGINT) AS n_users "
             "FROM st GROUP BY stage ORDER BY stage"
+        ),
+        "stream_range_join": (
+            "SELECT p.event_id, v.event_id AS event_id_right "
+            "FROM events p JOIN events v ON p.user_id = v.user_id "
+            "AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts "
+            "WHERE p.event_type = 'purchase' AND v.event_type = 'view' "
+            "ORDER BY p.event_id, event_id_right"
         ),
         "zorder_layout": (
             f"WITH {_zorder_spread_ctes()} "
