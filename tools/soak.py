@@ -514,6 +514,79 @@ def main() -> dict:
     sw4 = stream_windows(big_ev, n_waves=4, n_shards=4).take_all()
     assert sw4 == sw  # shard-count invariance
 
+    # ---- streaming band-join soak (r3 continuation) ----
+    # Replicas offset BOTH ids and users (disjoint user spaces), so the
+    # pair count must be exactly per-copy pairs x repl while the
+    # watermark keeps peak state band-sized, not stream-sized.
+    from textalyzer_ray.state.stream_join import StreamBandJoin, stream_range_join
+
+    def replicate_events_users(tt: pa.Table) -> pa.Table:
+        parts = []
+        for r in range(sw_repl):
+            c = tt.set_column(
+                tt.schema.get_field_index("event_id"),
+                "event_id",
+                pa.compute.add(tt["event_id"], r * 100_000_000),
+            )
+            c = c.set_column(
+                c.schema.get_field_index("user_id"),
+                "user_id",
+                pa.compute.add(c["user_id"], r * 10_000_000),
+            )
+            parts.append(c)
+        return pa.concat_tables(parts)
+
+    evj = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    big_evj = (
+        evj.map_batches(replicate_events_users, batch_format="pyarrow")
+        .repartition(num_cpus)
+        .materialize()
+    )
+    t0 = time.monotonic()
+    n_pairs = stream_range_join(big_evj, n_waves=8, n_shards=4).count()
+    out["sj_sec"] = round(time.monotonic() - t0, 3)
+    out["sj_events"] = n_events * sw_repl
+    out["sj_pairs"] = n_pairs
+    out["sj_events_per_sec"] = round(n_events * sw_repl / out["sj_sec"], 1)
+    single_pairs = stream_range_join(evj, n_waves=8, n_shards=4).count()
+    assert n_pairs == single_pairs * sw_repl, (n_pairs, single_pairs)
+    # peak-state evidence: run one instrumented pass and record the max
+    # buffered rows across shards (must be far below the stream size)
+    jn = StreamBandJoin(n_shards=4)
+    base_ids = big_evj.select_columns(["event_id"])
+    lo_id, hi_id = int(base_ids.min("event_id")), int(base_ids.max("event_id"))
+    per = -(-(hi_id - lo_id + 1) // 8)
+    for w in range(8):
+        lo, hi = lo_id + w * per, lo_id + (w + 1) * per
+        wave = big_evj.map_batches(
+            lambda t, lo=lo, hi=hi: t.filter(
+                pa.compute.and_(
+                    pa.compute.greater_equal(t["event_id"], lo),
+                    pa.compute.less(t["event_id"], hi),
+                )
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if wave.count() == 0:
+            continue
+        jn.process_wave(wave, "purchase", "view").count()
+        wm = int(
+            wave.select_columns(["ts"]).map_batches(
+                lambda t: pa.table(
+                    {"m": pa.array([int(pa.compute.max(t["ts"].cast(pa.int64())).as_py())], pa.int64())}
+                )
+                if t.num_rows
+                else pa.table({"m": pa.array([], pa.int64())}),
+                batch_format="pyarrow",
+            ).max("m")
+        )
+        jn.advance_watermark(wm)
+    out["sj_peak_state_rows"] = jn.stats()["peak_rows"]
+    jn.shutdown()
+    assert out["sj_peak_state_rows"] < (n_events * sw_repl) // 2
+
     stop.set()
     t.join(timeout=2)
     if samples and total_store:
@@ -531,7 +604,8 @@ def main() -> dict:
         + out["kmeans_sec"]
         + out["bpe_sec"]
         + out["lsh_sec"]
-        + out["sw_sec"],
+        + out["sw_sec"]
+        + out["sj_sec"],
         3,
     )
     return out
