@@ -80,3 +80,32 @@ class TestLshIndexDedup:
         w = docs([(0, BASE)])
         kept = lsh_index_dedup([w, empty]).take_all()
         assert [r["doc_id"] for r in kept] == [0]
+
+
+class TestLshIndexPersistence:
+    def test_save_load_query_equivalence(self, tmp_path):
+        idx = LshIndex(n_band_shards=2, n_doc_shards=2, jaccard_threshold=0.5)
+        try:
+            idx.add(docs([(0, BASE), (1, OTHER)]))
+            m = idx.save(str(tmp_path / "idx"))
+            assert m["docs"] == 2 and m["postings"] > 0
+            q = docs([(5, "zz " + BASE), (6, "unrelated text entirely new")])
+            before = idx.query_earlier(q).take_all()
+        finally:
+            idx.shutdown()
+        idx2 = LshIndex.load(str(tmp_path / "idx"))
+        try:
+            assert idx2.stats() == {"postings": m["postings"], "docs": m["docs"]}
+            after = idx2.query_earlier(q).take_all()
+            assert sorted(after, key=lambda r: r["doc_id"]) == sorted(
+                before, key=lambda r: r["doc_id"]
+            )
+            assert {r["doc_id"]: r["dropped"] for r in after} == {
+                5: True,
+                6: False,
+            }
+            # the loaded index keeps accepting waves
+            idx2.add(docs([(7, OTHER + " tail")]))
+            assert idx2.stats()["docs"] == 3
+        finally:
+            idx2.shutdown()

@@ -80,6 +80,38 @@ class _BandShard:
     def n_postings(self) -> int:
         return len(self._post)
 
+    def save(self, path: str) -> int:
+        """Write this shard's postings as one parquet file (exploded
+        (band, band_hash, doc_id) rows) — each shard persists ITSELF,
+        so checkpoint volume never funnels through the driver."""
+        import pyarrow.parquet as pq
+
+        bands, hashes, ids = [], [], []
+        for (b, h), lst in self._post.items():
+            bands.extend([b] * len(lst))
+            hashes.extend([h] * len(lst))
+            ids.extend(lst)
+        t = pa.table(
+            {
+                "band": pa.array(bands, pa.int32()),
+                "band_hash": pa.array(hashes, pa.uint64()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+        pq.write_table(t, path)
+        return t.num_rows
+
+    def load(self, path: str) -> int:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        self.add(
+            t["band"].to_numpy(zero_copy_only=False),
+            t["band_hash"].to_numpy(zero_copy_only=False),
+            t["doc_id"].to_numpy(zero_copy_only=False),
+        )
+        return t.num_rows
+
 
 @ray.remote(num_cpus=0)
 class _DocShard:
@@ -99,6 +131,27 @@ class _DocShard:
 
     def n_docs(self) -> int:
         return len(self._blobs)
+
+    def save(self, path: str) -> int:
+        import pyarrow.parquet as pq
+
+        items = sorted(self._blobs.items())
+        t = pa.table(
+            {
+                "doc_id": pa.array([k for k, _ in items], pa.int64()),
+                "blob": pa.array([v for _, v in items], pa.binary()),
+            }
+        )
+        pq.write_table(t, path)
+        return t.num_rows
+
+    def load(self, path: str) -> int:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        for i, b in zip(t["doc_id"].to_pylist(), t["blob"].to_pylist()):
+            self._blobs[i] = b
+        return t.num_rows
 
 
 class LshIndex:
@@ -284,6 +337,66 @@ class LshIndex:
             ),
             "docs": sum(ray.get([a.n_docs.remote() for a in self.doc_shards])),
         }
+
+    # -- persistence ---------------------------------------------------
+    def save(self, index_dir: str) -> dict:
+        """Checkpoint the index: every shard actor writes its OWN
+        parquet file under ``index_dir`` (postings and blob volume
+        never funnel through the driver), plus a manifest carrying the
+        minhash parameters so ``load`` can verify a query-compatible
+        featurizer. Idempotent: re-saving overwrites in place."""
+        import json
+        import os
+
+        os.makedirs(index_dir, exist_ok=True)
+        futs = [
+            a.save.remote(os.path.join(index_dir, f"band_{i}.parquet"))
+            for i, a in enumerate(self.band_shards)
+        ] + [
+            a.save.remote(os.path.join(index_dir, f"docs_{i}.parquet"))
+            for i, a in enumerate(self.doc_shards)
+        ]
+        ray.get(futs)
+        manifest = {
+            "feat_kwargs": self.feat_kwargs,
+            "threshold": self.threshold,
+            "n_band_shards": len(self.band_shards),
+            "n_doc_shards": len(self.doc_shards),
+            **self.stats(),
+        }
+        with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        return manifest
+
+    @classmethod
+    def load(cls, index_dir: str) -> "LshIndex":
+        """Rebuild a saved index: fresh shard actors each read their
+        own file (parallel, driver sees only acks)."""
+        import json
+        import os
+
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            m = json.load(f)
+        kw = m["feat_kwargs"]
+        idx = cls(
+            num_perm=kw["num_perm"],
+            shingle_k=kw["shingle_k"],
+            bands=kw["bands"],
+            jaccard_threshold=m["threshold"],
+            n_band_shards=m["n_band_shards"],
+            n_doc_shards=m["n_doc_shards"],
+            id_col=kw["id_col"],
+            text_col=kw["text_col"],
+        )
+        futs = [
+            a.load.remote(os.path.join(index_dir, f"band_{i}.parquet"))
+            for i, a in enumerate(idx.band_shards)
+        ] + [
+            a.load.remote(os.path.join(index_dir, f"docs_{i}.parquet"))
+            for i, a in enumerate(idx.doc_shards)
+        ]
+        ray.get(futs)
+        return idx
 
     def shutdown(self) -> None:
         for a in self.band_shards + self.doc_shards:
