@@ -2424,7 +2424,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # word_triangles replaced line_width_histogram_chunks (line family
     # witnessed by line_length_histogram), vector_index_topk replaced
     # similarity_topk (same exact-top-k semantics through the sharded
-    # index). Rows-only entries close the dict.
+    # index), stream_range_join replaced purchase_asof_view (temporal
+    # custom-join family still covered below the cap by both the asof
+    # and batch-band variants; the streaming join carries the
+    # identical band oracle), and zorder_layout replaced
+    # cap_per_source (sampling/split family witnessed by hash_split;
+    # cap stays locally gated below the cap). Rows-only entries close
+    # the dict.
     return {
         # SQL-oracled — one per family, strongest evidence first
         "word_histogram": _q_word_histogram,
@@ -2446,7 +2452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs": _q_cosine_pairs,
         "funnel_stages": _q_funnel_stages,
         "embedding_clusters": _q_embedding_clusters,
-        "cap_per_source": _q_cap_per_source,
+        "zorder_layout": _q_zorder_layout,
         "hash_split": _q_hash_split,
         "dedup_against": _q_dedup_against,
         "approx_top_words": _q_approx_top_words,
@@ -2462,7 +2468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resumable_extract": _q_resumable_extract,
         "cust_orders_by_segment": _q_cust_orders_by_segment,
         "kmeans_clusters": _q_kmeans_clusters,
-        "purchase_asof_view": _q_purchase_asof_view,
+        "stream_range_join": _q_stream_range_join,
         "anchor_rollup": _q_anchor_rollup,
         "host_pagerank": _q_host_pagerank,
         "bpe_train": _q_bpe_train,
@@ -2526,8 +2532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_audit": _q_blocklist_audit,
         "inverted_index": _q_inverted_index,
         "textrank_keywords": _q_textrank_keywords,
-        "zorder_layout": _q_zorder_layout,
-        "stream_range_join": _q_stream_range_join,
+        "cap_per_source": _q_cap_per_source,
+        "purchase_asof_view": _q_purchase_asof_view,
         "minhash_dedup": _q_minhash_dedup,
         "winnow_pairs": _q_winnow_pairs,
         "line_width_histogram_chunks": _q_line_width_histogram_chunks,

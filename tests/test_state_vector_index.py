@@ -93,3 +93,30 @@ class TestVectorIndex:
                 idx.add(rd.range(1))
         finally:
             idx.shutdown()
+
+
+class TestVectorIndexPersistence:
+    def test_save_load_query_equivalence(self, tmp_path):
+        emb, ids, M = load()
+        idx = VectorIndex(n_centroids=8, n_shards=2)
+        try:
+            w = rd.from_arrow(emb.slice(0, 200)).materialize()
+            idx.fit(w)
+            idx.add(w)
+            q = rd.from_arrow(emb.slice(300, 5))
+            before = idx.query_topk(q, k=4).take_all()
+            m = idx.save(str(tmp_path / "vidx"))
+            assert m["vectors"] == 200
+        finally:
+            idx.shutdown()
+        idx2 = VectorIndex.load(str(tmp_path / "vidx"))
+        try:
+            assert idx2.stats()["vectors"] == 200
+            after = idx2.query_topk(q, k=4).take_all()
+            assert after == before
+            # the loaded index keeps accepting vectors
+            idx2.add(rd.from_arrow(emb.slice(300, 5)))
+            hit = idx2.query_topk(rd.from_arrow(emb.slice(300, 1)), k=1).take_all()
+            assert hit[0]["vec_id"] == hit[0]["qid"]  # exact self-hit
+        finally:
+            idx2.shutdown()

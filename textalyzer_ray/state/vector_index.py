@@ -106,6 +106,44 @@ class _CellShard:
             sum(len(a) for a in lst) for lst in self._ids.values()
         )
 
+    def save(self, path: str) -> int:
+        """Persist this shard as one parquet file: (cell, vec_id,
+        vector-bytes) rows — each shard checkpoints itself, nothing
+        funnels through the driver."""
+        import pyarrow as pa_
+        import pyarrow.parquet as pq
+
+        cells, ids, blobs = [], [], []
+        for c in sorted(self._ids):
+            for id_arr, mat in zip(self._ids[c], self._mats[c]):
+                for i, row in zip(id_arr.tolist(), mat):
+                    cells.append(c)
+                    ids.append(i)
+                    blobs.append(row.astype(np.float64).tobytes())
+        t = pa_.table(
+            {
+                "cell": pa_.array(cells, pa_.int64()),
+                "vec_id": pa_.array(ids, pa_.int64()),
+                "vec": pa_.array(blobs, pa_.binary()),
+            }
+        )
+        pq.write_table(t, path)
+        return t.num_rows
+
+    def load(self, path: str) -> int:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        cells = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = t["vec"].to_pylist()
+        if len(ids):
+            mat = np.vstack(
+                [np.frombuffer(b, dtype=np.float64) for b in blobs]
+            )
+            self.add(cells, ids, mat)
+        return len(ids)
+
 
 class VectorIndex:
     """Driver-side handle: fit centroids once, add waves, probe top-k."""
@@ -242,6 +280,76 @@ class VectorIndex:
             ),
             "n_centroids": self.n_centroids,
         }
+
+    # -- persistence ---------------------------------------------------
+    def save(self, index_dir: str) -> dict:
+        """Checkpoint: per-shard parquet (written by the shard actors)
+        + centroids and params in a manifest-side parquet/json pair."""
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        if self.centroids is None:
+            raise RuntimeError("fit() before save()")
+        os.makedirs(index_dir, exist_ok=True)
+        ray.get(
+            [
+                a.save.remote(os.path.join(index_dir, f"cells_{i}.parquet"))
+                for i, a in enumerate(self.shards)
+            ]
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "centroid": pa.array(
+                        [r.tobytes() for r in self.centroids], pa.binary()
+                    )
+                }
+            ),
+            os.path.join(index_dir, "centroids.parquet"),
+        )
+        manifest = {
+            "n_centroids": self.n_centroids,
+            "n_shards": len(self.shards),
+            "id_col": self.id_col,
+            "emb_col": self.emb_col,
+            **self.stats(),
+        }
+        with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        return manifest
+
+    @classmethod
+    def load(cls, index_dir: str) -> "VectorIndex":
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            m = json.load(f)
+        idx = cls(
+            n_centroids=m["n_centroids"],
+            n_shards=m["n_shards"],
+            id_col=m["id_col"],
+            emb_col=m["emb_col"],
+        )
+        cent = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+        idx.centroids = np.vstack(
+            [
+                np.frombuffer(b, dtype=np.float64)
+                for b in cent["centroid"].to_pylist()
+            ]
+        )
+        idx._cref = ray.put(idx.centroids)
+        ray.get(
+            [
+                a.load.remote(os.path.join(index_dir, f"cells_{i}.parquet"))
+                for i, a in enumerate(idx.shards)
+            ]
+        )
+        return idx
 
     def shutdown(self) -> None:
         for a in self.shards:
