@@ -2040,6 +2040,46 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_docs(sf_dir, columns=["text"]), min_count=5)
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Corpus snapshot diff: snapshot B = documents minus ids % 17 == 0
+    (removed), with ' changedtoken' appended where ids % 13 == 0
+    (changed), plus new ids + 2_000_000 where ids % 11 == 0 (added).
+    Text reduces to 128-bit digests in-batch; one id-aligned union-tag
+    exchange assigns statuses."""
+    import pyarrow as pa
+
+    from textalyzer_ray.pipelines.snapshot import snapshot_diff
+
+    a = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def to_b(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out_ids, out_texts = [], []
+        for i, s in zip(ids.tolist(), texts):
+            if i % 17 == 0:
+                continue
+            out_ids.append(i)
+            out_texts.append(s + " changedtoken" if i % 13 == 0 else s)
+        for i in ids.tolist():
+            if i % 11 == 0:
+                out_ids.append(i + 2_000_000)
+                out_texts.append("new doc " + str(i + 2_000_000))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+            }
+        )
+
+    b = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        to_b, batch_format="pyarrow"
+    )
+    return snapshot_diff(a, b)
+
+
 def _q_stream_range_join(sf_dir: str):
     """Streaming band join with bounded state (symmetric hash join +
     watermark eviction): purchases x views-in-the-prior-hour streamed
@@ -2534,6 +2574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": _q_textrank_keywords,
         "cap_per_source": _q_cap_per_source,
         "purchase_asof_view": _q_purchase_asof_view,
+        "snapshot_diff": _q_snapshot_diff,
         "minhash_dedup": _q_minhash_dedup,
         "winnow_pairs": _q_winnow_pairs,
         "line_width_histogram_chunks": _q_line_width_histogram_chunks,
@@ -3452,6 +3493,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(stage AS BIGINT) AS stage, "
             "CAST(count(*) AS BIGINT) AS n_users "
             "FROM st GROUP BY stage ORDER BY stage"
+        ),
+        "snapshot_diff": (
+            "WITH b AS (SELECT doc_id, text || CASE WHEN doc_id % 13 = 0 "
+            "THEN ' changedtoken' ELSE '' END AS text FROM documents "
+            "WHERE doc_id % 17 <> 0 "
+            "UNION ALL SELECT doc_id + 2000000, "
+            "'new doc ' || CAST(doc_id + 2000000 AS VARCHAR) "
+            "FROM documents WHERE doc_id % 11 = 0) "
+            "SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, "
+            "CASE WHEN a.doc_id IS NULL THEN 'added' "
+            "WHEN b.doc_id IS NULL THEN 'removed' "
+            "WHEN a.text = b.text THEN 'unchanged' "
+            "ELSE 'changed' END AS status "
+            "FROM documents a FULL JOIN b ON a.doc_id = b.doc_id "
+            "ORDER BY doc_id"
         ),
         "stream_range_join": (
             "SELECT p.event_id, v.event_id AS event_id_right "
