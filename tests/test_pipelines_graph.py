@@ -47,12 +47,18 @@ class TestTriangles:
         E = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
         t = pa.table({"a": [e[0] for e in E], "b": [e[1] for e in E]})
         want = brute(E)
-        bc = triangle_counts(rd.from_arrow(t).repartition(4)).take_all()
-        dist = triangle_counts(
-            rd.from_arrow(t).repartition(4), broadcast_threshold=0
+        small = triangle_counts(rd.from_arrow(t).repartition(4)).take_all()
+        bc = triangle_counts(
+            rd.from_arrow(t).repartition(4), small_threshold=0
         ).take_all()
-        assert bc == want
-        assert dist == want
+        dist = triangle_counts(
+            rd.from_arrow(t).repartition(4),
+            broadcast_threshold=0,
+            small_threshold=0,
+        ).take_all()
+        assert small == want  # one-task path
+        assert bc == want     # distributed, broadcast degrees
+        assert dist == want   # distributed, union-tag degrees
 
     def test_triangle_free_graph(self):
         # bipartite graphs have no triangles
