@@ -2469,8 +2469,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # and batch-band variants; the streaming join carries the
     # identical band oracle), and zorder_layout replaced
     # cap_per_source (sampling/split family witnessed by hash_split;
-    # cap stays locally gated below the cap). Rows-only entries close
-    # the dict.
+    # cap stays locally gated below the cap), and snapshot_diff
+    # replaced dedup_against (two-corpus comparison family; the
+    # incremental anti-join stays locally gated below the cap).
+    # Rows-only entries close the dict.
     return {
         # SQL-oracled — one per family, strongest evidence first
         "word_histogram": _q_word_histogram,
@@ -2494,7 +2496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": _q_embedding_clusters,
         "zorder_layout": _q_zorder_layout,
         "hash_split": _q_hash_split,
-        "dedup_against": _q_dedup_against,
+        "snapshot_diff": _q_snapshot_diff,
         "approx_top_words": _q_approx_top_words,
         "dup_span_removal": _q_dup_span_removal,
         "line_dedup_rebuild": _q_line_dedup_rebuild,
@@ -2574,7 +2576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": _q_textrank_keywords,
         "cap_per_source": _q_cap_per_source,
         "purchase_asof_view": _q_purchase_asof_view,
-        "snapshot_diff": _q_snapshot_diff,
+        "dedup_against": _q_dedup_against,
         "minhash_dedup": _q_minhash_dedup,
         "winnow_pairs": _q_winnow_pairs,
         "line_width_histogram_chunks": _q_line_width_histogram_chunks,

@@ -242,6 +242,12 @@ def run_bench() -> dict:
         "word_triangles",
         lambda: contract._q_word_triangles(sf_dir).count(),
     )
+    # Z-order layout (one global sort + distributed prefix scan over
+    # the events table) — r3 session addition
+    timed(
+        "zorder",
+        lambda: contract._q_zorder_layout(sf_dir).count(),
+    )
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)

@@ -48,5 +48,6 @@ def test_bench_emits_single_json_line():
         "bpe_doc_tokens",
         "bm25",
         "word_triangles",
+        "zorder",
     }
     assert data["n_docs"] == 500
