@@ -2040,6 +2040,36 @@ def _q_pmi_collocations(sf_dir: str):
     return pmi_collocations(_docs(sf_dir, columns=["text"]), min_count=5)
 
 
+def _q_hll_service_distinct(sf_dir: str):
+    """Incremental HLL cardinality service (state/cardinality.py):
+    three id-hash waves of documents max-merge their per-batch register
+    sets into striped accumulator actors; the final estimate equals the
+    one-shot batch estimate exactly (max-merge algebra), so the
+    SQL-recomputable HLL oracle carries over."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textalyzer_ray.state.cardinality import hll_service_distinct
+
+    waves = []
+    for w in range(3):
+        def f(t, w=w):
+            import numpy as np
+
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 3 == w))
+
+        waves.append(
+            _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+                f, batch_format="pyarrow"
+            )
+        )
+    est = hll_service_distinct(waves)
+    return rd.from_arrow(
+        pa.table({"n_distinct_est": pa.array([est], pa.int64())})
+    )
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Corpus snapshot diff: snapshot B = documents minus ids % 17 == 0
     (removed), with ' changedtoken' appended where ids % 13 == 0
@@ -2576,6 +2606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": _q_textrank_keywords,
         "cap_per_source": _q_cap_per_source,
         "purchase_asof_view": _q_purchase_asof_view,
+        "hll_service_distinct": _q_hll_service_distinct,
         "dedup_against": _q_dedup_against,
         "minhash_dedup": _q_minhash_dedup,
         "winnow_pairs": _q_winnow_pairs,
@@ -2786,7 +2817,7 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, ord, fp FROM wsmall)"
         )
 
-    return {
+    d = {
         "winnow_fingerprints": (
             f"WITH {winnow_fps_ctes('documents')} "
             "SELECT doc_id, count(*) AS n_fingerprints FROM wfps "
@@ -4012,3 +4043,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents, s GROUP BY pid, step ORDER BY pid"
         ),
     }
+    # derived oracles: the incremental HLL service max-merges register
+    # stripes, so its final estimate equals the one-shot batch estimate
+    # exactly — same SQL, output column renamed.
+    d["hll_service_distinct"] = d["approx_distinct_words"].replace(
+        "AS approx_distinct_words FROM hest", "AS n_distinct_est FROM hest"
+    )
+    return d
