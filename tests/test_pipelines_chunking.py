@@ -68,3 +68,37 @@ class TestChunkWindows:
             {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
         )
         assert chunk_windows(rd.from_arrow(t)).take_all() == []
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestChunkWindowsProperty:
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.text(alphabet="abxyz", min_size=0, max_size=3),
+                min_size=0,
+                max_size=30,
+            ).map(lambda ws: " ".join(ws)),
+            min_size=1,
+            max_size=6,
+        ),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+    )
+    def test_brute_equality_random(self, texts, size, stride):
+        import pyarrow as pa
+        import ray.data as rd
+
+        if stride > size:
+            size, stride = stride, size
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        got = (
+            chunk_windows(rd.from_arrow(t).repartition(2), size, stride)
+            .sort(["doc_id", "chunk_id"])
+            .take_all()
+        )
+        assert got == brute(texts, size, stride)

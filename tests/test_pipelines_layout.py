@@ -111,3 +111,40 @@ class TestZOrder:
             }
         )
         assert zorder_layout(rd.from_arrow(t), "user_id", "hr").take_all() == []
+
+
+class TestZOrderProperties:
+    def test_morton_bijective_and_monotone_in_each_dim(self):
+        """Property sweep (deterministic grid + random): deinterleaving
+        the z-value recovers both inputs exactly, and fixing one
+        coordinate makes z monotone in the other."""
+        import numpy as np
+
+        from textalyzer_ray.pipelines.layout import spread_bits
+
+        rng = np.random.default_rng(11)
+        x = rng.integers(0, 2**31, 2000, dtype=np.int64)
+        y = rng.integers(0, 2**31, 2000, dtype=np.int64)
+        z = zorder_value(x, y).astype(np.uint64)
+
+        def unspread(v):
+            v = v & np.uint64(0x5555555555555555)
+            for shift, mask in (
+                (1, 0x3333333333333333),
+                (2, 0x0F0F0F0F0F0F0F0F),
+                (4, 0x00FF00FF00FF00FF),
+                (8, 0x0000FFFF0000FFFF),
+                (16, 0x00000000FFFFFFFF),
+            ):
+                v = (v | (v >> np.uint64(shift))) & np.uint64(mask)
+            return v.astype(np.int64)
+
+        assert (unspread(z) == x).all()
+        assert (unspread(z >> np.uint64(1)) == y).all()
+        # monotone in x for fixed y
+        xs = np.arange(1000, dtype=np.int64)
+        fixed = np.full(1000, 77, dtype=np.int64)
+        zz = zorder_value(xs, fixed)
+        assert (np.diff(zz) > 0).all()
+        zz2 = zorder_value(fixed, xs)
+        assert (np.diff(zz2) > 0).all()
