@@ -643,8 +643,8 @@ def interval_counts(
         return (
             pl.DataFrame(
                 {
-                    type_col: pl.Series(
-                        t[type_col].to_pandas().astype(str)
+                    type_col: pl.from_arrow(
+                        t[type_col].cast(pa.large_string())
                     ),
                     "bucket": micros // 3_600_000_000,
                 }
@@ -674,7 +674,7 @@ def interval_counts(
     def fan_out(t: pa.Table) -> pa.Table:
         b = t["bucket"].to_numpy(zero_copy_only=False)
         n = t["sum_n"].to_numpy(zero_copy_only=False)
-        types = t[type_col].to_pandas().astype(str).to_numpy()
+        types = pl.from_arrow(t[type_col].cast(pa.large_string()))
         # bucket x interval membership (K small by contract)
         hit = (b[:, None] >= bounds[None, :, 0]) & (
             b[:, None] < bounds[None, :, 1]
@@ -686,7 +686,7 @@ def interval_counts(
             pl.DataFrame(
                 {
                     "interval_id": cols.astype(np.int64),
-                    type_col: types[rows],
+                    type_col: types.gather(rows),
                     "n": n[rows],
                 }
             )

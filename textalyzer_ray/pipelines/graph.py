@@ -533,6 +533,10 @@ def textrank_keywords(
     )
     pr = host_pagerank(edges, damping=damping, n_iter=n_iter)
     return pr.map_batches(
-        lambda t: t.rename_columns(["word", "pr", "pr_rank"]),
+        # rebuild by NAME (host -> word), not positionally, so a column
+        # reorder in host_pagerank can never silently mislabel output
+        lambda t: pa.table(
+            {"word": t["host"], "pr": t["pr"], "pr_rank": t["pr_rank"]}
+        ),
         batch_format="pyarrow",
     ).sort("pr_rank")

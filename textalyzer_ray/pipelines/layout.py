@@ -116,6 +116,14 @@ def zorder_layout(
     offsets = {}
     run = 0
     for r in heads:
+        # block offsets are keyed by the block's first (zval, id) row
+        # after the (zval, id) sort — duplicate id_col values could
+        # make two blocks share a head key and misassign a whole block
+        if (r["z0"], r["i0"]) in offsets:
+            raise ValueError(
+                f"zorder_layout requires unique {id_col!r} values: "
+                f"duplicate head key (zval={r['z0']}, id={r['i0']})"
+            )
         offsets[(r["z0"], r["i0"])] = run
         run += r["n"]
 

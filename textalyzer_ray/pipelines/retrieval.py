@@ -50,6 +50,12 @@ def bm25_features(
     docs with no query term still count toward avgdl)."""
     import numpy as np
 
+    if not terms:
+        # corpus_stats reads the sentinel's tf_0 column; with no terms
+        # the feature schema has no tf_* at all — fail fast here rather
+        # than with a KeyError inside a Ray task.
+        raise ValueError("terms must be non-empty")
+
     fields = [pa.field(id_col, pa.int64()), pa.field("dl", pa.int64())]
     fields += [pa.field(f"tf_{j}", pa.int64()) for j in range(len(terms))]
     feat_schema = pa.schema(fields)
@@ -139,6 +145,8 @@ def bm25_topk(
     and distance of score * 2^20 to the nearest rounding boundary) are
     measured and pytest-pinned (the kmeans float-parity pattern).
 
+    ``terms`` must be non-empty (enforced in bm25_features).
+
     Term contributions are accumulated LEFT-TO-RIGHT in ``terms``
     order, matching the SQL oracle's explicit c0 + c1 + ... chain, so
     every double op has a cross-engine twin (ln() parity is asserted
@@ -223,7 +231,13 @@ def bm25_margins(
     the top-k cut (pytest pins these against the ~1e-13 cross-engine
     double-expression error bound): min |score*2^20 - nearest 0.5
     boundary| over all scored docs, and the raw-score gap at the k-th
-    rank."""
+    rank.
+
+    TEST-ONLY: this helper materializes the per-doc feature rows on
+    the driver (``take_all``) to compute margins, so it must never be
+    called on corpus-scale inputs — production scoring goes through
+    ``bm25_topk`` (per-block top-k prune + limit). Sole caller:
+    tests/test_pipelines_retrieval.py."""
     import numpy as np
 
     feats = bm25_features(ds_docs, terms).materialize()

@@ -131,10 +131,19 @@ class StreamBandJoin:
         key_col: str = "user_id",
         ts_col: str = "ts",
         id_col: str = "event_id",
+        check_monotonic: bool = True,
     ) -> None:
         self.lo_us = lower_s * 1_000_000
         self.hi_us = upper_s * 1_000_000
         self.key_col, self.ts_col, self.id_col = key_col, ts_col, id_col
+        # Exactness vs the batch band join rests on waves arriving in
+        # nondecreasing event-time order; with check_monotonic a wave
+        # batch whose min ts predates the current watermark raises
+        # instead of silently dropping pairs (its partners may already
+        # be evicted). Disable ONLY when a weaker per-key precondition
+        # provably holds (e.g. key-disjoint substreams each wholly
+        # contained in single waves — the soak's replicated corpus).
+        self.check_monotonic = check_monotonic
         self.shards = [
             _JoinShard.remote(self.lo_us, self.hi_us) for _ in range(n_shards)
         ]
@@ -150,6 +159,9 @@ class StreamBandJoin:
         shards = self.shards
         ns = len(shards)
         key_col, ts_col, id_col = self.key_col, self.ts_col, self.id_col
+        # watermark snapshot BEFORE the wave: intra-wave batch order is
+        # arbitrary, so each batch checks against the pre-wave mark
+        wm_check = self.watermark if self.check_monotonic else None
         out_schema = pa.schema(
             [
                 pa.field(id_col, pa.int64()),
@@ -161,6 +173,14 @@ class StreamBandJoin:
             if t.num_rows == 0:
                 return out_schema.empty_table()
             us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if wm_check is not None and us.size and int(us.min()) < wm_check:
+                raise ValueError(
+                    "stream join wave violates the nondecreasing-"
+                    f"event-time precondition: batch min ts {us.min()} "
+                    f"< watermark {wm_check} — partners may already be "
+                    "evicted. Pass check_monotonic=False only if a "
+                    "per-key ordering argument holds."
+                )
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
             types = np.asarray(t[type_col].to_pylist())
@@ -228,6 +248,7 @@ def stream_range_join(
     upper_s: int = 0,
     n_shards: int = 2,
     id_col: str = "event_id",
+    check_monotonic: bool = True,
 ) -> Dataset:
     """Gate composition: split ts-ordered events into ``n_waves``
     contiguous id ranges (ts is nondecreasing in event_id for this
@@ -253,7 +274,11 @@ def stream_range_join(
     span = hi_id - lo_id + 1
     per = -(-span // n_waves)
     jn = StreamBandJoin(
-        lower_s=lower_s, upper_s=upper_s, n_shards=n_shards, id_col=id_col
+        lower_s=lower_s,
+        upper_s=upper_s,
+        n_shards=n_shards,
+        id_col=id_col,
+        check_monotonic=check_monotonic,
     )
     try:
         results = []

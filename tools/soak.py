@@ -544,8 +544,18 @@ def main() -> dict:
         .repartition(num_cpus)
         .materialize()
     )
+    # check_monotonic=False: the replicated stream violates the GLOBAL
+    # nondecreasing-ts precondition (each id-offset replica restarts
+    # the ts range), but replicas use DISJOINT user keys and each
+    # replica is a ~1e5-id sliver at the head of its 1e8-id block, so
+    # wave boundaries (span/8 apart) fall in the empty gaps and no
+    # sliver straddles a wave — every key's substream is wholly inside
+    # one wave and eviction can never drop a partner. The exact
+    # pair-count invariant below (pairs == single x repl) is the proof.
     t0 = time.monotonic()
-    n_pairs = stream_range_join(big_evj, n_waves=8, n_shards=4).count()
+    n_pairs = stream_range_join(
+        big_evj, n_waves=8, n_shards=4, check_monotonic=False
+    ).count()
     out["sj_sec"] = round(time.monotonic() - t0, 3)
     out["sj_events"] = n_events * sw_repl
     out["sj_pairs"] = n_pairs
@@ -554,7 +564,7 @@ def main() -> dict:
     assert n_pairs == single_pairs * sw_repl, (n_pairs, single_pairs)
     # peak-state evidence: run one instrumented pass and record the max
     # buffered rows across shards (must be far below the stream size)
-    jn = StreamBandJoin(n_shards=4)
+    jn = StreamBandJoin(n_shards=4, check_monotonic=False)  # same rationale
     base_ids = big_evj.select_columns(["event_id"])
     lo_id, hi_id = int(base_ids.min("event_id")), int(base_ids.max("event_id"))
     per = -(-(hi_id - lo_id + 1) // 8)
