@@ -476,6 +476,120 @@ def main() -> dict:
     ).count()
     assert kept_lsh == kept_one * dedup_repl, (kept_lsh, kept_one, dedup_repl)
 
+    # ---- crash-resume drill: LSH index service (r4 judge item #2) ----
+    # Operational recovery story at soak volume: checkpoint after wave
+    # k, HARD-KILL every shard actor (simulated node loss mid-run),
+    # restore fresh actors from the per-shard parquet manifests, finish
+    # the remaining waves, and assert the total kept count equals the
+    # uninterrupted run's (kept_lsh above).
+    import shutil
+    import tempfile
+
+    from textalyzer_ray.state.lsh_index import LshIndex
+
+    def kept_count(res) -> int:
+        return res.map_batches(
+            lambda t: t.filter(pa.compute.invert(t["dropped"])),
+            batch_format="pyarrow",
+        ).count()
+
+    lsh_ckpt = os.path.join(tempfile.gettempdir(), "soak_lsh_ckpt")
+    shutil.rmtree(lsh_ckpt, ignore_errors=True)
+    crash_after = max(1, lsh_waves // 2)
+    wave_mats = [w.materialize() for w in waves]
+    t0 = time.monotonic()
+    idx = LshIndex(bands=32)
+    kept_resumed = 0
+    for w in range(crash_after):
+        idx.add(wave_mats[w])
+        kept_resumed += kept_count(idx.query_earlier(wave_mats[w]))
+    t_ck = time.monotonic()
+    idx.save(lsh_ckpt)
+    out["lsh_ckpt_save_sec"] = round(time.monotonic() - t_ck, 3)
+    for a in idx.band_shards + idx.doc_shards:
+        ray.kill(a)  # node loss: no graceful shutdown, state is gone
+    t_ld = time.monotonic()
+    idx2 = LshIndex.load(lsh_ckpt)
+    out["lsh_ckpt_load_sec"] = round(time.monotonic() - t_ld, 3)
+    for w in range(crash_after, lsh_waves):
+        idx2.add(wave_mats[w])
+        kept_resumed += kept_count(idx2.query_earlier(wave_mats[w]))
+    idx2.shutdown()
+    out["lsh_resume_sec"] = round(time.monotonic() - t0, 3)
+    out["lsh_resume_crash_after_wave"] = crash_after
+    out["lsh_resume_kept"] = kept_resumed
+    assert kept_resumed == kept_lsh, (kept_resumed, kept_lsh)
+    shutil.rmtree(lsh_ckpt, ignore_errors=True)
+
+    # ---- crash-resume drill: vector index service ----
+    # Same story for the IVF index: fit once on wave 0 (deterministic
+    # centroids), index waves, checkpoint, kill, restore, finish; the
+    # exact top-k answer (full probe) must equal the uninterrupted
+    # run's row-for-row.
+    from textalyzer_ray.state.vector_index import VectorIndex
+
+    vi_waves_n = 4
+    vi_per = max(1, kmeans_repl // vi_waves_n)
+
+    def vi_slice(lo: int, hi: int):
+        def f(tt: pa.Table) -> pa.Table:
+            r = tt["vec_id"].to_numpy(zero_copy_only=False) // 10_000_000
+            return tt.filter(pa.array((r >= lo) & (r < hi)))
+
+        return f
+
+    vi_waves = [
+        big_emb.map_batches(
+            vi_slice(
+                w * vi_per,
+                (w + 1) * vi_per if w < vi_waves_n - 1 else kmeans_repl,
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        for w in range(vi_waves_n)
+    ]
+    queries = emb.materialize()
+
+    def topk_rows(res) -> list:
+        return sorted(
+            (r["qid"], r["rank"], r["vec_id"]) for r in res.take_all()
+        )
+
+    t0 = time.monotonic()
+    vi = VectorIndex(n_centroids=16, n_shards=4)
+    vi.fit(vi_waves[0])
+    for w in vi_waves:
+        vi.add(w)
+    want_topk = topk_rows(vi.query_topk(queries, k=5))
+    vi_vectors = vi.stats()["vectors"]
+    vi.shutdown()
+    out["vi_full_sec"] = round(time.monotonic() - t0, 3)
+    out["vi_vectors"] = vi_vectors
+
+    vi_ckpt = os.path.join(tempfile.gettempdir(), "soak_vi_ckpt")
+    shutil.rmtree(vi_ckpt, ignore_errors=True)
+    t0 = time.monotonic()
+    vi = VectorIndex(n_centroids=16, n_shards=4)
+    vi.fit(vi_waves[0])
+    for w in vi_waves[:2]:
+        vi.add(w)
+    t_ck = time.monotonic()
+    vi.save(vi_ckpt)
+    out["vi_ckpt_save_sec"] = round(time.monotonic() - t_ck, 3)
+    for a in vi.shards:
+        ray.kill(a)
+    t_ld = time.monotonic()
+    vi2 = VectorIndex.load(vi_ckpt)
+    out["vi_ckpt_load_sec"] = round(time.monotonic() - t_ld, 3)
+    for w in vi_waves[2:]:
+        vi2.add(w)
+    got_topk = topk_rows(vi2.query_topk(queries, k=5))
+    assert vi2.stats()["vectors"] == vi_vectors
+    vi2.shutdown()
+    out["vi_resume_sec"] = round(time.monotonic() - t0, 3)
+    assert got_topk == want_topk, (got_topk[:5], want_topk[:5])
+    shutil.rmtree(vi_ckpt, ignore_errors=True)
+
     # ---- streaming-window soak (r3 continuation) ----
     # Events replicated with id offsets (hash waves interleave event
     # time, forcing heavy late-drop traffic through the watermark
