@@ -1965,6 +1965,44 @@ def _q_resumable_extract(sf_dir: str):
     )
 
 
+def _q_resumable_funnel(sf_dir: str):
+    """Crash+resume curation funnel under PartitionedRunner: phase 1
+    checkpoints the GLOBAL C4 first-occurrence winners split by doc
+    range; a forced abort after phase 1 + one docs partition simulates
+    a mid-run crash; the resume run skips every complete partition
+    (asserted — in particular the global winners job never re-runs)
+    and the final kept set equals curation_funnel's, so this query
+    carries the SAME hash oracle as curation_funnel."""
+    import hashlib
+    import shutil
+
+    from textalyzer_ray.pipelines.resumable import (
+        _ForcedAbort,
+        funnel_output,
+        resumable_funnel,
+    )
+
+    tag = hashlib.blake2b(
+        ("rfunnel:" + sf_dir).encode(), digest_size=4
+    ).hexdigest()
+    out_dir = f"/tmp/textalyzer_ray_rfunnel_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        resumable_funnel(
+            sf_dir, out_dir, _chunk_lines_table, rules=_FUNNEL_RULES,
+            n_partitions=4, abort_after_builds=5,
+        )
+        raise AssertionError("drill abort did not fire")
+    except _ForcedAbort:
+        pass
+    summary = resumable_funnel(
+        sf_dir, out_dir, _chunk_lines_table, rules=_FUNNEL_RULES,
+        n_partitions=4,
+    )
+    assert len(summary["skipped"]) == 5 and len(summary["ran"]) == 3, summary
+    return funnel_output(out_dir).sort("doc_id")
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     """Distributed TF-IDF (tf ⋈ df hash join, no driver vocabulary).
     The driver-gated projection drops the float score column — rank and
@@ -2507,13 +2545,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-oracled — one per family, strongest evidence first
         "word_histogram": _q_word_histogram,
         "line_length_histogram": _q_line_length_histogram,
-        "doc_token_counts": _q_doc_token_counts,
+        "pmi_collocations": _q_pmi_collocations,
         "minhash_pairs": _q_minhash_pairs,
         "lsh_index_dedup": _q_lsh_index_dedup,
         "simhash_pairs": _q_simhash_pairs,
         "stream_windows": _q_stream_windows,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "sessionize": _q_sessionize,
+        "inverted_index": _q_inverted_index,
+        "cohort_retention": _q_cohort_retention,
         "word_triangles": _q_word_triangles,
         "image_dhash_groups": _q_image_dhash_groups,
         "exact_dedup_distributed": _q_exact_dedup_distributed,
@@ -2527,27 +2565,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout": _q_zorder_layout,
         "hash_split": _q_hash_split,
         "snapshot_diff": _q_snapshot_diff,
-        "approx_top_words": _q_approx_top_words,
+        "hll_service_distinct": _q_hll_service_distinct,
         "dup_span_removal": _q_dup_span_removal,
         "line_dedup_rebuild": _q_line_dedup_rebuild,
         "video_vhash_groups": _q_video_vhash_groups,
         "extract_text": _q_extract_text,
         "warc_extract": _q_warc_extract,
-        "outlinks": _q_outlinks,
-        "quality_components": _q_quality_components,
+        "skyline_docs": _q_skyline_docs,
+        "nfc_clean": _q_nfc_clean,
         "readability": _q_readability,
         "langid": _q_langid,
-        "resumable_extract": _q_resumable_extract,
-        "cust_orders_by_segment": _q_cust_orders_by_segment,
+        "resumable_funnel": _q_resumable_funnel,
+        "grouping_sets": _q_grouping_sets,
         "kmeans_clusters": _q_kmeans_clusters,
         "stream_range_join": _q_stream_range_join,
         "anchor_rollup": _q_anchor_rollup,
-        "host_pagerank": _q_host_pagerank,
+        "textrank_keywords": _q_textrank_keywords,
         "bpe_train": _q_bpe_train,
         "rep_signals": _q_rep_signals,
         "curation_funnel": _q_curation_funnel,
         "chars_quantiles": _q_chars_quantiles,
-        "token_shards": _q_token_shards,
+        "chunk_windows": _q_chunk_windows,
         "decontaminate": _q_decontaminate,
         "scrub_pii": _q_scrub_pii,
         "bloom_url_seen": _q_bloom_url_seen,
@@ -2556,7 +2594,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "classifier_scores": _q_classifier_scores,
         # SQL-oracled, redundant coverage (same families as entries
-        # above) — first to fall past a driver cap
+        # above) — first to fall past a driver cap. r4 rotation parked
+        # ten r3-driver-green veterans here (each family keeps an
+        # in-window representative): tfidf_top_terms (bm25_topk +
+        # pmi_collocations), sessionize (funnel_stages +
+        # cohort_retention), doc_token_counts (word_histogram),
+        # host_pagerank (textrank_keywords runs the same chain),
+        # token_shards (chunk_windows + hash_split),
+        # cust_orders_by_segment (grouping_sets), outlinks
+        # (anchor_rollup), quality_components (rep_signals +
+        # readability), approx_top_words (minhash/simhash sketches +
+        # hll_service_distinct), resumable_extract (resumable_funnel,
+        # strictly stronger: forced abort + global-stage checkpoint).
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "sessionize": _q_sessionize,
+        "doc_token_counts": _q_doc_token_counts,
+        "host_pagerank": _q_host_pagerank,
+        "token_shards": _q_token_shards,
+        "cust_orders_by_segment": _q_cust_orders_by_segment,
+        "outlinks": _q_outlinks,
+        "quality_components": _q_quality_components,
+        "approx_top_words": _q_approx_top_words,
+        "resumable_extract": _q_resumable_extract,
         "word_histogram_by_lang": _q_word_histogram_by_lang,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "bigram_histogram": _q_bigram_histogram,
@@ -2605,6 +2664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "textrank_keywords": _q_textrank_keywords,
         "cap_per_source": _q_cap_per_source,
+        "resumable_funnel": _q_resumable_funnel,
         "purchase_asof_view": _q_purchase_asof_view,
         "hll_service_distinct": _q_hll_service_distinct,
         "dedup_against": _q_dedup_against,
@@ -4049,4 +4109,7 @@ def oracle_sql() -> dict[str, str]:
     d["hll_service_distinct"] = d["approx_distinct_words"].replace(
         "AS approx_distinct_words FROM hest", "AS n_distinct_est FROM hest"
     )
+    # The crash+resume funnel produces the identical kept set to the
+    # one-shot funnel by construction — same oracle.
+    d["resumable_funnel"] = d["curation_funnel"]
     return d

@@ -249,6 +249,41 @@ def run_bench() -> dict:
         lambda: contract._q_zorder_layout(sf_dir).count(),
     )
 
+    # Stateful-service tier (r4): incremental LSH wave dedup through
+    # the sharded index actors (vectorized r4 ingest), and the sharded
+    # IVF vector-index probe — round-over-round tracking for the
+    # services, not only soak notes.
+    def lsh_wave():
+        import pyarrow.compute as pc
+
+        from textalyzer_ray.state.lsh_index import lsh_index_dedup
+
+        base = (
+            docs(cpu_heavy=True)
+            .select_columns(["doc_id", "text"])
+            .materialize()
+        )
+        per = -(-n_docs // 4)  # dense 0..n-1 ids: 4 id-ordered waves
+        waves = [
+            base.map_batches(
+                lambda t, lo=w * per, hi=(w + 1) * per: t.filter(
+                    pc.and_(
+                        pc.greater_equal(t["doc_id"], lo),
+                        pc.less(t["doc_id"], hi),
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+            for w in range(4)
+        ]
+        return lsh_index_dedup(waves, bands=32).count()
+
+    timed("lsh_wave_dedup", lsh_wave)
+    timed(
+        "vector_probe",
+        lambda: contract._q_vector_index_topk(sf_dir).count(),
+    )
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     # In-run hardware control: this shared VM intermittently loses 2-20x
@@ -264,11 +299,41 @@ def run_bench() -> dict:
         t0 = time.monotonic()
         pool.map(_hw_burn, [8_000_000] * 16)
         hw_jobs_per_sec = round(16 / (time.monotonic() - t0), 2)
+    # Per-query best-of-recorded-runs table (r4 judge item #10): the
+    # steal protocol says single contended readings are not comparable,
+    # so the bench file itself carries the running per-query bests
+    # (BENCH_BEST.json, updated only from full-suite 32-cpu sf0.1 runs)
+    # alongside this run's numbers — self-interpreting for the driver.
+    best_s = dict(timings)
+    best_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BEST.json")
+    is_reference_shape = (
+        sf_dir.rstrip("/").endswith("sf0.1") and num_cpus == 32
+    )
+    if is_reference_shape:
+        try:
+            with open(best_path) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = {}
+        best_s = {
+            q: round(min(t, prev.get(q, t)), 3) for q, t in timings.items()
+        }
+        # keep bests for queries not in this run's suite (old entries)
+        for q, t in prev.items():
+            best_s.setdefault(q, t)
+        try:
+            with open(best_path, "w") as f:
+                json.dump(best_s, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
     return {
         "metric": "extraction+metrics pipeline suite wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "best_s": best_s,
+        "best_sum": round(sum(best_s.get(q, t) for q, t in timings.items()), 3),
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "n_docs": n_docs,

@@ -259,6 +259,28 @@ def dedup_lines_rebuild(
     in-block (collision-proof); pass 2 partitions by doc id and joins
     the survivors in line order — each line crosses an exchange exactly
     twice, and no step sees more than one key's rows at once."""
+    kept, num_partitions, id_type = dedup_lines_winners(
+        lines, id_col, line_col, content_col, num_partitions
+    )
+    return rebuild_documents(
+        kept, id_col, line_col, content_col, sep, num_partitions, id_type
+    )
+
+
+def dedup_lines_winners(
+    lines: Dataset,
+    id_col: str = "doc_id",
+    line_col: str = "line_number",
+    content_col: str = "content",
+    num_partitions: int | None = None,
+) -> tuple[Dataset, int, "pa.DataType"]:
+    """Pass 1 of the C4 line dedup: the globally FIRST occurrence of
+    each distinct line (min (doc_id, line_number) per actual content,
+    collision-proof via the content-hash alignment). Returns (winners,
+    num_partitions, id_type) so callers can reuse the sizing and id
+    type for the rebuild exchange. Factored out so partition-addressed
+    runs (pipelines/resumable.py resumable_funnel) can checkpoint the
+    global stage's output and rebuild per doc-range partition."""
     import polars as pl
 
     from textalyzer_ray.stages.dedup import add_content_hash
@@ -277,16 +299,9 @@ def dedup_lines_rebuild(
         # (lines, then surviving lines), and partition count bounds
         # rows-per-partition memory, not group count
         num_partitions = partitions_for(hashed.count())
-    # schema() can still be None when the first materialized block is
-    # empty (filter stages emit schema-less empty tables); fall back to
-    # int64 ids — the repo-wide id type
-    sch = hashed.schema()
-    id_type = (
-        sch.base_schema.field(id_col).type if sch is not None else pa.int64()
-    )
     line_schema = pa.schema(
         [
-            pa.field(id_col, id_type),
+            pa.field(id_col, _id_type_of(hashed, id_col)),
             pa.field(line_col, pa.int64()),
             pa.field(content_col, pa.string()),
         ]
@@ -307,14 +322,70 @@ def dedup_lines_rebuild(
         hashed, ["content_hash"], first_occurrence,
         num_partitions=num_partitions,
     )
+    return kept, num_partitions, line_schema.field(id_col).type
+
+
+def _id_type_of(ds: Dataset, id_col: str):
+    # schema() can still be None when the first materialized block is
+    # empty (filter stages emit schema-less empty tables); fall back to
+    # int64 ids — the repo-wide id type
+    sch = ds.schema()
+    return sch.base_schema.field(id_col).type if sch is not None else pa.int64()
+
+
+def rebuild_documents(
+    kept: Dataset,
+    id_col: str = "doc_id",
+    line_col: str = "line_number",
+    content_col: str = "content",
+    sep: str = " ",
+    num_partitions: int | None = None,
+    id_type: "pa.DataType | None" = None,
+) -> Dataset:
+    """Pass 2 of the C4 line dedup: reassemble each document from its
+    surviving (id, line_number, content) rows in line order ->
+    (id_col, text) sorted by id."""
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import grouped_apply
 
     out_schema = pa.schema(
-        [pa.field(id_col, id_type), pa.field("text", pa.string())]
+        [
+            pa.field(
+                id_col,
+                id_type if id_type is not None else _id_type_of(kept, id_col),
+            ),
+            pa.field("text", pa.string()),
+        ]
     )
+    rebuild = rebuild_table_fn(id_col, line_col, content_col, sep, out_schema)
+
+    if num_partitions is None:
+        from textalyzer_ray.stages.groups import partitions_for
+
+        kept = kept.materialize()
+        num_partitions = partitions_for(kept.count())
+    return grouped_apply(
+        kept, [id_col], rebuild, num_partitions=num_partitions
+    ).sort(id_col)
+
+
+def rebuild_table_fn(
+    id_col: str,
+    line_col: str,
+    content_col: str,
+    sep: str,
+    out_schema: pa.Schema,
+):
+    """The per-group document-reassembly kernel (sort by line, join
+    with sep) as a reusable batch fn — callers that already co-locate a
+    doc's lines in one block (e.g. resumable_funnel's doc-range
+    partitions) apply it directly without a shuffle."""
+    import polars as pl
 
     def rebuild(t: pa.Table) -> pa.Table:
         return (
-            pl.from_arrow(t)
+            pl.from_arrow(t.select([id_col, line_col, content_col]))
             .sort([id_col, line_col])
             .group_by(id_col, maintain_order=True)
             .agg(pl.col(content_col).str.join(sep).alias("text"))
@@ -322,9 +393,7 @@ def dedup_lines_rebuild(
             .cast(out_schema)
         )
 
-    return grouped_apply(
-        kept, [id_col], rebuild, num_partitions=num_partitions
-    ).sort(id_col)
+    return rebuild
 
 
 def remove_boilerplate_lines(
@@ -872,6 +941,23 @@ def curation_funnel(
     new semantics, it demonstrates they compose without materializing
     between stages (the only pipeline breaks are the two key-aligned
     shuffles inside the line dedup)."""
+    kept = curation_gate(ds, rules, id_col, text_col)
+    lines = kept.map_batches(explode_fn, batch_format="pyarrow")
+    rebuilt = dedup_lines_rebuild(lines, id_col=id_col)
+    return hash_split(rebuilt, id_col, train_fraction).sort(id_col)
+
+
+def curation_gate(
+    ds: Dataset,
+    rules: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """The funnel's Gopher quality gate as a standalone stage: score
+    every document, keep those passing every selected rule column,
+    return the surviving (id_col, text_col) rows. Factored out so the
+    partition-addressed funnel (pipelines/resumable.py) runs the same
+    gate byte-for-byte."""
     import functools
 
     import pyarrow.compute as pc
@@ -892,10 +978,7 @@ def curation_funnel(
         )
         return t.filter(mask).select([id_col, text_col])
 
-    kept = scored.map_batches(keep_filter, batch_format="pyarrow")
-    lines = kept.map_batches(explode_fn, batch_format="pyarrow")
-    rebuilt = dedup_lines_rebuild(lines, id_col=id_col)
-    return hash_split(rebuilt, id_col, train_fraction).sort(id_col)
+    return scored.map_batches(keep_filter, batch_format="pyarrow")
 
 
 def hash_split(

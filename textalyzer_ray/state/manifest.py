@@ -188,3 +188,45 @@ def partition_documents_path(sf_dir: str, n_partitions: int) -> list[dict]:
         }
         for i, lo in enumerate(range(0, n_rows, step))
     ]
+
+
+def partition_documents_by_id(
+    sf_dir: str, n_partitions: int, id_col: str = "doc_id"
+) -> list[dict]:
+    """Split the documents table into equal ID-RANGE partitions from
+    the parquet row-group statistics (no data scan). Unlike
+    ``partition_documents_path`` this stays correct for sparse /
+    offset id spaces (e.g. replica-offset soak corpora): every id
+    falls in exactly one range, empty ranges are legal. For dense
+    0..n-1 ids the plan coincides with the row-range plan."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    md = pq.read_metadata(path)
+    idx = pq.read_schema(path).get_field_index(id_col)
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            mins, maxs = [], []
+            break
+        mins.append(st.min)
+        maxs.append(st.max)
+    if mins:
+        lo_id, hi_id = min(mins), max(maxs) + 1
+    else:  # stats missing: one cheap single-column scan
+        t = pq.read_table(path, columns=[id_col])
+        import pyarrow.compute as pc
+
+        lo_id = pc.min(t[id_col]).as_py()
+        hi_id = pc.max(t[id_col]).as_py() + 1
+    step = max(1, (hi_id - lo_id + n_partitions - 1) // n_partitions)
+    return [
+        {
+            "pid": f"{i:05d}",
+            "inputs": [f"{path}#ids={lo}-{min(lo + step, hi_id)}"],
+            "row_range": (lo, min(lo + step, hi_id)),
+            "path": path,
+        }
+        for i, lo in enumerate(range(lo_id, hi_id, step))
+    ]
