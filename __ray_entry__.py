@@ -461,6 +461,79 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 4) -> str:
     )
 
 
+def _pq_oracle_sql(n_subspaces: int = 4, k: int = 8, n_iter: int = 4) -> str:
+    """Product-quantization oracle: one unrolled Lloyd chain PER
+    subspace (the _kmeans_oracle_ctes idiom with a dimension-sliced
+    ``v`` and name prefix so the chains coexist in one WITH), final
+    assignments joined on vec_id into the wide code row. Dimension
+    bounds replicate pq_codes' ``dim * j // m`` splits; dim is read
+    with a scalar subquery so the SQL needs no literal dim."""
+    parts: list[str] = []
+    finals: list[str] = []
+    assign_tpl = (
+        "{name} AS {mat}(SELECT vec_id, c FROM ("
+        "SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d, c) AS rn FROM (SELECT v.vec_id, p.c, "
+        "sum((v.x - p.x)*(v.x - p.x)) AS d FROM {pv} v JOIN {prev} p "
+        "USING (i) GROUP BY v.vec_id, p.c)) WHERE rn = 1)"
+    )
+    parts.append(
+        "dimt AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1)"
+    )
+    for s in range(n_subspaces):
+        p = f"s{s}"
+        lo = f"(SELECT dim * {s} // {n_subspaces} FROM dimt)"
+        hi = f"(SELECT dim * {s + 1} // {n_subspaces} FROM dimt)"
+        parts.append(
+            f"{p}v AS MATERIALIZED (SELECT vec_id, i, "
+            "CAST(embedding[i] AS DOUBLE) AS x FROM (SELECT vec_id, "
+            "embedding, unnest(generate_series("
+            f"{lo} + 1, {hi})) AS i FROM embeddings))"
+        )
+        parts.append(
+            f"{p}init AS (SELECT vec_id, row_number() OVER "
+            "(ORDER BY vec_id) - 1 AS c FROM (SELECT vec_id "
+            f"FROM embeddings ORDER BY vec_id LIMIT {k}))"
+        )
+        parts.append(
+            f"{p}c0 AS MATERIALIZED (SELECT c, i, x FROM {p}init "
+            f"JOIN {p}v USING (vec_id))"
+        )
+        for t in range(1, n_iter + 1):
+            parts.append(
+                assign_tpl.format(
+                    name=f"{p}a{t}", mat="MATERIALIZED ",
+                    pv=f"{p}v", prev=f"{p}c{t-1}",
+                )
+            )
+            parts.append(
+                f"{p}c{t} AS MATERIALIZED (SELECT a.c, v.i, "
+                f"sum(v.x)/count(*) AS x FROM {p}a{t} a JOIN {p}v v "
+                "USING (vec_id) GROUP BY a.c, v.i "
+                f"UNION ALL SELECT c, i, x FROM {p}c{t-1} "
+                f"WHERE c NOT IN (SELECT DISTINCT c FROM {p}a{t}))"
+            )
+        fin = n_iter + 1
+        parts.append(
+            assign_tpl.format(
+                name=f"{p}a{fin}", mat="",
+                pv=f"{p}v", prev=f"{p}c{n_iter}",
+            )
+        )
+        finals.append(f"{p}a{fin}")
+    sel = ", ".join(
+        f"CAST(f{s}.c AS BIGINT) AS code_{s}"
+        for s in range(n_subspaces)
+    )
+    joins = f"{finals[0]} f0"
+    for s in range(1, n_subspaces):
+        joins += f" JOIN {finals[s]} f{s} USING (vec_id)"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT vec_id, {sel} FROM {joins} ORDER BY vec_id"
+    )
+
+
 def _bpe_oracle_ctes(tokens_cte: str, n_merges: int) -> tuple[str, str]:
     """Unrolled BPE trainer in DuckDB: per round, a self-join pair
     count -> LIMIT-1 argmax (count desc, pair lex asc) -> greedy
@@ -2003,6 +2076,60 @@ def _q_resumable_funnel(sf_dir: str):
     return funnel_output(out_dir).sort("doc_id")
 
 
+def _q_pq_codes(sf_dir: str):
+    """Product-quantization codes (Jégou et al. 2011): 4 independent
+    deterministic Lloyd codebooks over contiguous embedding slices,
+    all trained and applied in fused streaming passes. Oracle = four
+    prefixed unrolled kmeans chains joined on vec_id; the kmeans
+    float-parity protocol applies per subspace (margins pinned in
+    tests/test_pipelines_similarity.py)."""
+    from textalyzer_ray.pipelines.similarity import pq_codes
+    from textalyzer_ray.sources.tables import read_table
+
+    return pq_codes(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        n_subspaces=4,
+        k=8,
+        n_iter=4,
+    )
+
+
+def _q_word_kcore(sf_dir: str):
+    """k-core decomposition (Seidman 1983) of the bigram word graph
+    (the word_triangles edge set): iterative degree peel to fixpoint.
+    The oracle unrolls the same fixed round budget as MATERIALIZED
+    CTEs (CLAUDE.md r3: plain CTEs re-scan 3^k times); rounds past the
+    fixpoint are no-ops, and the impl RAISES if unconverged within the
+    budget, so equality is total whenever the query returns."""
+    from textalyzer_ray.pipelines.graph import word_kcore
+
+    return word_kcore(_docs(sf_dir, columns=["text"]), k=4, min_count=5)
+
+
+def _q_pivot_counts(sf_dir: str):
+    """Wide pivot of the event stream: one row per user with a BIGINT
+    count column per broadcast event type (conditional-sum partials +
+    one partial-combine exchange; no per-type passes)."""
+    from textalyzer_ray.pipelines.analytics import pivot_counts
+    from textalyzer_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(ev, ["view", "click", "purchase"])
+
+
+def _q_count_min_words(sf_dir: str):
+    """Count-Min sketch word counts (Cormode & Muthukrishnan 2005):
+    (word, n, n_cms) per distinct word. The sketch's counter table is
+    replayed bit-for-bit in SQL from the same hll_hash64 chain and
+    Kirsch-Mitzenmacher buckets as the bloom oracle; the CMS one-sided
+    bound n_cms >= n is implied by the hash equality."""
+    from textalyzer_ray.pipelines.frequency import count_min_words
+
+    return count_min_words(
+        _docs(sf_dir, columns=["text"]), depth=4, width=16384
+    )
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     """Distributed TF-IDF (tf ⋈ df hash join, no driver vocabulary).
     The driver-gated projection drops the float score column — rank and
@@ -2606,6 +2733,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # readability), approx_top_words (minhash/simhash sketches +
         # hll_service_distinct), resumable_extract (resumable_funnel,
         # strictly stronger: forced abort + global-stage checkpoint).
+        # new r4 families queued for the next window rotation
+        "count_min_words": _q_count_min_words,
+        "pivot_counts": _q_pivot_counts,
+        "word_kcore": _q_word_kcore,
+        "pq_codes": _q_pq_codes,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "sessionize": _q_sessionize,
         "doc_token_counts": _q_doc_token_counts,
@@ -4112,4 +4244,67 @@ def oracle_sql() -> dict[str, str]:
     # The crash+resume funnel produces the identical kept set to the
     # one-shot funnel by construction — same oracle.
     d["resumable_funnel"] = d["curation_funnel"]
+    # Count-Min sketch: counters replayed from the hll_hash64 chain +
+    # the bloom Kirsch-Mitzenmacher bucket rule (h1 = lo half,
+    # h2 = hi half | 1, bucket_i = (h1 + i*h2) mod width). All BIGINT:
+    # lo < 2^32, i*(hi|1) < 4*2^32.
+    d["count_min_words"] = (
+        "WITH RECURSIVE toks AS (" + tokens_cte + "), "
+        "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n "
+        "FROM toks GROUP BY word), "
+        + _hll_hash64_oracle_ctes("wc", "word", "word")
+        + ", steps(i) AS (SELECT unnest(generate_series(0, 3))), "
+        "buckets AS (SELECT w.word, w.n, s.i, "
+        "CAST((b.lo + s.i * (b.hi | 1)) % 16384 AS BIGINT) AS bucket "
+        "FROM wc w JOIN bx3 b USING (word), steps s), "
+        "ctr AS (SELECT i, bucket, SUM(n) AS c FROM buckets "
+        "GROUP BY i, bucket), "
+        "est AS (SELECT bu.word, CAST(min(ct.c) AS BIGINT) AS n_cms "
+        "FROM buckets bu JOIN ctr ct USING (i, bucket) GROUP BY bu.word) "
+        "SELECT w.word, w.n, e.n_cms FROM wc w JOIN est e USING (word) "
+        "ORDER BY w.word"
+    )
+    # k-core: fixed-round unrolled peel, every stage MATERIALIZED
+    # (CLAUDE.md r3: DuckDB inlines plain CTEs at every reference).
+    _kc_parts = [
+        "WITH w AS MATERIALIZED (SELECT list_filter("
+        f"regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'), "
+        "x -> x <> '') AS ws FROM documents), "
+        "bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2 "
+        "FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i "
+        "FROM w WHERE len(ws) >= 2) GROUP BY 1, 2 "
+        "HAVING count(*) >= 5), "
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(w1, w2) AS a, "
+        "greatest(w1, w2) AS b FROM bg WHERE w1 <> w2)"
+    ]
+    for _r in range(1, 9):
+        _p = _r - 1
+        _kc_parts.append(
+            f", d{_r} AS MATERIALIZED (SELECT node, count(*) AS deg "
+            f"FROM (SELECT a AS node FROM e{_p} "
+            f"UNION ALL SELECT b FROM e{_p}) GROUP BY node), "
+            f"a{_r} AS MATERIALIZED (SELECT node FROM d{_r} "
+            "WHERE deg >= 4), "
+            f"e{_r} AS MATERIALIZED (SELECT e.a, e.b FROM e{_p} e "
+            f"JOIN a{_r} x ON e.a = x.node "
+            f"JOIN a{_r} y ON e.b = y.node)"
+        )
+    d["word_kcore"] = (
+        "".join(_kc_parts)
+        + " SELECT node, CAST(count(*) AS BIGINT) AS deg "
+        "FROM (SELECT a AS node FROM e8 UNION ALL SELECT b FROM e8) "
+        "GROUP BY node ORDER BY node"
+    )
+    d["pq_codes"] = _pq_oracle_sql(n_subspaces=4, k=8, n_iter=4)
+    d["pivot_counts"] = (
+        "SELECT user_id, "
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_view, "
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_click, "
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_purchase "
+        "FROM events WHERE event_type IN ('view', 'click', 'purchase') "
+        "GROUP BY user_id ORDER BY user_id"
+    )
     return d

@@ -310,3 +310,83 @@ class TestHllHash:
         hll = HyperLogLog(12)
         est = hll.estimate(hll.registers_for(hll_hash64_array(words)))
         assert abs(est - 2000) / 2000 < 0.05
+
+
+class TestCountMinWords:
+    def test_one_sided_and_bit_exact_vs_reference(self):
+        import numpy as np
+
+        from textalyzer_ray.core.bloom import bloom_positions_array
+        from textalyzer_ray.pipelines.frequency import count_min_words
+
+        # 600 distinct words into a 64-wide sketch: collisions are
+        # guaranteed, so the one-sided bound is exercised for real
+        words = [f"w{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}{i % 7}" for i in range(600)]
+        # tokenizer splits on non-letters: digits would split tokens —
+        # letters only
+        words = ["".join(c for c in w if c.isalpha()) for w in words]
+        texts = [" ".join(words[i::7]) for i in range(7)]
+        ds = rd.from_arrow(pa.table({"text": texts})).repartition(3)
+        depth, width = 2, 64
+        got = count_min_words(ds, depth=depth, width=width).take_all()
+
+        # numpy reference sketch over the exact counts
+        from collections import Counter
+
+        true = Counter(w for t in texts for w in t.split(" ") if w)
+        vocab = sorted(true)
+        pos = bloom_positions_array(vocab, width, depth)
+        ctr = np.zeros((depth, width), dtype=np.int64)
+        for j, w in enumerate(vocab):
+            for i in range(depth):
+                ctr[i, pos[j, i]] += true[w]
+        want = {
+            w: int(min(ctr[i, pos[j, i]] for i in range(depth)))
+            for j, w in enumerate(vocab)
+        }
+        assert [r["word"] for r in got] == vocab
+        assert all(r["n"] == true[r["word"]] for r in got)
+        assert all(r["n_cms"] == want[r["word"]] for r in got)
+        assert all(r["n_cms"] >= r["n"] for r in got)
+        # collisions actually happened (the sketch is overloaded)
+        assert any(r["n_cms"] > r["n"] for r in got)
+
+    def test_empty_corpus(self):
+        from textalyzer_ray.pipelines.frequency import count_min_words
+
+        ds = rd.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+        assert count_min_words(ds).take_all() == []
+
+
+class TestPivotCounts:
+    def test_matches_manual_pivot(self):
+        from collections import Counter
+
+        from textalyzer_ray.pipelines.analytics import pivot_counts
+
+        users = [1, 1, 1, 2, 2, 3, 4]
+        types = ["view", "click", "view", "purchase", "view", "signup",
+                 "click"]
+        ds = rd.from_arrow(
+            pa.table({"user_id": users, "event_type": types})
+        ).repartition(3)
+        got = pivot_counts(ds, ["view", "click", "purchase"]).take_all()
+        c = Counter(zip(users, types))
+        # user 3 has only an unlisted type -> absent from the pivot
+        assert [r["user_id"] for r in got] == [1, 2, 4]
+        for r in got:
+            for t in ("view", "click", "purchase"):
+                assert r[f"n_{t}"] == c[(r["user_id"], t)]
+
+    def test_empty(self):
+        from textalyzer_ray.pipelines.analytics import pivot_counts
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                }
+            )
+        )
+        assert pivot_counts(ds, ["view"]).take_all() == []

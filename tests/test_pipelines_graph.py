@@ -156,3 +156,75 @@ class TestTextRank:
         assert maxdiff < 1e-14
         assert min_gap > 1e3 * maxdiff, (min_gap, maxdiff)
         assert bdist > 1e3 * maxdiff, (bdist, maxdiff)
+
+
+def kcore_brute(edges, k):
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        deg: dict = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in und if a in alive and b in alive}
+        if nxt == und:
+            break
+        und = nxt
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return [
+        {"node": n, "deg": d} for n, d in sorted(deg.items()) if d >= k
+    ]
+
+
+class TestKCore:
+    def test_clique_plus_chain(self):
+        from textalyzer_ray.pipelines.graph import kcore_decompose
+
+        # K5 clique (4-core) + a chain hanging off it + an isolated
+        # triangle: the chain and triangle must peel away in cascading
+        # rounds, the clique survives with deg 4
+        E = [
+            (a, b)
+            for a in "abcde"
+            for b in "abcde"
+            if a < b
+        ] + [("e", "f"), ("f", "g"), ("g", "h"), ("x", "y"), ("y", "z"),
+             ("x", "z")]
+        t = pa.table({"a": [e[0] for e in E], "b": [e[1] for e in E]})
+        got = kcore_decompose(rd.from_arrow(t).repartition(3), 4).take_all()
+        want = kcore_brute(E, 4)
+        assert got == want
+        assert sorted(r["node"] for r in got) == list("abcde")
+
+    def test_random_graph_both_paths(self):
+        from textalyzer_ray.pipelines.graph import kcore_decompose
+
+        rng = random.Random(11)
+        E = [(rng.randrange(40), rng.randrange(40)) for _ in range(260)]
+        t = pa.table({"a": [e[0] for e in E], "b": [e[1] for e in E]})
+        for k in (3, 6):
+            want = kcore_brute(E, k)
+            small = kcore_decompose(
+                rd.from_arrow(t).repartition(4), k
+            ).take_all()
+            dist = kcore_decompose(
+                rd.from_arrow(t).repartition(4), k,
+                small_threshold=0, max_rounds=16,
+            ).take_all()
+            assert small == want, k
+            assert dist == want, k
+
+    def test_empty_and_all_peeled(self):
+        from textalyzer_ray.pipelines.graph import kcore_decompose
+
+        t = pa.table(
+            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+        )
+        assert kcore_decompose(rd.from_arrow(t), 2).take_all() == []
+        # a tree has no 2-core
+        E = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "e")]
+        t = pa.table({"a": [e[0] for e in E], "b": [e[1] for e in E]})
+        assert kcore_decompose(rd.from_arrow(t), 2).take_all() == []

@@ -350,3 +350,79 @@ class TestSemDedup:
 
         with pytest.raises(ValueError, match="policy"):
             semdedup(self._ds(), policy="random")
+
+
+class TestPqCodes:
+    def _reference(self, ids, mat, m, k, n_iter):
+        """Sequential numpy PQ with the pipeline's exact rules; also
+        returns the min assignment margin across rounds/subspaces."""
+        dim = mat.shape[1]
+        bounds = [dim * j // m for j in range(m + 1)]
+        order = np.argsort(ids, kind="stable")[:k]
+        margin = np.inf
+        codes = np.zeros((len(ids), m), dtype=np.int64)
+        for j in range(m):
+            sub = mat[:, bounds[j]:bounds[j + 1]]
+            c = sub[order].copy()
+            for it in range(n_iter + 1):
+                d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d2, axis=1)
+                s = np.sort(d2, axis=1)
+                margin = min(margin, float((s[:, 1] - s[:, 0]).min()))
+                if it == n_iter:
+                    codes[:, j] = a
+                    break
+                for q in range(k):
+                    sel = sub[a == q]
+                    if len(sel):
+                        c[q] = sel.mean(axis=0)
+        return codes, margin
+
+    def _load(self, sf):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"/root/testdata/{sf}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        )
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        return t, ids, mat
+
+    def test_matches_reference_and_margins(self):
+        from textalyzer_ray.pipelines.similarity import pq_codes
+
+        t, ids, mat = self._load("sf0.001")
+        want, margin = self._reference(ids, mat, 4, 8, 4)
+        # certified decision margins dwarf cross-engine float error
+        assert margin > 1e-7, margin
+        got = pq_codes(rd.from_arrow(t).repartition(4)).take_all()
+        order = np.argsort(ids, kind="stable")
+        for row, gidx in zip(got, order):
+            assert row["vec_id"] == ids[gidx]
+            for j in range(4):
+                assert row[f"code_{j}"] == want[gidx, j]
+
+    def test_both_paths_equal(self):
+        from textalyzer_ray.pipelines.similarity import pq_codes
+
+        t, _, _ = self._load("sf0.001")
+        small = pq_codes(rd.from_arrow(t).repartition(4)).take_all()
+        dist = pq_codes(
+            rd.from_arrow(t).repartition(4), small_threshold=0
+        ).take_all()
+        assert small == dist
+
+    def test_empty_and_bad_subspaces(self):
+        from textalyzer_ray.pipelines.similarity import pq_codes
+
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+        assert pq_codes(rd.from_arrow(empty)).take_all() == []
+        t, _, _ = self._load("sf0.001")
+        with pytest.raises(ValueError):
+            pq_codes(rd.from_arrow(t), n_subspaces=10_000).take_all()

@@ -711,3 +711,74 @@ def interval_counts(
         ),
         batch_format="pyarrow",
     )
+
+
+def pivot_counts(
+    events: Dataset,
+    types: list[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> Dataset:
+    """Pivot the event stream to one WIDE row per key: (key_col,
+    n_<type>...) with a BIGINT count column per entry of ``types``
+    (the fixed, broadcast column list — a pivot with an unbounded
+    type domain is a different operator). Types not in the list are
+    ignored; keys appear iff they have at least one listed event.
+    Sorted by key.
+
+    Scale shape: one per-block polars partial (group by key,
+    conditional sum per type — wide partials are key-bounded per
+    block), then the standard partial-combine exchange (key_counts)
+    over the wide columns. No row explosion, no per-type passes."""
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import key_counts
+
+    ncols = [f"n_{t}" for t in types]
+    part_schema = pa.schema(
+        [pa.field(key_col, pa.int64())]
+        + [pa.field(c, pa.int64()) for c in ncols]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.DataFrame(
+            {
+                key_col: pl.from_arrow(t[key_col].cast(pa.int64())),
+                type_col: pl.from_arrow(
+                    t[type_col].cast(pa.large_string())
+                ),
+            }
+        )
+        return (
+            df.filter(pl.col(type_col).is_in(types))
+            .group_by(key_col)
+            .agg(
+                [
+                    (pl.col(type_col) == t)
+                    .sum()
+                    .cast(pl.Int64)
+                    .alias(c)
+                    for t, c in zip(types, ncols)
+                ]
+            )
+            .to_arrow()
+            .cast(part_schema)
+        )
+
+    wide = key_counts(
+        events.select_columns([key_col, type_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        [key_col],
+        sum_cols=ncols,
+    )
+
+    out_schema = part_schema
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {key_col: t[key_col]}
+        for c in ncols:
+            cols[c] = t[f"sum_{c}"]
+        return pa.table(cols, schema=out_schema)
+
+    return wide.map_batches(finish, batch_format="pyarrow").sort(key_col)

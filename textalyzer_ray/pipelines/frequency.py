@@ -601,3 +601,87 @@ def approx_top_words(
             m,
         )
     return top, certified
+
+
+def count_min_words(
+    ds: Dataset,
+    depth: int = 4,
+    width: int = 16384,
+    text_col: str = "text",
+) -> Dataset:
+    """Count-Min sketch word-count estimation (Cormode & Muthukrishnan
+    2005): -> Dataset[word, n, n_cms] per distinct word, sorted by
+    word. ``n`` is the exact corpus count; ``n_cms`` is the sketch
+    estimate — the min over ``depth`` counter rows addressed by
+    Kirsch-Mitzenmacher double hashing of
+    ``core.fingerprint.hll_hash64(word)`` (the bloom convention,
+    core/bloom.py: h1 = lo32, h2 = hi32 | 1, bucket_i =
+    (h1 + i*h2) mod width). The one-sided guarantee n_cms >= n holds
+    bit-exactly, and a DuckDB oracle replays the counters from the
+    same hash chain.
+
+    Scale shape: the corpus text dies in the word histogram's partial
+    combine; everything downstream runs on the DISTINCT-WORD table.
+    The counter table is depth x width int64 — the sketch IS the
+    bounded state, independent of corpus size — reduced from
+    per-block ``np.bincount`` partials (one driver add of sketch-sized
+    arrays, the bloom small-path pattern) and broadcast back for the
+    vectorized min-gather estimate."""
+    import numpy as np
+    import ray
+
+    from textalyzer_ray.core.bloom import bloom_positions_array
+
+    counts = word_histogram(
+        ds.select_columns([text_col]), text_col=text_col, sort=False
+    ).materialize()
+
+    def counter_partial(t: pa.Table) -> pa.Table:
+        words = t["word"].to_pylist()
+        n = t["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = bloom_positions_array(words, width, depth)  # (rows, depth)
+        slot = pos + (np.arange(depth, dtype=np.int64) * width)[None, :]
+        flat = np.bincount(
+            slot.ravel(),
+            weights=np.repeat(n, depth).astype(np.float64),
+            minlength=depth * width,
+        ).astype(np.int64)
+        return pa.table({"counters": pa.array([flat.tobytes()], pa.binary())})
+
+    counters = np.zeros(depth * width, dtype=np.int64)
+    for row in counts.map_batches(
+        counter_partial, batch_format="pyarrow"
+    ).take_all():
+        counters += np.frombuffer(row["counters"], dtype=np.int64)
+    cref = ray.put(counters)
+
+    out_schema = pa.schema(
+        [
+            pa.field("word", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("n_cms", pa.int64()),
+        ]
+    )
+
+    def estimate(t: pa.Table) -> pa.Table:
+        from textalyzer_ray.stages.groups import _worker_object_cache
+
+        cache = _worker_object_cache()
+        ctr = cache.get(cref.hex())
+        if ctr is None:
+            ctr = cache[cref.hex()] = ray.get(cref)
+        words = t["word"].to_pylist()
+        n = t["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = bloom_positions_array(words, width, depth)
+        slot = pos + (np.arange(depth, dtype=np.int64) * width)[None, :]
+        est = ctr[slot].min(axis=1)
+        return pa.table(
+            {
+                "word": t["word"].cast(pa.string()),
+                "n": pa.array(n),
+                "n_cms": pa.array(est),
+            },
+            schema=out_schema,
+        )
+
+    return counts.map_batches(estimate, batch_format="pyarrow").sort("word")

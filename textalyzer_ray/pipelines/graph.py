@@ -540,3 +540,212 @@ def textrank_keywords(
         ),
         batch_format="pyarrow",
     ).sort("pr_rank")
+
+
+def kcore_decompose(
+    edges: Dataset,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 8,
+    small_threshold: int = 2_000_000,
+) -> Dataset:
+    """The k-CORE of the undirected simple graph induced by the edge
+    list (Seidman 1983): iteratively remove every node with degree < k
+    until fixpoint; return the surviving (node, deg) rows (deg = the
+    node's degree INSIDE the core), sorted by node. Raises if the peel
+    has not converged after ``max_rounds`` (the SQL oracle unrolls the
+    same fixed round count; extra rounds past the fixpoint are no-ops,
+    so equality holds whenever the impl converges).
+
+    Measured-size switch (the triangle_counts pattern): small graphs
+    peel in ONE remote task over the deduped edge block refs; larger
+    graphs run the distributed loop — per round, one degree exchange
+    (both-endpoint key_counts) and an alive-set broadcast filter (the
+    alive set is node-sized, orders below the edge volume)."""
+    import numpy as np
+
+    import ray
+    import ray.data as rd
+
+    node_t = _node_field(edges, a_col)
+    und_schema = pa.schema([pa.field("a", node_t), pa.field("b", node_t)])
+
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return und_schema.empty_table()
+        df = (
+            pl.from_arrow(t.select([a_col, b_col]))
+            .select(
+                pl.min_horizontal(a_col, b_col).alias("a"),
+                pl.max_horizontal(a_col, b_col).alias("b"),
+            )
+            .filter(pl.col("a") != pl.col("b"))
+        )
+        return df.to_arrow().cast(und_schema)
+
+    from textalyzer_ray.stages.groups import key_counts
+
+    dist = (
+        key_counts(
+            edges.map_batches(
+                norm, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["a", "b"],
+        )
+        .map_batches(
+            lambda t: t.select(["a", "b"]).cast(und_schema),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    m = dist.count()
+    out_schema = pa.schema(
+        [pa.field("node", node_t), pa.field("deg", pa.int64())]
+    )
+    if m == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    if m <= small_threshold:
+        @ray.remote
+        def peel_task(*blocks: pa.Table) -> pa.Table:
+            t = pa.concat_tables(blocks)
+            df = pl.from_arrow(t)
+            for _ in range(max_rounds):
+                degs = (
+                    pl.concat(
+                        [
+                            df.select(pl.col("a").alias("node")),
+                            df.select(pl.col("b").alias("node")),
+                        ]
+                    )
+                    .group_by("node")
+                    .len()
+                )
+                alive = degs.filter(pl.col("len") >= k)["node"]
+                nxt = df.filter(
+                    pl.col("a").is_in(alive) & pl.col("b").is_in(alive)
+                )
+                if nxt.height == df.height:
+                    out = (
+                        degs.filter(pl.col("len") >= k)
+                        .select(
+                            pl.col("node"),
+                            pl.col("len").cast(pl.Int64).alias("deg"),
+                        )
+                        .sort("node")
+                    )
+                    return out.to_arrow().cast(out_schema)
+                df = nxt
+            raise RuntimeError(
+                f"k-core peel not converged in {max_rounds} rounds"
+            )
+
+        refs = dist.to_arrow_refs()
+        return rd.from_arrow_refs([peel_task.remote(*refs)]).sort("node")
+
+    # distributed loop: degree exchange + alive broadcast filter
+    cur = dist
+    prev_edges = m
+    for _ in range(max_rounds):
+        both = cur.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            t["a"].combine_chunks().cast(node_t),
+                            t["b"].combine_chunks().cast(node_t),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        degs = key_counts(both, ["node"]).materialize()
+        alive_t = degs.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["count"], k)).select(
+                ["node"]
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        alive_chunks = [
+            b["node"].combine_chunks()
+            for b in alive_t.iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+            if b.num_rows
+        ]
+        alive_arr = (
+            pa.concat_arrays(alive_chunks)
+            if alive_chunks
+            else pa.array([], node_t)
+        )
+        aref = ray.put(alive_arr)
+
+        def keep_edges(t: pa.Table) -> pa.Table:
+            from textalyzer_ray.stages.groups import _worker_object_cache
+
+            cache = _worker_object_cache()
+            s = cache.get(aref.hex())
+            if s is None:
+                s = cache[aref.hex()] = pl.Series(
+                    "alive", ray.get(aref)
+                )
+            df = pl.from_arrow(t)
+            return (
+                df.filter(
+                    pl.col("a").is_in(s) & pl.col("b").is_in(s)
+                )
+                .to_arrow()
+                .cast(und_schema)
+            )
+
+        cur = cur.map_batches(
+            keep_edges, batch_format="pyarrow"
+        ).materialize()
+        n_edges = cur.count()
+        if n_edges == prev_edges:
+            final_degs = key_counts(
+                cur.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "node": pa.concat_arrays(
+                                [
+                                    t["a"].combine_chunks().cast(node_t),
+                                    t["b"].combine_chunks().cast(node_t),
+                                ]
+                            )
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ),
+                ["node"],
+            )
+            return final_degs.map_batches(
+                lambda t: pa.table(
+                    {"node": t["node"], "deg": t["count"]},
+                    schema=out_schema,
+                ),
+                batch_format="pyarrow",
+            ).sort("node")
+        prev_edges = n_edges
+    raise RuntimeError(f"k-core peel not converged in {max_rounds} rounds")
+
+
+def word_kcore(
+    ds_docs: Dataset,
+    k: int = 4,
+    min_count: int = 5,
+    text_col: str = "text",
+    max_rounds: int = 8,
+    small_threshold: int = 2_000_000,
+) -> Dataset:
+    """k-core of the bigram word graph (same edge set as
+    word_graph_triangles): the words in densely interlinked
+    collocation neighborhoods -> (node, deg) sorted."""
+    return kcore_decompose(
+        word_cooccurrence_edges(ds_docs, min_count, text_col),
+        k,
+        max_rounds=max_rounds,
+        small_threshold=small_threshold,
+    )

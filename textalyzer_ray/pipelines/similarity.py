@@ -1140,3 +1140,195 @@ def cluster_balanced_sample(
 
     cands = assign.map_batches(local_head, batch_format="pyarrow")
     return grouped_apply(cands, ["cluster"], global_head, num_partitions=2)
+
+
+def pq_codes(
+    ds: Dataset,
+    n_subspaces: int = 4,
+    k: int = 8,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    small_threshold: int = 1_000_000,
+) -> Dataset:
+    """Product-quantization codebook training + encoding (Jégou,
+    Douze & Schmid 2011): split the embedding into ``n_subspaces``
+    contiguous sub-vectors, train an independent deterministic Lloyd
+    codebook per subspace (same init / update / tie rules as
+    ``kmeans_assign``, so the measured float-parity story carries
+    over), and emit each vector's code word per subspace ->
+    (vec_id, code_0..code_{m-1}) sorted by vec_id. PQ is the
+    compression layer a billion-vector ANN index stores instead of
+    raw floats (k^m cells from m tiny codebooks).
+
+    Scale shape: ONE fused streaming pass per Lloyd round computes
+    the per-block partials of ALL subspaces at once (cluster sums as
+    float64 blobs; the driver reduce is O(blocks * m * k * subdim) —
+    never data-sized), and one final pass emits every code column, so
+    the full encode costs n_iter + 1 data passes regardless of m — not
+    m separate k-means jobs. Measured-small one-task path below
+    ``small_threshold`` vectors (cross-path equality pytest-pinned)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = ds.select_columns([id_col, emb_col])
+    first = ds.take(1)
+    if not first:
+        return rd.from_arrow(
+            pa.schema(
+                [pa.field(id_col, pa.int64())]
+                + [
+                    pa.field(f"code_{j}", pa.int64())
+                    for j in range(n_subspaces)
+                ]
+            ).empty_table()
+        )
+    dim = len(first[0][emb_col])
+    bounds = [dim * j // n_subspaces for j in range(n_subspaces + 1)]
+    if any(bounds[j + 1] - bounds[j] < 1 for j in range(n_subspaces)):
+        raise ValueError("n_subspaces exceeds embedding dim")
+
+    # init: the k smallest ids' sub-vectors (the kmeans_assign rule)
+    def local_head(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        take = np.argpartition(ids, k - 1)[:k]
+        return t.take(pa.array(np.sort(take)))
+
+    cand = pa.concat_tables(
+        ds.map_batches(
+            local_head, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    ids = cand[id_col].to_numpy(zero_copy_only=False)
+    take = np.argsort(ids, kind="stable")[:k]
+    init_full = _stack_embeddings(cand.take(pa.array(take)), emb_col)
+    if init_full.shape[0] < k:
+        raise ValueError(f"pq_codes: fewer than k={k} input rows")
+    cents = [
+        init_full[:, bounds[j] : bounds[j + 1]].copy()
+        for j in range(n_subspaces)
+    ]
+
+    def _assign(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        d2 = (
+            (m * m).sum(axis=1)[:, None]
+            - 2.0 * (m @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return np.argmin(d2, axis=1)
+
+    out_schema = pa.schema(
+        [pa.field(id_col, pa.int64())]
+        + [pa.field(f"code_{j}", pa.int64()) for j in range(n_subspaces)]
+    )
+
+    def _lloyd_step(m_full: np.ndarray, cs: list[np.ndarray]):
+        """One local Lloyd update over a full matrix (small path)."""
+        new = []
+        for j, c in enumerate(cs):
+            sub = m_full[:, bounds[j] : bounds[j + 1]]
+            a = _assign(sub, c)
+            nc = c.copy()
+            for q in range(k):
+                sel = sub[a == q]
+                if len(sel):
+                    nc[q] = sel.sum(axis=0) / len(sel)
+            new.append(nc)
+        return new
+
+    if ds.count() <= small_threshold:
+        @ray.remote
+        def pq_local(c0: list, *blocks: pa.Table) -> pa.Table:
+            t = pa.concat_tables(blocks)
+            m_full = _stack_embeddings(t, emb_col)
+            cs = [c.copy() for c in c0]
+            for _ in range(n_iter):
+                cs = _lloyd_step(m_full, cs)
+            cols = {"__id": t[id_col]}
+            for j, c in enumerate(cs):
+                sub = m_full[:, bounds[j] : bounds[j + 1]]
+                cols[f"code_{j}"] = pa.array(
+                    _assign(sub, c).astype(np.int64)
+                )
+            out = pa.table(
+                {
+                    id_col: pc.cast(cols["__id"], pa.int64()),
+                    **{
+                        f"code_{j}": cols[f"code_{j}"]
+                        for j in range(n_subspaces)
+                    },
+                },
+                schema=out_schema,
+            )
+            return out
+
+        return rd.from_arrow_refs(
+            [pq_local.remote(cents, *ds.to_arrow_refs())]
+        ).sort(id_col)
+
+    partial_schema = pa.schema(
+        [
+            pa.field("sub", pa.int64()),
+            pa.field("cluster", pa.int64()),
+            pa.field("count", pa.int64()),
+            pa.field("sumvec", pa.binary()),
+        ]
+    )
+    for _ in range(n_iter):
+        cref = ray.put(cents)
+
+        def partial(t: pa.Table, _cref=cref) -> pa.Table:
+            cs = ray.get(_cref)
+            m_full = _stack_embeddings(t, emb_col)
+            if m_full.size == 0:
+                return partial_schema.empty_table()
+            rows = {"sub": [], "cluster": [], "count": [], "sumvec": []}
+            for j, c in enumerate(cs):
+                sub = m_full[:, bounds[j] : bounds[j + 1]]
+                a = _assign(sub, c)
+                for q in np.unique(a):
+                    sel = sub[a == q]
+                    rows["sub"].append(j)
+                    rows["cluster"].append(int(q))
+                    rows["count"].append(int(sel.shape[0]))
+                    rows["sumvec"].append(sel.sum(axis=0).tobytes())
+            return pa.table(rows, schema=partial_schema)
+
+        sums = [np.zeros_like(c) for c in cents]
+        counts = [np.zeros(k, dtype=np.int64) for _ in cents]
+        for b in ds.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_size=None, batch_format="pyarrow"):
+            for j, q, n, blob in zip(
+                b["sub"].to_pylist(),
+                b["cluster"].to_pylist(),
+                b["count"].to_pylist(),
+                b["sumvec"].to_pylist(),
+            ):
+                sums[j][q] += np.frombuffer(blob, dtype=np.float64)
+                counts[j][q] += n
+        cents = [
+            np.where(
+                (counts[j] > 0)[:, None],
+                sums[j] / np.maximum(counts[j], 1)[:, None],
+                cents[j],
+            )
+            for j in range(n_subspaces)
+        ]
+
+    cref = ray.put(cents)
+
+    def encode(t: pa.Table, _cref=cref) -> pa.Table:
+        cs = ray.get(_cref)
+        m_full = _stack_embeddings(t, emb_col)
+        if m_full.size == 0:
+            return out_schema.empty_table()
+        cols = {id_col: pc.cast(t[id_col], pa.int64())}
+        for j, c in enumerate(cs):
+            sub = m_full[:, bounds[j] : bounds[j + 1]]
+            cols[f"code_{j}"] = pa.array(_assign(sub, c).astype(np.int64))
+        return pa.table(cols, schema=out_schema)
+
+    return ds.map_batches(encode, batch_format="pyarrow").sort(id_col)
