@@ -49,5 +49,7 @@ def test_bench_emits_single_json_line():
         "bm25",
         "word_triangles",
         "zorder",
+        "lsh_wave_dedup",
+        "vector_probe",
     }
     assert data["n_docs"] == 500
