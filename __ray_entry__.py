@@ -921,6 +921,21 @@ def _q_minhash_dedup(sf_dir: str):
     )
 
 
+def _q_setjoin_pairs(sf_dir: str):
+    """Exact prefix-filtered set-similarity join (AllPairs/PPJoin;
+    Vernica SIGMOD'10 distributed shape) at Jaccard >= 0.8: recall is 1
+    by the prefix-filter theorem, so the output must EQUAL the
+    brute-force all-pairs shingle Jaccard — a harder guarantee than
+    the LSH families' tuned recall. Measured margin: min |jaccard-0.8|
+    = 0.0571 at sf0.01 (0.0636 at sf0.001), far above double rounding;
+    int/int division is IEEE-identical in Python and DuckDB."""
+    from textalyzer_ray.pipelines.setjoin import set_similarity_join
+
+    return set_similarity_join(_augmented_docs(sf_dir), threshold=0.8).sort(
+        ["id_a", "id_b"]
+    )
+
+
 def _q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs, hard-oracled (r3): hash_fn="poly" is the
     SQL-recomputable token hash (core.fingerprint.polyhash64) and
@@ -2675,7 +2690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_collocations,
         "minhash_pairs": _q_minhash_pairs,
         "lsh_index_dedup": _q_lsh_index_dedup,
-        "simhash_pairs": _q_simhash_pairs,
+        "setjoin_pairs": _q_setjoin_pairs,
         "stream_windows": _q_stream_windows,
         "inverted_index": _q_inverted_index,
         "cohort_retention": _q_cohort_retention,
@@ -2683,7 +2698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash_groups": _q_image_dhash_groups,
         "exact_dedup_distributed": _q_exact_dedup_distributed,
         "single_line_dups": _q_single_line_dups,
-        "audio_afp_groups": _q_audio_afp_groups,
+        "count_min_words": _q_count_min_words,
         "vector_index_topk": _q_vector_index_topk,
         "bm25_topk": _q_bm25_topk,
         "cosine_pairs": _q_cosine_pairs,
@@ -2695,7 +2710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_service_distinct": _q_hll_service_distinct,
         "dup_span_removal": _q_dup_span_removal,
         "line_dedup_rebuild": _q_line_dedup_rebuild,
-        "video_vhash_groups": _q_video_vhash_groups,
+        "pivot_counts": _q_pivot_counts,
         "extract_text": _q_extract_text,
         "warc_extract": _q_warc_extract,
         "skyline_docs": _q_skyline_docs,
@@ -2710,7 +2725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": _q_textrank_keywords,
         "bpe_train": _q_bpe_train,
         "rep_signals": _q_rep_signals,
-        "curation_funnel": _q_curation_funnel,
+        "pq_codes": _q_pq_codes,
         "chars_quantiles": _q_chars_quantiles,
         "chunk_windows": _q_chunk_windows,
         "decontaminate": _q_decontaminate,
@@ -2718,7 +2733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_url_seen": _q_bloom_url_seen,
         "lm_surprisal": _q_lm_surprisal,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
-        "semdedup": _q_semdedup,
+        "word_kcore": _q_word_kcore,
         "classifier_scores": _q_classifier_scores,
         # SQL-oracled, redundant coverage (same families as entries
         # above) — first to fall past a driver cap. r4 rotation parked
@@ -2733,11 +2748,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # readability), approx_top_words (minhash/simhash sketches +
         # hll_service_distinct), resumable_extract (resumable_funnel,
         # strictly stronger: forced abort + global-stage checkpoint).
-        # new r4 families queued for the next window rotation
-        "count_min_words": _q_count_min_words,
-        "pivot_counts": _q_pivot_counts,
-        "word_kcore": _q_word_kcore,
-        "pq_codes": _q_pq_codes,
+        # r4 late rotation: the queued r4 families (count_min_words,
+        # pivot_counts, word_kcore, pq_codes) plus setjoin_pairs moved
+        # INTO the window; parked here in exchange (each family keeps an
+        # in-window representative): simhash_pairs (sketch pairs by
+        # minhash_pairs + setjoin_pairs), video_vhash_groups (multimodal
+        # by image_dhash_groups), audio_afp_groups (same),
+        # semdedup (embedding-cluster family by embedding_clusters),
+        # curation_funnel (funnel by resumable_funnel, which runs the
+        # same funnel under forced abort + resume).
+        "simhash_pairs": _q_simhash_pairs,
+        "audio_afp_groups": _q_audio_afp_groups,
+        "video_vhash_groups": _q_video_vhash_groups,
+        "semdedup": _q_semdedup,
+        "curation_funnel": _q_curation_funnel,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "sessionize": _q_sessionize,
         "doc_token_counts": _q_doc_token_counts,
@@ -2905,12 +2929,17 @@ def oracle_sql() -> dict[str, str]:
         "ELSE text END FROM documents WHERE doc_id IN "
         "(SELECT doc_id FROM documents ORDER BY doc_id LIMIT 10))"
     )
-    # Exact all-pairs 3-gram-token-shingle Jaccard >= 0.7 over aug —
-    # ground truth for the MinHash-LSH family. Matches core.fingerprint
-    # shingles() exactly: docs with 1..k tokens yield ONE whole-doc
-    # shingle; >= k tokens yield len-k+1 trigrams; DISTINCT grams per doc
-    # (the pipeline verifies on unique shingle-hash sets). The Jaccard
-    # DOUBLE is bit-identical to Python's int/int division.
+    # Exact all-pairs 3-gram-token-shingle Jaccard >= {thresh} over aug —
+    # ground truth for the MinHash-LSH family (0.7) and the exact
+    # prefix-filtered set-similarity join (0.8). Matches
+    # core.fingerprint shingles() exactly: docs with 1..k tokens yield
+    # ONE whole-doc shingle; >= k tokens yield len-k+1 trigrams;
+    # DISTINCT grams per doc (the pipelines verify on unique
+    # shingle-hash sets). The Jaccard DOUBLE is bit-identical to
+    # Python's int/int division.
+    def _jac_ctes_at(thresh: str) -> str:
+        return jac_ctes.replace(">= 0.7", f">= {thresh}")
+
     jac_ctes = (
         f"{aug_cte}, "
         "jtok AS (SELECT doc_id, list_filter(regexp_split_to_array("
@@ -3284,6 +3313,10 @@ def oracle_sql() -> dict[str, str]:
             "HAVING least(n, min(m)) <> n) "
             "SELECT doc_id FROM aug WHERE doc_id NOT IN "
             "(SELECT doc_id FROM mdrop) ORDER BY doc_id"
+        ),
+        "setjoin_pairs": (
+            f"WITH {_jac_ctes_at('0.8')} "
+            "SELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b"
         ),
         "simhash_pairs": (
             f"WITH RECURSIVE {simhash_ctes} "
