@@ -224,6 +224,19 @@ def _q_events_hourly(sf_dir: str):
 
 
 
+def _q_events_gapfill(sf_dir: str):
+    """Dense resample + rolling window WITHOUT a global sorted scan:
+    10-min buckets over the full observed range (missing buckets
+    emitted as zero — 407 real gaps at sf0.01), trailing 3-bucket
+    rolling count via key-shift replication in one key-aligned
+    exchange. Integer epoch-us // bucket on both engines."""
+    from textalyzer_ray.pipelines.analytics import events_gapfill_rolling
+    from textalyzer_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["ts"])
+    return events_gapfill_rolling(ev, window_s=600, roll_w=3)
+
+
 def _q_events_hopping(sf_dir: str):
     """Overlapping (hopping) windows: 1 h windows advancing by 15 min —
     each event contributes to 4 windows."""
@@ -2726,7 +2739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": _q_bpe_train,
         "rep_signals": _q_rep_signals,
         "pq_codes": _q_pq_codes,
-        "chars_quantiles": _q_chars_quantiles,
+        "events_gapfill": _q_events_gapfill,
         "chunk_windows": _q_chunk_windows,
         "decontaminate": _q_decontaminate,
         "scrub_pii": _q_scrub_pii,
@@ -2758,6 +2771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curation_funnel (funnel by resumable_funnel, which runs the
         # same funnel under forced abort + resume).
         "simhash_pairs": _q_simhash_pairs,
+        "chars_quantiles": _q_chars_quantiles,
         "audio_afp_groups": _q_audio_afp_groups,
         "video_vhash_groups": _q_video_vhash_groups,
         "semdedup": _q_semdedup,
@@ -3112,6 +3126,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, window_start, count(*) AS n_events "
             "FROM w GROUP BY event_type, window_start "
             "ORDER BY event_type, window_start"
+        ),
+        # dense resample: integer epoch-us // bucket on BOTH engines
+        # (pc.divide on int64 truncates; both operands positive, so it
+        # equals DuckDB's floor //); rolling via ROWS BETWEEN is the
+        # ground truth for the key-shift-replication exchange
+        "events_gapfill": (
+            "WITH b AS (SELECT epoch_us(ts) // 600000000 AS hr, "
+            "count(*) AS n FROM events GROUP BY 1), "
+            "g AS (SELECT unnest(generate_series((SELECT min(hr) FROM b), "
+            "(SELECT max(hr) FROM b))) AS hr), "
+            "d AS (SELECT g.hr AS hr, coalesce(b.n, 0) AS n_events "
+            "FROM g LEFT JOIN b ON b.hr = g.hr) "
+            "SELECT hr, CAST(n_events AS BIGINT) AS n_events, "
+            "CAST(sum(n_events) OVER (ORDER BY hr ROWS BETWEEN 2 PRECEDING "
+            "AND CURRENT ROW) AS BIGINT) AS rolling_n FROM d ORDER BY hr"
         ),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "

@@ -782,3 +782,129 @@ def pivot_counts(
         return pa.table(cols, schema=out_schema)
 
     return wide.map_batches(finish, batch_format="pyarrow").sort(key_col)
+
+
+def events_gapfill_rolling(
+    ds_events: Dataset, window_s: int = 600, roll_w: int = 3
+) -> Dataset:
+    """Dense time-series resample with gap filling + rolling window:
+    events(ts) -> one row per ``window_s`` bucket of the FULL observed
+    range (missing buckets appear with n_events=0), plus the trailing
+    ``roll_w``-bucket rolling event count — the `SUM OVER (ROWS BETWEEN
+    w-1 PRECEDING AND CURRENT ROW)` window, computed WITHOUT a global
+    sorted scan.
+
+    Scale shape: a global windowed scan would serialize on one ordered
+    pass; instead each bucket's count is REPLICATED to the ``roll_w``
+    target buckets it contributes to (key-shift replication, the
+    hopping-window trick applied to the aggregate side), unioned with
+    zero rows for every grid bucket, and summed in ONE key-aligned
+    exchange — rolling sums per bucket with no sort and no carried
+    state. The dense grid is a ``ray.data.range`` over the measured
+    [min, max] bucket span (metadata-cheap); grid cardinality is
+    span-sized, not event-sized. Bucket ids are int64 floor-divided
+    epoch-us on both engines (integer //, no float rounding).
+
+    -> (hr:int64 bucket index, n_events:int64, rolling_n:int64),
+    sorted by hr.
+    """
+    import numpy as np
+    import polars as pl
+    import ray.data as rd
+
+    from textalyzer_ray.stages.groups import grouped_apply, key_counts
+
+    win_us = window_s * 1_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())
+        return pa.table({"hr": pc.divide(epoch, win_us)})  # int floor-div
+
+    counts = key_counts(
+        ds_events.select_columns(["ts"]).map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["hr"],
+    ).materialize()
+
+    # global [min, max] bucket: per-block extrema + driver reduce over
+    # one row per block (Dataset.min/max would plan a HashAggregate —
+    # CLAUDE.md r2)
+    def block_minmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        h = t["hr"]
+        return pa.table({"lo": [pc.min(h).as_py()], "hi": [pc.max(h).as_py()]})
+
+    mm = counts.map_batches(
+        block_minmax, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    if not mm:
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    pa.field("hr", pa.int64()),
+                    pa.field("n_events", pa.int64()),
+                    pa.field("rolling_n", pa.int64()),
+                ]
+            ).empty_table()
+        )
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
+
+    rep_schema = pa.schema(
+        [
+            pa.field("hr", pa.int64()),
+            pa.field("n", pa.int64()),
+            pa.field("own", pa.int64()),
+        ]
+    )
+
+    def grid_zeros(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False) + lo
+        z = np.zeros(len(ids), np.int64)
+        return pa.table({"hr": ids, "n": z, "own": z + 1}, schema=rep_schema)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        hr = t["hr"].to_numpy(zero_copy_only=False)
+        n = t["count"].to_numpy(zero_copy_only=False)
+        targets = (hr[:, None] + np.arange(roll_w, dtype=np.int64)).ravel()
+        ns = np.repeat(n, roll_w)
+        own = np.zeros(len(targets), np.int64)
+        own[::roll_w] = 1  # j==0 replica carries the bucket's own count
+        keep = targets <= hi
+        return pa.table(
+            {"hr": targets[keep], "n": ns[keep], "own": own[keep]},
+            schema=rep_schema,
+        )
+
+    grid = rd.range(hi - lo + 1).map_batches(grid_zeros, batch_format="pyarrow")
+    reps = counts.map_batches(replicate, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [
+            pa.field("hr", pa.int64()),
+            pa.field("n_events", pa.int64()),
+            pa.field("rolling_n", pa.int64()),
+        ]
+    )
+
+    def merge_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("hr")
+            .agg(
+                [
+                    (pl.col("n") * pl.col("own")).sum().alias("n_events"),
+                    pl.col("n").sum().alias("rolling_n"),
+                ]
+            )
+            .select(["hr", "n_events", "rolling_n"])
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return grouped_apply(grid.union(reps), ["hr"], merge_block).sort("hr")
