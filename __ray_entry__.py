@@ -372,6 +372,129 @@ def _q_host_pagerank(sf_dir: str):
     )
 
 
+def _planted_community_edges(sf_dir: str):
+    """Deterministic weighted community graph from doc_id arithmetic
+    (the bloom/multimodal oracle pattern — no external data): 20
+    residue-class communities over the documents ids; per class a hub
+    star (w=3, hub = min id of the class), an intra-class chain
+    n -> n+20 (w=2, while n+20 <= max id), and a sparse cross-class
+    bridge n -> n+1 on every 50th id (w=1). Hub/max come from one
+    key_counts pass (20+1 rows to the driver); edges are emitted by
+    vectorized numpy id arithmetic, so the SQL oracle rebuilds the
+    identical graph."""
+    import numpy as np
+
+    from textalyzer_ray.sources.tables import read_table
+    from textalyzer_ray.stages.groups import key_counts
+
+    ids = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def add_g(t):
+        import pyarrow as pa_
+
+        n = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa_.table({"g": n % 20, "doc_id": t["doc_id"]})
+
+    agg = key_counts(
+        ids.map_batches(add_g, batch_format="pyarrow"),
+        ["g"],
+        min_cols=["doc_id"],
+    )
+    import pyarrow as pa_
+
+    agg_tbl = pa_.concat_tables(
+        list(agg.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    hub_by_g = dict(
+        zip(agg_tbl["g"].to_pylist(), agg_tbl["min_doc_id"].to_pylist())
+    )
+    def block_max(t):
+        import pyarrow as pa2
+
+        return pa2.table(
+            {"hi": [int(t["doc_id"].to_numpy(zero_copy_only=False).max())]}
+        )
+
+    mx = max(
+        r["hi"]
+        for r in ids.map_batches(
+            block_max, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    )
+    hubs = np.full(20, -1, np.int64)
+    for g, h in hub_by_g.items():
+        hubs[g] = h
+
+    def emit_edges(t):
+        import numpy as np_
+        import pyarrow as pa2
+
+        n = t["doc_id"].to_numpy(zero_copy_only=False).astype(np_.int64)
+        hub = hubs[n % 20]
+        star = n != hub
+        chain = n + 20 <= mx
+        bridge = (n % 50 == 0) & (n + 1 <= mx)
+        s = np_.concatenate([n[star], n[chain], n[bridge]])
+        d = np_.concatenate([hub[star], n[chain] + 20, n[bridge] + 1])
+        w = np_.concatenate(
+            [
+                np_.full(star.sum(), 3, np_.int64),
+                np_.full(chain.sum(), 2, np_.int64),
+                np_.full(bridge.sum(), 1, np_.int64),
+            ]
+        )
+        return pa2.table({"src": s, "dst": d, "w": w})
+
+    return ids.map_batches(emit_edges, batch_format="pyarrow")
+
+
+def _q_lpa_communities(sf_dir: str):
+    """Synchronous weighted label propagation (8 rounds, unit
+    self-loop, min-label ties) over the planted residue-class
+    community graph. All-integer votes — the oracle is exact with no
+    float margin; the unrolled SQL replays every round."""
+    from textalyzer_ray.pipelines.graph import label_propagation
+
+    return label_propagation(_planted_community_edges(sf_dir), n_iter=8)
+
+
+def _lpa_oracle_sql(
+    n_iter: int,
+    prelude: str,
+    edge_cte: str,
+    node_col: str = "node",
+) -> str:
+    """Unrolled k-round synchronous LPA in pure SQL over any directed
+    edge CTE ``e(s, t, w BIGINT)`` (mirrors pipelines.graph.
+    label_propagation: symmetrize + sum parallel weights + drop
+    self-loops + add unit self-loops; per round argmax by
+    (weight DESC, label ASC)). Iterative CTEs are MATERIALIZED
+    (CLAUDE.md: plain CTEs re-scan exponentially)."""
+    p = [
+        f"WITH {prelude}, {edge_cte}, ",
+        "sym AS MATERIALIZED (SELECT s, t, CAST(sum(w) AS BIGINT) AS w "
+        "FROM (SELECT s, t, w FROM e WHERE s <> t "
+        "UNION ALL SELECT t, s, w FROM e WHERE s <> t) GROUP BY s, t), ",
+        "augE AS MATERIALIZED (SELECT s, t, w FROM sym UNION ALL "
+        "SELECT DISTINCT s, s, CAST(1 AS BIGINT) FROM sym), ",
+        "l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lab FROM sym)",
+    ]
+    for k in range(1, n_iter + 1):
+        p.append(
+            f", v{k} AS MATERIALIZED (SELECT augE.s AS node, l.lab AS lab, "
+            f"sum(augE.w) AS wv FROM augE JOIN l{k-1} l ON l.node = augE.t "
+            "GROUP BY 1, 2)"
+            f", l{k} AS MATERIALIZED (SELECT node, lab FROM ("
+            "SELECT node, lab, row_number() OVER (PARTITION BY node "
+            f"ORDER BY wv DESC, lab ASC) AS rn FROM v{k}) WHERE rn = 1)"
+        )
+    p.append(
+        f" SELECT node AS {node_col}, lab AS community FROM l{n_iter} "
+        "ORDER BY 1"
+    )
+    return "".join(p)
+
+
 def _pagerank_oracle_sql(
     n_iter: int = 10,
     d: float = 0.85,
@@ -2729,7 +2852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_docs": _q_skyline_docs,
         "nfc_clean": _q_nfc_clean,
         "readability": _q_readability,
-        "langid": _q_langid,
+        "lpa_communities": _q_lpa_communities,
         "resumable_funnel": _q_resumable_funnel,
         "grouping_sets": _q_grouping_sets,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -2772,6 +2895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same funnel under forced abort + resume).
         "simhash_pairs": _q_simhash_pairs,
         "chars_quantiles": _q_chars_quantiles,
+        "langid": _q_langid,
         "audio_afp_groups": _q_audio_afp_groups,
         "video_vhash_groups": _q_video_vhash_groups,
         "semdedup": _q_semdedup,
@@ -3141,6 +3265,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT hr, CAST(n_events AS BIGINT) AS n_events, "
             "CAST(sum(n_events) OVER (ORDER BY hr ROWS BETWEEN 2 PRECEDING "
             "AND CURRENT ROW) AS BIGINT) AS rolling_n FROM d ORDER BY hr"
+        ),
+        "lpa_communities": _lpa_oracle_sql(
+            n_iter=8,
+            prelude=(
+                "ids AS MATERIALIZED (SELECT doc_id AS n FROM documents), "
+                "hubs AS MATERIALIZED (SELECT n % 20 AS g, min(n) AS hub "
+                "FROM ids GROUP BY 1), "
+                "mx AS MATERIALIZED (SELECT max(n) AS m FROM ids)"
+            ),
+            edge_cte=(
+                "e AS MATERIALIZED ("
+                "SELECT i.n AS s, h.hub AS t, CAST(3 AS BIGINT) AS w "
+                "FROM ids i JOIN hubs h ON h.g = i.n % 20 WHERE i.n <> h.hub "
+                "UNION ALL SELECT n, n + 20, CAST(2 AS BIGINT) "
+                "FROM ids, mx WHERE n + 20 <= m "
+                "UNION ALL SELECT n, n + 1, CAST(1 AS BIGINT) "
+                "FROM ids, mx WHERE n % 50 = 0 AND n + 1 <= m)"
+            ),
         ),
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "

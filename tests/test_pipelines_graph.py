@@ -228,3 +228,93 @@ class TestKCore:
         E = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "e")]
         t = pa.table({"a": [e[0] for e in E], "b": [e[1] for e in E]})
         assert kcore_decompose(rd.from_arrow(t), 2).take_all() == []
+
+
+class TestLabelPropagation:
+    """Sync weighted LPA: brute-force equivalence, path equality,
+    planted-community recovery, string nodes, empty graph."""
+
+    @staticmethod
+    def brute(edges, n_iter):
+        from collections import defaultdict
+
+        wmap = defaultdict(int)
+        for s, t, w in edges:
+            if s == t:
+                continue
+            wmap[(s, t)] += w
+            wmap[(t, s)] += w
+        nodes = sorted({x for e in wmap for x in e})
+        for v in nodes:
+            wmap[(v, v)] += 1
+        lab = {v: v for v in nodes}
+        for _ in range(n_iter):
+            votes = {v: defaultdict(int) for v in nodes}
+            for (a, b), w in wmap.items():
+                votes[a][lab[b]] += w
+            lab = {
+                v: sorted(votes[v].items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                for v in nodes
+            }
+        return [{"node": v, "community": lab[v]} for v in nodes]
+
+    @staticmethod
+    def run(edges, n_iter, **kw):
+        from textalyzer_ray.pipelines.graph import label_propagation
+
+        t = pa.table(
+            {
+                "src": [e[0] for e in edges],
+                "dst": [e[1] for e in edges],
+                "w": [e[2] for e in edges],
+            }
+        )
+        return label_propagation(
+            rd.from_arrow(t).repartition(3), n_iter=n_iter, **kw
+        ).take_all()
+
+    @pytest.mark.parametrize("n_iter,seed", [(1, 1), (3, 2), (8, 3)])
+    def test_matches_brute_force(self, n_iter, seed):
+        import random
+
+        rng = random.Random(seed)
+        edges = [
+            (rng.randint(0, 25), rng.randint(0, 25), rng.randint(1, 4))
+            for _ in range(90)
+        ]
+        assert self.run(edges, n_iter) == self.brute(edges, n_iter)
+
+    def test_small_equals_distributed(self):
+        import random
+
+        rng = random.Random(9)
+        edges = [
+            (rng.randint(0, 40), rng.randint(0, 40), rng.randint(1, 3))
+            for _ in range(150)
+        ]
+        a = self.run(edges, 4)
+        b = self.run(edges, 4, small_threshold=0)
+        assert a == b and len(a) > 0
+
+    def test_string_nodes_lexicographic_ties(self):
+        # two nodes voting each other: tie between own and peer label
+        # -> both adopt the lexicographically smaller one
+        edges = [("beta", "alpha", 1)]
+        out = self.run(edges, 1)
+        assert out == self.brute(edges, 1)
+        assert all(r["community"] == "alpha" for r in out)
+
+    def test_planted_communities_recovered(self, tmp_path):
+        """The sf0.001 planted residue graph (hub star + chain +
+        bridges) must collapse to exactly the 20 planted hubs."""
+        import __ray_entry__ as entry
+
+        out = entry._q_lpa_communities("/root/testdata/sf0.001").take_all()
+        assert len(out) == 500
+        comms = {r["community"] for r in out}
+        assert comms == set(range(20))  # hubs are ids 0..19
+        # every node's community is its residue-class hub
+        assert all(r["community"] == r["node"] % 20 for r in out)
+
+    def test_empty_edges(self):
+        assert self.run([], 3) == []

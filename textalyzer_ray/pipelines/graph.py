@@ -749,3 +749,221 @@ def word_kcore(
         max_rounds=max_rounds,
         small_threshold=small_threshold,
     )
+
+
+def label_propagation(
+    edges: Dataset,
+    n_iter: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+    small_threshold: int = 2_000_000,
+) -> Dataset:
+    """Synchronous weighted label propagation (community detection,
+    Raghavan-Albert-Kumara 2007) made DETERMINISTIC: every node starts
+    labeled with its own id; each round, every node simultaneously
+    adopts the label with the largest incident weight sum, ties broken
+    by smallest label. The graph is undirected (each input row votes
+    both ways, parallel edge weights sum, self-loops dropped) and every
+    node gets a UNIT SELF-LOOP — the self-vote that removes the
+    bipartite oscillation of pure synchronous LPA (noted in the
+    original paper) while keeping the update one vectorized rule.
+    All weights are integers, so the oracle is exact (no float margin).
+
+    -> (node, community) after exactly ``n_iter`` rounds, sorted by
+    node. Measured-size switch (the kcore/triangles pattern): below
+    ``small_threshold`` symmetrized edges the whole loop runs in ONE
+    remote polars task over the edge block refs (an iterative Dataset
+    loop pays shuffle-actor startup every round — CLAUDE.md); larger
+    graphs run per round ONE union-tag label lookup by vote source +
+    ONE key-aligned argmax exchange, both sized to the measured edge
+    count.
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from textalyzer_ray.pipelines.joins import union_tag_lookup
+    from textalyzer_ray.stages.groups import (
+        grouped_apply,
+        key_counts,
+        partitions_for,
+    )
+
+    node_t = _node_field(edges, src_col)
+    sym_schema = pa.schema(
+        [
+            pa.field("s", node_t),
+            pa.field("t", node_t),
+            pa.field("w", pa.int64()),
+        ]
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return sym_schema.empty_table()
+        df = pl.from_arrow(t.select([src_col, dst_col, w_col])).filter(
+            pl.col(src_col) != pl.col(dst_col)
+        )
+        fwd = df.select(
+            pl.col(src_col).alias("s"),
+            pl.col(dst_col).alias("t"),
+            pl.col(w_col).cast(pl.Int64).alias("w"),
+        )
+        rev = df.select(
+            pl.col(dst_col).alias("s"),
+            pl.col(src_col).alias("t"),
+            pl.col(w_col).cast(pl.Int64).alias("w"),
+        )
+        return pl.concat([fwd, rev]).to_arrow().cast(sym_schema)
+
+    sym = (
+        key_counts(
+            edges.map_batches(
+                both_dirs, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["s", "t"],
+            sum_cols=["w"],
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {"s": t["s"], "t": t["t"], "w": t["sum_w"]}, schema=sym_schema
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    m = sym.count()
+    out_schema = pa.schema(
+        [pa.field("node", node_t), pa.field("community", node_t)]
+    )
+    if m == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def lpa_rounds(df: "pl.DataFrame") -> "pl.DataFrame":
+        """The whole sync-LPA loop over a polars (s, t, w) frame —
+        shared verbatim by the one-task path and the brute-force tests."""
+        aug = pl.concat(
+            [
+                df,
+                df.select(pl.col("s"))
+                .unique()
+                .with_columns(
+                    pl.col("s").alias("t"), pl.lit(1).cast(pl.Int64).alias("w")
+                ),
+            ]
+        )
+        lab = (
+            aug.select(pl.col("s").alias("node"))
+            .unique()
+            .with_columns(pl.col("node").alias("lab"))
+        )
+        for _ in range(n_iter):
+            votes = (
+                aug.join(
+                    lab.rename({"node": "t"}), on="t", how="inner"
+                )
+                .group_by(["s", "lab"])
+                .agg(pl.col("w").sum().alias("wv"))
+            )
+            lab = (
+                votes.sort(
+                    ["s", "wv", "lab"], descending=[False, True, False]
+                )
+                .group_by("s", maintain_order=True)
+                .first()
+                .select(pl.col("s").alias("node"), pl.col("lab"))
+            )
+        return lab.sort("node")
+
+    if m <= small_threshold:
+
+        @ray.remote
+        def lpa_task(*blocks: pa.Table) -> pa.Table:
+            df = pl.concat([pl.from_arrow(b) for b in blocks])
+            lab = lpa_rounds(df)
+            return lab.rename({"lab": "community"}).to_arrow().cast(out_schema)
+
+        refs = sym.to_arrow_refs()
+        return rd.from_arrow_refs([lpa_task.remote(*refs)])
+
+    # ---- distributed rounds (edge-count-sized exchanges) ----
+    n_parts = partitions_for(m)
+    # unit self-loops become ordinary edges so the self-vote rides the
+    # same label lookup as every neighbor vote
+    def add_self(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        nodes = pc_.unique(t["s"].combine_chunks())
+        self_t = pa.table(
+            {
+                "s": nodes,
+                "t": nodes,
+                "w": pa.array(
+                    np.ones(len(nodes), np.int64), pa.int64()
+                ),
+            },
+            schema=sym_schema,
+        )
+        return pa.concat_tables([t.cast(sym_schema), self_t])
+
+    # s is hash-aligned after key_counts' grouped merge only in the
+    # distributed branch; re-align explicitly so per-block unique(s)
+    # is globally unique
+    aug = grouped_apply(sym, ["s"], add_self, num_partitions=n_parts)
+    aug = aug.materialize()
+
+    lab_schema = pa.schema(
+        [pa.field("node", node_t), pa.field("lab", node_t)]
+    )
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        nodes = pc_.unique(t["s"].combine_chunks())
+        return pa.table({"node": nodes, "lab": nodes}, schema=lab_schema)
+
+    lab_ds = grouped_apply(
+        sym.select_columns(["s"]), ["s"], init_labels, num_partitions=n_parts
+    )
+
+    def argmax_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return lab_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by(["s", "lab"])
+            .agg(pl.col("w").sum().alias("wv"))
+            .sort(["s", "wv", "lab"], descending=[False, True, False])
+            .group_by("s", maintain_order=True)
+            .first()
+            .select(pl.col("s").alias("node"), pl.col("lab"))
+            .to_arrow()
+            .cast(lab_schema)
+        )
+
+    for _ in range(n_iter):
+        looked = union_tag_lookup(
+            aug,
+            lab_ds.map_batches(
+                lambda t: pa.table({"t": t["node"], "lab_v": t["lab"]}),
+                batch_format="pyarrow",
+            ),
+            key_col="t",
+            value_col="lab_v",
+            out_col="lab",
+            num_partitions=n_parts,
+        )
+        lab_ds = grouped_apply(
+            looked.select_columns(["s", "lab", "w"]),
+            ["s"],
+            argmax_block,
+            num_partitions=n_parts,
+        ).materialize()
+
+    return lab_ds.map_batches(
+        lambda t: pa.table(
+            {"node": t["node"], "community": t["lab"]}, schema=out_schema
+        ),
+        batch_format="pyarrow",
+    ).sort("node")
