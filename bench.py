@@ -284,6 +284,18 @@ def run_bench() -> dict:
         lambda: contract._q_vector_index_topk(sf_dir).count(),
     )
 
+    # r4 session additions: exact prefix-filtered set-similarity join
+    # (recall-1 candidate generation — the AllPairs/PPJoin shape) and
+    # the dense gap-fill + key-shift rolling window over events.
+    timed(
+        "setjoin",
+        lambda: contract._q_setjoin_pairs(sf_dir).count(),
+    )
+    timed(
+        "events_gapfill",
+        lambda: contract._q_events_gapfill(sf_dir).count(),
+    )
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     # In-run hardware control: this shared VM intermittently loses 2-20x

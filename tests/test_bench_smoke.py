@@ -51,5 +51,7 @@ def test_bench_emits_single_json_line():
         "zorder",
         "lsh_wave_dedup",
         "vector_probe",
+        "setjoin",
+        "events_gapfill",
     }
     assert data["n_docs"] == 500

@@ -124,3 +124,33 @@ class TestResumeSafety:
         assert sorted(
             n for n in os.listdir(out) if n.startswith("part=")
         ) == ["part=00000", "part=00001", "part=00002"]
+
+
+class TestZeroRowPartition:
+    def test_empty_partition_completes_and_resumes(self, tmp_path):
+        """A partition whose build yields ZERO rows must still complete
+        (empty dir + manifest with row_count 0) and be skipped on
+        resume — write_parquet creates no files and no directory for an
+        empty dataset (measured: the sf0.001 resumable-funnel soak
+        crashed on os.listdir of the missing tmp dir)."""
+
+        def build(part):
+            t = pa.table({"x": list(range(10))})
+            if part["pid"] == "00001":
+                return rd.from_arrow(t).filter(lambda r: False)
+            return rd.from_arrow(t)
+
+        parts = [
+            {"pid": "00000", "inputs": ["a"]},
+            {"pid": "00001", "inputs": ["b"]},
+        ]
+        runner = PartitionedRunner(str(tmp_path / "out"))
+        summary = runner.run(parts, build)
+        assert summary["ran"] == ["00000", "00001"]
+        assert os.path.isdir(tmp_path / "out" / "part=00001")
+        m = json.load(open(tmp_path / "out" / MANIFEST_DIR / "00001.json"))
+        assert m["row_count"] == 0 and m["schema"] == []
+        # resume must skip BOTH, including the empty one
+        summary2 = runner.run(parts, build)
+        assert summary2["skipped"] == ["00000", "00001"]
+        assert summary2["ran"] == []

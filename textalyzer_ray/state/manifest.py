@@ -143,6 +143,10 @@ class PartitionedRunner:
             if os.path.isdir(final):
                 shutil.rmtree(final)  # stale partial from a dead run
             ds.write_parquet(tmp)
+            # a zero-row partition writes no files AND no directory —
+            # materialize the empty dir so the rename/manifest protocol
+            # (and resume) treat it as completed-with-0-rows
+            os.makedirs(tmp, exist_ok=True)
             # fingerprint from what was actually written (read-back =
             # verifies the files too)
             import pyarrow.parquet as pq

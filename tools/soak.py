@@ -221,6 +221,64 @@ def main() -> dict:
     out["dedup_kept"] = kept_dedup
     out["dedup_docs_per_sec"] = round(n_docs * dedup_repl / out["dedup_sec"], 1)
 
+    # ---- exact set-similarity join soak (r4 addition) ----
+    # Same disjoint-shingle tagged corpus (`big`), plus a planted
+    # near-copy of every 16th doc (drop first token, prepend a marker —
+    # the _augmented_docs edit applied AFTER tagging, so each copy
+    # shares its source's replica tag). Replicas are isomorphic under
+    # tag substitution, so the recall-1 join must return EXACTLY
+    # repl x the single-replica pair count, every pair intra-replica.
+    from textalyzer_ray.pipelines.setjoin import set_similarity_join
+
+    def plant_copies(tt: pa.Table) -> pa.Table:
+        ids = tt["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (ids % 10_000_000) % 16 == 0
+        src = tt.filter(pa.array(keep))
+        texts = [
+            "xyzzy " + (x.split(" ", 1)[1] if " " in x else x)
+            for x in src["text"].to_pylist()
+        ]
+        copies = pa.table(
+            {
+                "doc_id": pa.compute.add(src["doc_id"], 500_000_000),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        return pa.concat_tables([tt, copies])
+
+    big_sj = big.map_batches(
+        plant_copies, batch_format="pyarrow"
+    ).materialize()
+    t0 = time.monotonic()
+    sj_pairs = set_similarity_join(
+        big_sj, threshold=0.7, df_broadcast_max=0
+    ).materialize()
+    out["setjoin_sec"] = round(time.monotonic() - t0, 3)
+    out["setjoin_docs"] = big_sj.count()
+    out["setjoin_pairs"] = sj_pairs.count()
+    out["setjoin_docs_per_sec"] = round(
+        out["setjoin_docs"] / out["setjoin_sec"], 1
+    )
+
+    def pair_replicas(tt: pa.Table) -> pa.Table:
+        ra = (tt["id_a"].to_numpy(zero_copy_only=False) % 500_000_000) // 10_000_000
+        rb = (tt["id_b"].to_numpy(zero_copy_only=False) % 500_000_000) // 10_000_000
+        return pa.table({"ra": ra, "rb": rb})
+
+    reps = pa.concat_tables(
+        list(
+            sj_pairs.map_batches(
+                pair_replicas, batch_format="pyarrow"
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+    )
+    ra = reps["ra"].to_numpy()
+    rb = reps["rb"].to_numpy()
+    assert (ra == rb).all(), "cross-replica setjoin pair leaked"
+    per_rep = np.bincount(ra, minlength=dedup_repl)
+    assert (per_rep == per_rep[0]).all() and per_rep[0] > 0, per_rep[:8]
+    out["setjoin_pairs_per_replica"] = int(per_rep[0])
+
     # ---- LM-surprisal soak (r3 addition): distinct ids, shared text ----
     # Train on the doc_id % 10 slice of the REPLICATED corpus (the count
     # shuffle sees the full replicated token volume), then the
@@ -814,6 +872,7 @@ def main() -> dict:
     out["value"] = round(
         out["funnel_sec"]
         + out["dedup_sec"]
+        + out["setjoin_sec"]
         + out["lm_sec"]
         + out["span_sec"]
         + out["kmeans_sec"]
