@@ -41,6 +41,15 @@ class TestGapfillRolling:
         ts_us = [t * 1_000_000 for t in ts]
         assert run(ts_us, 10, roll_w) == brute(ts_us, 10, roll_w)
 
+    def test_small_equals_distributed(self):
+        ts_us = [t * 777_000 for t in range(0, 900, 7)]
+        t = pa.table({"ts": pa.array(ts_us, pa.timestamp("us"))})
+        a = events_gapfill_rolling(rd.from_arrow(t), 10, 3).take_all()
+        b = events_gapfill_rolling(
+            rd.from_arrow(t), 10, 3, small_threshold=0
+        ).take_all()
+        assert a == b and len(a) > 0
+
     def test_single_bucket(self):
         ts_us = [3_000_000, 4_000_000]
         assert run(ts_us, 10, 3) == [

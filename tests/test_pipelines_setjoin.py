@@ -73,11 +73,12 @@ class TestSetSimilarityJoin:
                     gap = min(gap, abs(jj - 0.8))
         assert gap > 0.05, gap
 
-    def test_broadcast_equals_distributed_df_path(self):
+    def test_all_three_paths_equal(self):
         t = _aug_docs().select(["doc_id", "text"])
-        a = run(t, 0.8)
-        b = run(t, 0.8, df_broadcast_max=0)  # force union-tag path
-        assert a == b and len(a) > 0
+        a = run(t, 0.8)  # one-task small path (default thresholds)
+        b = run(t, 0.8, small_threshold=0)  # broadcast df, dist exchanges
+        c = run(t, 0.8, small_threshold=0, df_broadcast_max=0)  # union-tag df
+        assert a == b == c and len(a) > 0
 
     @pytest.mark.parametrize("threshold", [0.5, 0.7, 1.0])
     def test_random_corpus_thresholds(self, threshold):

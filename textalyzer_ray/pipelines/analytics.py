@@ -785,7 +785,10 @@ def pivot_counts(
 
 
 def events_gapfill_rolling(
-    ds_events: Dataset, window_s: int = 600, roll_w: int = 3
+    ds_events: Dataset,
+    window_s: int = 600,
+    roll_w: int = 3,
+    small_threshold: int = 4_000_000,
 ) -> Dataset:
     """Dense time-series resample with gap filling + rolling window:
     events(ts) -> one row per ``window_s`` bucket of the FULL observed
@@ -852,6 +855,49 @@ def events_gapfill_rolling(
         )
     lo = min(r["lo"] for r in mm)
     hi = max(r["hi"] for r in mm)
+    span = hi - lo + 1
+
+    out_schema = pa.schema(
+        [
+            pa.field("hr", pa.int64()),
+            pa.field("n_events", pa.int64()),
+            pa.field("rolling_n", pa.int64()),
+        ]
+    )
+
+    # measured-size switch: the grid/replicate/merge exchange replaces
+    # a global sorted window scan, but at a small bucket span its hash
+    # aggregator startup is pure fixed cost (CLAUDE.md) — one remote
+    # numpy task over the (already aggregated) bucket-count block refs
+    # is exact and shuffle-free. The event-volume scan above stays
+    # distributed either way.
+    if span <= small_threshold:
+        import ray
+
+        @ray.remote
+        def gapfill_task(*blocks: pa.Table) -> pa.Table:
+            dense = np.zeros(span, np.int64)
+            for b in blocks:
+                hrs = b["hr"].to_numpy(zero_copy_only=False)
+                cnt = b["count"].to_numpy(zero_copy_only=False)
+                dense[hrs - lo] += cnt
+            roll = np.convolve(dense, np.ones(roll_w, np.int64), mode="full")[
+                :span
+            ]
+            return pa.table(
+                {
+                    "hr": np.arange(lo, hi + 1, dtype=np.int64),
+                    "n_events": dense,
+                    "rolling_n": roll,
+                },
+                schema=out_schema,
+            )
+
+        return rd.from_arrow_refs(
+            [gapfill_task.remote(*counts.to_arrow_refs())]
+        )
+
+    n_counts = counts.count()
 
     rep_schema = pa.schema(
         [
@@ -882,14 +928,6 @@ def events_gapfill_rolling(
     grid = rd.range(hi - lo + 1).map_batches(grid_zeros, batch_format="pyarrow")
     reps = counts.map_batches(replicate, batch_format="pyarrow")
 
-    out_schema = pa.schema(
-        [
-            pa.field("hr", pa.int64()),
-            pa.field("n_events", pa.int64()),
-            pa.field("rolling_n", pa.int64()),
-        ]
-    )
-
     def merge_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return out_schema.empty_table()
@@ -907,4 +945,16 @@ def events_gapfill_rolling(
             .cast(out_schema)
         )
 
-    return grouped_apply(grid.union(reps), ["hr"], merge_block).sort("hr")
+    from textalyzer_ray.sources.tables import cluster_cpus
+    from textalyzer_ray.stages.groups import partitions_for
+
+    # exchange rows = span grid zeros + roll_w replicas per bucket —
+    # size partitions to that, not to the cluster (CLAUDE.md: aggregator
+    # actors are per-partition fixed cost)
+    n_parts = min(
+        max(cluster_cpus(), 2),
+        partitions_for(span + n_counts * roll_w, 2_000_000),
+    )
+    return grouped_apply(
+        grid.union(reps), ["hr"], merge_block, num_partitions=n_parts
+    ).sort("hr")

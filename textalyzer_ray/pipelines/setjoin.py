@@ -71,6 +71,7 @@ def set_similarity_join(
     text_col: str = "text",
     shingle_k: int = 3,
     df_broadcast_max: int = 2_000_000,
+    small_threshold: int = 2_000_000,
 ) -> Dataset:
     """(id_a, id_b, jaccard) — ALL pairs with shingle-set Jaccard >=
     ``threshold``, id_a < id_b, exact recall (see module docstring).
@@ -78,7 +79,15 @@ def set_similarity_join(
     ``threshold`` is interpreted exactly at 1e-6 resolution (0.8 means
     the rational 800000/1000000 for the prefix-length bound); the
     verification compare is the same IEEE ``ix/union >= threshold`` a
-    SQL oracle computes. ``id_col`` must be unique."""
+    SQL oracle computes. ``id_col`` must be unique.
+
+    Measured-size switch (the triangles/kcore pattern): when the
+    corpus's TOTAL shingle-set element count (measured from the
+    featurize pass) is at most ``small_threshold``, the prefix/
+    candidate/verify chain runs in ONE remote task over the feature
+    block refs — the three hash exchanges it replaces are pure
+    fixed-cost actor startup at that size. Larger corpora run the
+    distributed chain; both paths are pinned equal in tests."""
     import ray
     import ray.data as rd
 
@@ -187,6 +196,104 @@ def set_similarity_join(
             schema=prefix_schema,
         )
 
+    cand_schema = pa.schema(
+        [pa.field("id_a", id_type), pa.field("id_b", id_type)]
+    )
+
+    def pairs_in_block(t: pa.Table) -> pa.Table:
+        """Key-aligned block: polars self-join on h gives every
+        candidate pair of this block's prefix groups at once (no
+        per-group Python); the PPJoin length filter
+        ``n_b >= ceil(t * n_a)`` prunes before the pair leaves."""
+        if t.num_rows == 0:
+            return cand_schema.empty_table()
+        df = pl.from_arrow(t)
+        left = df.rename({id_col: "id_a", "n": "na"})
+        right = df.rename({id_col: "id_b", "n": "nb"})
+        out = (
+            left.join(right, on="h", how="inner")
+            .filter(pl.col("id_a") < pl.col("id_b"))
+            .filter(
+                pl.col("nb") * _T_DEN >= pl.col("na") * t_num,
+            )
+            .filter(
+                pl.col("na") * _T_DEN >= pl.col("nb") * t_num,
+            )
+            .select(["id_a", "id_b"])
+            .unique()
+        )
+        return out.to_arrow().cast(cand_schema)
+
+    # total element volume == sum of shingle dfs (one per (doc, h) row);
+    # per-block sums + driver reduce (Dataset.sum plans a HashAggregate)
+    def df_block_sum(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        s = pc_.sum(t["count"]).as_py() if t.num_rows else 0
+        return pa.table({"s": [int(s or 0)]})
+
+    total_elems = sum(
+        r["s"]
+        for r in df_ds.map_batches(
+            df_block_sum, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    )
+
+    if total_elems <= small_threshold and vocab <= df_broadcast_max:
+        logger.info(
+            "set_similarity_join: one-task small path (%d elements)",
+            total_elems,
+        )
+        df_tbl = pa.concat_tables(
+            list(df_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+        )
+
+        @ray.remote
+        def setjoin_task(df_t: pa.Table, *blocks: pa.Table) -> pa.Table:
+            f = pa.concat_tables(blocks)
+            blobs = f["hashes"].to_pylist()
+            ids_np = f[id_col].to_numpy(zero_copy_only=False)
+            sizes = np.fromiter(
+                (len(b) // 8 for b in blobs), np.int64, len(blobs)
+            )
+            flat = (
+                np.frombuffer(b"".join(blobs), dtype=np.uint64)
+                if blobs
+                else np.empty(0, np.uint64)
+            )
+            h_np = df_t["h"].to_numpy(zero_copy_only=False)
+            ordk = np.argsort(h_np, kind="stable")
+            hs_lut = h_np[ordk]
+            dfs_lut = df_t["count"].to_numpy(zero_copy_only=False)[ordk]
+            dfs = dfs_lut[np.searchsorted(hs_lut, flat)]
+            # the whole corpus is one key-complete block, so the same
+            # prefix emit + in-block pairing used per partition is
+            # globally correct here (and its unique() is global)
+            cand = pairs_in_block(prefix_rows_of(ids_np, sizes, flat, dfs))
+            if cand.num_rows == 0:
+                return pair_schema.empty_table()
+            blob_by_id = dict(zip(ids_np.tolist(), blobs))
+            ia = cand["id_a"].to_pylist()
+            ib = cand["id_b"].to_pylist()
+            out_j = np.empty(len(ia), np.float64)
+            for i, (a, b) in enumerate(zip(ia, ib)):
+                va = np.frombuffer(blob_by_id[a], dtype=np.uint64)
+                vb = np.frombuffer(blob_by_id[b], dtype=np.uint64)
+                ix = np.intersect1d(va, vb, assume_unique=True).size
+                u = len(va) + len(vb) - ix
+                out_j[i] = ix / u if u else 1.0
+            keep = out_j >= threshold
+            return pa.table(
+                {
+                    "id_a": cand["id_a"].filter(pa.array(keep)),
+                    "id_b": cand["id_b"].filter(pa.array(keep)),
+                    "jaccard": pa.array(out_j[keep], pa.float64()),
+                }
+            ).cast(pair_schema)
+
+        refs = feats.to_arrow_refs()
+        return rd.from_arrow_refs([setjoin_task.remote(df_tbl, *refs)])
+
     if vocab <= df_broadcast_max:
         logger.info("set_similarity_join: broadcast df path (vocab=%d)", vocab)
         df_tbl = pa.concat_tables(
@@ -250,34 +357,6 @@ def set_similarity_join(
     n_prefix = prefix_rows.count()
     if n_prefix == 0:
         return rd.from_arrow(pair_schema.empty_table())
-
-    cand_schema = pa.schema(
-        [pa.field("id_a", id_type), pa.field("id_b", id_type)]
-    )
-
-    def pairs_in_block(t: pa.Table) -> pa.Table:
-        """Key-aligned block: polars self-join on h gives every
-        candidate pair of this block's prefix groups at once (no
-        per-group Python); the PPJoin length filter
-        ``n_b >= ceil(t * n_a)`` prunes before the pair leaves."""
-        if t.num_rows == 0:
-            return cand_schema.empty_table()
-        df = pl.from_arrow(t)
-        left = df.rename({id_col: "id_a", "n": "na"})
-        right = df.rename({id_col: "id_b", "n": "nb"})
-        out = (
-            left.join(right, on="h", how="inner")
-            .filter(pl.col("id_a") < pl.col("id_b"))
-            .filter(
-                pl.col("nb") * _T_DEN >= pl.col("na") * t_num,
-            )
-            .filter(
-                pl.col("na") * _T_DEN >= pl.col("nb") * t_num,
-            )
-            .select(["id_a", "id_b"])
-            .unique()
-        )
-        return out.to_arrow().cast(cand_schema)
 
     cands = grouped_apply(
         prefix_rows,
