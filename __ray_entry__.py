@@ -1072,6 +1072,22 @@ def _q_setjoin_pairs(sf_dir: str):
     )
 
 
+def _q_containment_pairs(sf_dir: str):
+    """Asymmetric containment join (ordered pairs, |Sa n Sb|/|Sa| >=
+    0.8 — subset/quote duplication, where a contained doc scores 1.0
+    even when the size gap keeps Jaccard low). Exact recall by the
+    one-sided prefix pigeonhole (probe prefixes against the FULL
+    index), so the output equals brute-force all-ordered-pairs.
+    Measured margin: min |containment - 0.8| = 0.1 at sf0.01 (0.089 at
+    sf0.001); the score is one int/int division — IEEE-identical in
+    Python and DuckDB."""
+    from textalyzer_ray.pipelines.setjoin import containment_join
+
+    return containment_join(_augmented_docs(sf_dir), threshold=0.8).sort(
+        ["id_a", "id_b"]
+    )
+
+
 def _q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs, hard-oracled (r3): hash_fn="poly" is the
     SQL-recomputable token hash (core.fingerprint.polyhash64) and
@@ -2842,7 +2858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": _q_embedding_clusters,
         "zorder_layout": _q_zorder_layout,
         "hash_split": _q_hash_split,
-        "snapshot_diff": _q_snapshot_diff,
+        "containment_pairs": _q_containment_pairs,
         "hll_service_distinct": _q_hll_service_distinct,
         "dup_span_removal": _q_dup_span_removal,
         "line_dedup_rebuild": _q_line_dedup_rebuild,
@@ -2896,6 +2912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "chars_quantiles": _q_chars_quantiles,
         "langid": _q_langid,
+        "snapshot_diff": _q_snapshot_diff,
         "audio_afp_groups": _q_audio_afp_groups,
         "video_vhash_groups": _q_video_vhash_groups,
         "semdedup": _q_semdedup,
@@ -3488,6 +3505,17 @@ def oracle_sql() -> dict[str, str]:
         "setjoin_pairs": (
             f"WITH {_jac_ctes_at('0.8')} "
             "SELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b"
+        ),
+        # ordered-pair containment over the same gram CTEs (jpairs is
+        # an unreferenced plain CTE here, so DuckDB never evaluates it)
+        "containment_pairs": (
+            f"WITH {jac_ctes}, "
+            "ci AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS ix FROM jg a JOIN jg b ON a.gram = b.gram "
+            "AND a.doc_id <> b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, CAST(ix AS DOUBLE) / na.sz AS containment "
+            "FROM ci JOIN jn na ON na.doc_id = id_a "
+            "WHERE CAST(ix AS DOUBLE) / na.sz >= 0.8 ORDER BY id_a, id_b"
         ),
         "simhash_pairs": (
             f"WITH RECURSIVE {simhash_ctes} "

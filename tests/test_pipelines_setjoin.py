@@ -126,3 +126,78 @@ class TestSetSimilarityJoin:
         t = pa.table({"doc_id": [1], "text": ["a b c"]})
         with pytest.raises(ValueError):
             set_similarity_join(rd.from_arrow(t), 0.0)
+
+
+class TestContainmentJoin:
+    """Asymmetric |Sa n Sb|/|Sa| join: brute-force equivalence on all
+    three paths, subset semantics, thresholds incl. exact (1.0)."""
+
+    @staticmethod
+    def brute(ids, texts, t, k=3):
+        from textalyzer_ray.core.fingerprint import shingles
+
+        sets = {i: set(shingles(tokenize(x or ""), k)) for i, x in zip(ids, texts)}
+        out = []
+        for a in sorted(ids):
+            for b in sorted(ids):
+                if a == b or not sets[a]:
+                    continue
+                c = len(sets[a] & sets[b]) / len(sets[a])
+                if c >= t:
+                    out.append((a, b, c))
+        return out
+
+    @staticmethod
+    def run(tbl, threshold, **kw):
+        from textalyzer_ray.pipelines.setjoin import containment_join
+
+        got = (
+            containment_join(rd.from_arrow(tbl).repartition(4), threshold, **kw)
+            .sort(["id_a", "id_b"])
+            .take_all()
+        )
+        return [(r["id_a"], r["id_b"], r["containment"]) for r in got]
+
+    @pytest.mark.parametrize("threshold", [0.6, 0.8, 1.0])
+    def test_random_corpus_all_paths(self, threshold):
+        import random
+
+        rng = random.Random(5)
+        vocab = [f"tok{c}" for c in "abcdefghij"]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15)))
+            for _ in range(35)
+        ]
+        # planted: exact dup, strict prefix subset, empty, extension
+        texts += [
+            texts[0],
+            " ".join(texts[1].split()[:4]),
+            "",
+            texts[2] + " extra tail tokens here",
+        ]
+        ids = list(range(len(texts)))
+        t = pa.table({"doc_id": ids, "text": texts})
+        exp = self.brute(ids, texts, threshold)
+        assert self.run(t, threshold) == exp
+        assert self.run(t, threshold, small_threshold=0) == exp
+        assert (
+            self.run(t, threshold, small_threshold=0, df_broadcast_max=0)
+            == exp
+        )
+
+    def test_subset_scores_one_even_at_low_jaccard(self):
+        # LETTERS-ONLY tokens: the tokenizer splits on non-letters, so
+        # "w0".."w39" would all collapse to the token "w" (CLAUDE.md)
+        words = [f"{chr(97 + i // 26)}{chr(97 + i % 26)}x" for i in range(40)]
+        big = " ".join(words)
+        small = " ".join(words[:8])  # prefix subset
+        t = pa.table({"doc_id": [1, 2], "text": [big, small]})
+        got = self.run(t, 0.9)
+        # small -> big containment is exactly 1.0; big -> small is low
+        assert got == [(2, 1, 1.0)]
+
+    def test_matches_brute_on_augmented_sf0001(self):
+        t = _aug_docs()
+        exp = self.brute(t["doc_id"].to_pylist(), t["text"].to_pylist(), 0.8)
+        got = self.run(t.select(["doc_id", "text"]), 0.8)
+        assert got == exp and len(got) > 0
