@@ -1101,6 +1101,67 @@ def _q_simhash_pairs(sf_dir: str):
     ).sort(["id_a", "id_b"])
 
 
+_EDITSIM_SUFFIX = " status ok metrics cpu mem net disk"
+
+
+def _editsim_strings(sf_dir: str):
+    """(doc_id, s) planted edit-join corpus derived from doc ids by
+    pure arithmetic (ASCII-only, <= 64 bytes, so byte == codepoint
+    Levenshtein and the one-word Myers verifier applies): 5 mutation
+    variants per group g = doc_id // 5, each within 2 edits of the
+    group base, plus genuine cross-group near pairs wherever the digit
+    strings of g and the srv digit together differ by <= 2
+    substitutions — the planted structure exercises both the
+    intra-block and the cross-block recall of the prefix filter.
+    Mirrored character-for-character by the oracle's CASE chain
+    (parity pinned in tests)."""
+    import pyarrow as pa
+
+    from textalyzer_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def build(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        out = []
+        for i in t["doc_id"].to_pylist():
+            g, v = i // 5, i % 5
+            b = f"log entry {g} host srv{g % 7}{_EDITSIM_SUFFIX}"
+            n = len(b)
+            if v == 0:
+                s = b
+            elif v == 1:
+                s = b[: n - 1] + "x"
+            elif v == 2:
+                s = b[: n - 2]
+            elif v == 3:
+                s = b[: n - 7] + "z" + b[n - 6 :]
+            else:
+                s = b[: n - 11] + b[n - 10 :]
+            out.append(s)
+        return pa.table(
+            {"doc_id": t["doc_id"], "s": pa.array(out, pa.string())}
+        )
+
+    return docs.map_batches(build, batch_format="pyarrow")
+
+
+def _q_editsim_pairs(sf_dir: str):
+    """Exact edit-distance similarity join (Ed-Join prefix filter +
+    Myers bit-parallel verify) at byte-Levenshtein <= 2: recall is 1
+    by the q-gram prefix pigeonhole (q=2, fixed prefixes of q*d+1=5
+    grams under the global (df, gram) order; short strings meet in a
+    sentinel block), so the output must EQUAL DuckDB's brute-force
+    all-pairs ``levenshtein`` (byte-based on both engines — measured),
+    integer distances, no float anywhere."""
+    from textalyzer_ray.pipelines.editsim import edit_similarity_join
+
+    return edit_similarity_join(
+        _editsim_strings(sf_dir), max_dist=2
+    ).sort(["id_a", "id_b"])
+
+
 def _q_multi_line_dups(sf_dir: str):
     """Multi-line duplication (G4) over the derived multi-line view with
     a planted 4-line trailer on every 10th doc (deterministic)."""
@@ -2843,6 +2904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "lsh_index_dedup": _q_lsh_index_dedup,
         "setjoin_pairs": _q_setjoin_pairs,
+        "editsim_pairs": _q_editsim_pairs,
         "stream_windows": _q_stream_windows,
         "inverted_index": _q_inverted_index,
         "cohort_retention": _q_cohort_retention,
@@ -3505,6 +3567,30 @@ def oracle_sql() -> dict[str, str]:
         "setjoin_pairs": (
             f"WITH {_jac_ctes_at('0.8')} "
             "SELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b"
+        ),
+        # brute-force byte-Levenshtein all-pairs over the planted
+        # edit-join corpus (string CASE chain mirrors _editsim_strings
+        # character-for-character; DuckDB levenshtein is byte-based,
+        # matching core/editdist — all-integer, no float margin)
+        "editsim_pairs": (
+            "WITH es AS MATERIALIZED (SELECT doc_id, "
+            "'log entry ' || (doc_id // 5) || ' host srv' || "
+            "((doc_id // 5) % 7) || '"
+            + _EDITSIM_SUFFIX
+            + "' AS b, doc_id % 5 AS v FROM documents), "
+            "et AS MATERIALIZED (SELECT doc_id, CASE v "
+            "WHEN 0 THEN b "
+            "WHEN 1 THEN substr(b, 1, length(b)-1) || 'x' "
+            "WHEN 2 THEN substr(b, 1, length(b)-2) "
+            "WHEN 3 THEN substr(b, 1, length(b)-7) || 'z' || "
+            "substr(b, length(b)-5) "
+            "ELSE substr(b, 1, length(b)-11) || substr(b, length(b)-9) "
+            "END AS s FROM es) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist "
+            "FROM et a JOIN et b ON a.doc_id < b.doc_id "
+            "AND abs(length(a.s) - length(b.s)) <= 2 "
+            "WHERE levenshtein(a.s, b.s) <= 2 ORDER BY id_a, id_b"
         ),
         # ordered-pair containment over the same gram CTEs (jpairs is
         # an unreferenced plain CTE here, so DuckDB never evaluates it)

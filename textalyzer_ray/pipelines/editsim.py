@@ -1,0 +1,418 @@
+"""Exact edit-distance similarity join (Ed-Join shape).
+
+Public algorithms: q-gram count filtering (Gravano et al.,
+"Approximate String Joins in a Database (Almost) for Free", VLDB
+2001), prefix filtering for edit constraints (Xiao-Wang-Lin, "Ed-Join:
+an efficient algorithm for similarity joins with edit distance
+constraints", VLDB 2008), and Myers' bit-parallel verifier
+(core/editdist.py).
+
+``edit_similarity_join`` returns ALL unordered pairs (id_a < id_b)
+with byte-Levenshtein distance <= ``max_dist``, exact by construction:
+
+- An edit operation destroys at most q of a string's q-grams, so for
+  ed(a, b) <= d the DISTINCT-gram sets satisfy |A \\ B| <= q*d and
+  |B \\ A| <= q*d (a gram leaves the set only when every occurrence is
+  destroyed), hence |A n B| >= max(|A|, |B|) - q*d. The prefix-filter
+  lemma then guarantees the two (q*d + 1)-prefixes under the global
+  (df, gram) order intersect — so indexing ONLY fixed-length prefixes
+  has candidate recall 1 (hypothesis-pinned against brute force).
+- The one escape is pairs where BOTH sides have <= q*d distinct grams
+  (the intersection bound goes vacuous): every such short string also
+  emits ONE sentinel prefix row, so all short strings meet in a single
+  block and pair under the length filter. Short strings are rare by
+  construction at corpus scale; the sentinel block is bounded by them.
+- ||a| - |b|| <= d (byte lengths) prunes candidates losslessly.
+- Verification is the Myers bit-vector kernel — integer distances,
+  bit-identical to DuckDB's byte-based ``levenshtein`` (measured), so
+  the output joins a value-hash oracle with no float anywhere.
+
+Scale shape: strings die into (gram-set blob, len) features in one
+pass; the gram-id space for the default q=2 is bounded by 2^16, so the
+df table is ALWAYS a broadcast-sized small side (ray.put once,
+per-worker cache) no matter the corpus size; prefix rows are 20-byte
+(h, id, len) triples through one key-aligned exchange; candidates
+collapse in a second exchange sized to the measured candidate count;
+verification attaches the (<= 64-byte) strings via two join-free
+union-tag lookups. Kernel limit: strings must be <= 64 bytes (one
+machine word in the bit-parallel verifier) — asserted at featurize;
+the multi-word Myers extension is the documented growth path.
+
+Reference analogue: none (duplication in the reference is exact line
+groups, textalyzer/src/duplication.rs); §2.9 extension surface.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+from ray.data import Dataset
+
+from textalyzer_ray.core.editdist import gram_ids, levenshtein_batch
+
+logger = logging.getLogger(__name__)
+
+_SENTINEL = np.uint64(1) << np.uint64(63)
+
+
+def _featurize_table(
+    t: pa.Table, id_col: str, str_col: str, q: int, id_type: pa.DataType
+) -> pa.Table:
+    if t.num_rows == 0:
+        # empty blocks can be schema-less (CLAUDE.md r3)
+        return _feat_schema(id_col, id_type).empty_table()
+    strs = t[str_col].to_pylist()
+    sets = []
+    for s in strs:
+        b = (s or "").encode("utf-8")
+        if len(b) > 64:
+            raise ValueError(
+                "edit_similarity_join strings must be <= 64 bytes "
+                f"(got {len(b)}); the one-word Myers verifier bounds this"
+            )
+        sets.append(gram_ids(b, q))
+    return pa.table(
+        {
+            id_col: t[id_col],
+            "s": pa.array(strs, pa.string()),
+            "grams": pa.array([g.tobytes() for g in sets], pa.binary()),
+            "ng": pa.array([len(g) for g in sets], pa.int64()),
+            "slen": pa.array(
+                [len((s or "").encode("utf-8")) for s in strs], pa.int64()
+            ),
+        },
+        schema=_feat_schema(id_col, id_type),
+    )
+
+
+def _feat_schema(id_col: str, id_type: pa.DataType) -> pa.Schema:
+    return pa.schema(
+        [
+            pa.field(id_col, id_type),
+            pa.field("s", pa.string()),
+            pa.field("grams", pa.binary()),
+            pa.field("ng", pa.int64()),
+            pa.field("slen", pa.int64()),
+        ]
+    )
+
+
+def _prefix_rows_table(
+    t: pa.Table,
+    df_lut: tuple[np.ndarray, np.ndarray],
+    plen: int,
+    id_col: str,
+    id_type: pa.DataType,
+) -> pa.Table:
+    """Fixed-length prefix emit for one feature block: per string keep
+    the first ``plen`` grams under the global (df, gram) order; strings
+    with ng <= plen - 1 (== q*d) additionally emit the sentinel row.
+    Vectorized: one lexsort over the block's exploded grams."""
+    schema = pa.schema(
+        [
+            pa.field("h", pa.uint64()),
+            pa.field(id_col, id_type),
+            pa.field("slen", pa.int64()),
+        ]
+    )
+    if t.num_rows == 0:
+        return schema.empty_table()
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    slens = t["slen"].to_numpy(zero_copy_only=False)
+    sizes = t["ng"].to_numpy(zero_copy_only=False)
+    blobs = t["grams"].to_pylist()
+    flat = (
+        np.frombuffer(b"".join(blobs), dtype=np.uint64)
+        if blobs
+        else np.empty(0, np.uint64)
+    )
+    parts = []
+    if len(flat):
+        hs_lut, dfs_lut = df_lut
+        dfs = dfs_lut[np.searchsorted(hs_lut, flat)]
+        starts = np.zeros(len(sizes) + 1, np.int64)
+        np.cumsum(sizes, out=starts[1:])
+        doc_ix = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        order = np.lexsort((flat, dfs, doc_ix))
+        rank = np.arange(len(flat), dtype=np.int64) - starts[doc_ix[order]]
+        sel = order[rank < plen]
+        parts.append(
+            pa.table(
+                {
+                    "h": pa.array(flat[sel]),
+                    id_col: pa.array(ids[doc_ix[sel]]).cast(id_type),
+                    "slen": pa.array(slens[doc_ix[sel]].astype(np.int64)),
+                },
+                schema=schema,
+            )
+        )
+    short = sizes <= plen - 1
+    if short.any():
+        parts.append(
+            pa.table(
+                {
+                    "h": pa.array(np.full(int(short.sum()), _SENTINEL)),
+                    id_col: pa.array(ids[short]).cast(id_type),
+                    "slen": pa.array(slens[short].astype(np.int64)),
+                },
+                schema=schema,
+            )
+        )
+    if not parts:
+        return schema.empty_table()
+    return pa.concat_tables(parts)
+
+
+def _pairs_in_block(
+    t: pa.Table, max_dist: int, id_col: str, cand_schema: pa.Schema
+) -> pa.Table:
+    """Candidates of one key-aligned prefix block: polars self-join on
+    h, id_a < id_b, byte-length filter ||a|-|b|| <= d."""
+    if t.num_rows == 0:
+        return cand_schema.empty_table()
+    df = pl.from_arrow(t)
+    left = df.rename({id_col: "id_a", "slen": "la"})
+    right = df.rename({id_col: "id_b", "slen": "lb"})
+    out = (
+        left.join(right, on="h", how="inner")
+        .filter(pl.col("id_a") < pl.col("id_b"))
+        .filter((pl.col("la") - pl.col("lb")).abs() <= max_dist)
+        .select(["id_a", "id_b"])
+        .unique()
+    )
+    return out.to_arrow().cast(cand_schema)
+
+
+def _verify_table(
+    t: pa.Table,
+    max_dist: int,
+    pair_schema: pa.Schema,
+) -> pa.Table:
+    """Exact distances for candidate rows carrying sa/sb string cols;
+    pattern = the shorter side (the kernel's one-word bound applies to
+    the pattern)."""
+    if t.num_rows == 0:
+        return pair_schema.empty_table()
+    sa = [s.encode("utf-8") for s in t["sa"].to_pylist()]
+    sb = [s.encode("utf-8") for s in t["sb"].to_pylist()]
+    pats = [a if len(a) <= len(b) else b for a, b in zip(sa, sb)]
+    txts = [b if len(a) <= len(b) else a for a, b in zip(sa, sb)]
+    dist = levenshtein_batch(pats, txts)
+    keep = dist <= max_dist
+    return pa.table(
+        {
+            "id_a": t["id_a"].filter(pa.array(keep)),
+            "id_b": t["id_b"].filter(pa.array(keep)),
+            "dist": pa.array(dist[keep], pa.int64()),
+        },
+        schema=pair_schema,
+    )
+
+
+def edit_similarity_join(
+    ds: Dataset,
+    max_dist: int,
+    id_col: str = "doc_id",
+    str_col: str = "s",
+    q: int = 2,
+    df_broadcast_max: int = 4_000_000,
+    small_threshold: int = 2_000_000,
+) -> Dataset:
+    """(id_a, id_b, dist) — ALL unordered pairs with byte-Levenshtein
+    distance <= ``max_dist``, id_a < id_b, exact recall (module
+    docstring). ``id_col`` must be unique; strings <= 64 bytes."""
+    import ray
+    import ray.data as rd
+
+    from textalyzer_ray.pipelines.joins import union_tag_lookup
+    from textalyzer_ray.sources.tables import cluster_cpus
+    from textalyzer_ray.stages.groups import (
+        _worker_object_cache,
+        grouped_apply,
+        id_type_of,
+        key_counts,
+        partitions_for,
+    )
+
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if q < 1 or q > 8:
+        raise ValueError("q must be in 1..8")
+    plen = q * max_dist + 1
+    id_type = id_type_of(ds, id_col)
+    pair_schema = pa.schema(
+        [
+            pa.field("id_a", id_type),
+            pa.field("id_b", id_type),
+            pa.field("dist", pa.int64()),
+        ]
+    )
+    cand_schema = pa.schema(
+        [pa.field("id_a", id_type), pa.field("id_b", id_type)]
+    )
+
+    feats = (
+        ds.select_columns([id_col, str_col])
+        .map_batches(
+            lambda t: _featurize_table(t, id_col, str_col, q, id_type),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
+        .materialize()
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.uint64()),
+                    id_col: pa.array([], id_type),
+                }
+            )
+        blobs = t["grams"].to_pylist()
+        sizes = t["ng"].to_numpy(zero_copy_only=False)
+        flat = (
+            np.frombuffer(b"".join(blobs), dtype=np.uint64)
+            if blobs
+            else np.empty(0, np.uint64)
+        )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"h": pa.array(flat), id_col: pa.array(np.repeat(ids, sizes))}
+        )
+
+    df_ds = key_counts(
+        feats.map_batches(explode, batch_format="pyarrow"), ["h"]
+    ).materialize()
+    vocab = df_ds.count()
+    if vocab > df_broadcast_max:
+        # the default q=2 bounds vocab at 2^16; larger q can overflow
+        # the broadcast side — refuse loudly rather than ship a skewed
+        # union-tag exchange nobody has measured
+        raise ValueError(
+            f"gram vocabulary {vocab} exceeds df_broadcast_max "
+            f"({df_broadcast_max}); lower q (default 2 bounds it at 2^16)"
+        )
+    df_batches = list(
+        df_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    # vocab can be 0 (every string shorter than q) while pairs still
+    # exist via the sentinel short-string block — keep going with an
+    # empty lut rather than crash on concat_tables(())
+    df_tbl = (
+        pa.concat_tables(df_batches)
+        if df_batches
+        else pa.table(
+            {"h": pa.array([], pa.uint64()), "count": pa.array([], pa.int64())}
+        )
+    )
+    h_np = df_tbl["h"].to_numpy(zero_copy_only=False)
+    ordk = np.argsort(h_np, kind="stable")
+    df_lut = (h_np[ordk], df_tbl["count"].to_numpy(zero_copy_only=False)[ordk])
+
+    def total_grams() -> int:
+        import pyarrow.compute as pc_
+
+        return int(pc_.sum(df_tbl["count"]).as_py() or 0)
+
+    if total_grams() <= small_threshold:
+        logger.info("edit_similarity_join: one-task small path")
+        df_ref = ray.put(df_lut)
+
+        @ray.remote
+        def editsim_task(lut, *blocks: pa.Table) -> pa.Table:
+            # ray auto-dereferences the ObjectRef arg -> lut is the tuple
+            if not blocks:
+                return pair_schema.empty_table()
+            f = pa.concat_tables(blocks)
+            prefix = _prefix_rows_table(f, lut, plen, id_col, id_type)
+            cand = _pairs_in_block(prefix, max_dist, id_col, cand_schema)
+            if cand.num_rows == 0:
+                return pair_schema.empty_table()
+            s_by_id = dict(
+                zip(
+                    f[id_col].to_pylist(),
+                    f["s"].to_pylist(),
+                )
+            )
+            withs = cand.append_column(
+                "sa", pa.array([s_by_id[i] for i in cand["id_a"].to_pylist()])
+            ).append_column(
+                "sb", pa.array([s_by_id[i] for i in cand["id_b"].to_pylist()])
+            )
+            return _verify_table(withs, max_dist, pair_schema)
+
+        refs = feats.to_arrow_refs()
+        return rd.from_arrow_refs([editsim_task.remote(df_ref, *refs)])
+
+    df_ref = ray.put(df_lut)
+
+    def emit_prefix(t: pa.Table) -> pa.Table:
+        cache = _worker_object_cache()
+        ck = df_ref.hex()
+        lut = cache.get(ck)
+        if lut is None:
+            lut = cache[ck] = ray.get(df_ref)
+        return _prefix_rows_table(t, lut, plen, id_col, id_type)
+
+    prefix_rows = feats.map_batches(
+        emit_prefix, batch_format="pyarrow"
+    ).materialize()
+    n_prefix = prefix_rows.count()
+    if n_prefix == 0:
+        return rd.from_arrow(pair_schema.empty_table())
+
+    cands = grouped_apply(
+        prefix_rows,
+        ["h"],
+        lambda t: _pairs_in_block(t, max_dist, id_col, cand_schema),
+        num_partitions=min(
+            max(cluster_cpus(), 2), partitions_for(n_prefix, 2_000_000)
+        ),
+    ).materialize()
+    n_cand = cands.count()
+    logger.info(
+        "edit_similarity_join: %d prefix rows -> %d candidate rows",
+        n_prefix,
+        n_cand,
+    )
+    if n_cand == 0:
+        return rd.from_arrow(pair_schema.empty_table())
+
+    def distinct_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cand_schema.empty_table()
+        return (
+            pl.from_arrow(t).unique(["id_a", "id_b"]).to_arrow()
+            .cast(cand_schema)
+        )
+
+    pairs = grouped_apply(
+        cands,
+        ["id_a", "id_b"],
+        distinct_block,
+        num_partitions=min(
+            max(cluster_cpus(), 2), partitions_for(n_cand, 2_000_000)
+        ),
+    )
+    n_parts = max(2, min(cluster_cpus() // 2, n_cand // 10_000 + 1))
+    j = pairs
+    for side, out_col in (("id_a", "sa"), ("id_b", "sb")):
+        j = union_tag_lookup(
+            j,
+            feats.map_batches(
+                lambda t, s=side: pa.table({s: t[id_col], "strv": t["s"]}),
+                batch_format="pyarrow",
+            ),
+            key_col=side,
+            value_col="strv",
+            out_col=out_col,
+            num_partitions=n_parts,
+        )
+    return j.map_batches(
+        lambda t: _verify_table(t, max_dist, pair_schema),
+        batch_format="pyarrow",
+    )
