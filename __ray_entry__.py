@@ -1162,6 +1162,66 @@ def _q_editsim_pairs(sf_dir: str):
     ).sort(["id_a", "id_b"])
 
 
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (LBFS/Rabin shape) duplicate-chunk
+    groups over the real documents table: 16-byte rolling window,
+    polyhash64's B/C + hi-into-lo fold, boundary when the folded low 5
+    bits == 7 (avg 32 B chunks; 323 corpus-duplicated chunks measured
+    at sf0.01, max occ 30). Every boundary decision replays in SQL via
+    the inlined B^j mod 2^64 literals, so the oracle is bit-exact —
+    all-integer + exact string grouping, no float anywhere."""
+    from textalyzer_ray.pipelines.cdc import cdc_duplicate_chunks
+    from textalyzer_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return cdc_duplicate_chunks(docs)
+
+
+def _cdc_oracle_sql(
+    window: int = 16, mask_bits: int = 5, remainder: int = 7
+) -> str:
+    """SQL replay of the CDC boundary scan + chunk assembly: the
+    16-term window sum uses inlined B^j mod 2^64 literals (HUGEINT
+    sums stay < 2^76), the C-multiply + hi/lo xor fold matches
+    core/fingerprint's polyhash64 finalize, boundaries become chunk
+    spans by a lag() gaps-and-islands, and the trailing span joins via
+    a LEFT JOIN on per-doc max boundary. ord() == byte because the
+    documents tables are ASCII-only (measured; the pipeline asserts)."""
+    from textalyzer_ray.core.fingerprint import _POLY_B, _POLY_C
+
+    terms = " + ".join(
+        f"ord(substr(text, i-{window - 1 - j}, 1)) * "
+        f"{pow(_POLY_B, window - 1 - j, 1 << 64)}::HUGEINT"
+        for j in range(window)
+    )
+    m64 = 1 << 64
+    return (
+        "WITH pos AS MATERIALIZED (SELECT doc_id, text, "
+        f"unnest(generate_series({window}, length(text))) AS i "
+        "FROM documents), "
+        f"wh AS MATERIALIZED (SELECT doc_id, i, ({terms}) % {m64}::HUGEINT "
+        "AS h FROM pos), "
+        f"fm AS (SELECT doc_id, i, (h * {_POLY_C}::HUGEINT) % "
+        f"{m64}::HUGEINT AS m FROM wh), "
+        "fx AS (SELECT doc_id, i, CAST(m // 4294967296 AS BIGINT) AS hi, "
+        "CAST(m % 4294967296 AS BIGINT) AS lo FROM fm), "
+        "b AS MATERIALIZED (SELECT doc_id, i FROM fx "
+        f"WHERE (xor(lo, hi) & {(1 << mask_bits) - 1}) = {remainder}), "
+        "mb AS (SELECT doc_id, max(i) AS mi FROM b GROUP BY 1), "
+        "spans AS (SELECT doc_id, coalesce(lag(i) OVER "
+        "(PARTITION BY doc_id ORDER BY i), 0) + 1 AS st, i AS en FROM b "
+        "UNION ALL SELECT d.doc_id, coalesce(mb.mi, 0) + 1, "
+        "length(d.text) FROM documents d LEFT JOIN mb "
+        "ON mb.doc_id = d.doc_id "
+        "WHERE length(d.text) >= coalesce(mb.mi, 0) + 1), "
+        "ch AS (SELECT s.doc_id, substr(d.text, s.st, s.en - s.st + 1) "
+        "AS chunk FROM spans s JOIN documents d ON d.doc_id = s.doc_id) "
+        "SELECT chunk, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_occ FROM ch GROUP BY chunk "
+        "HAVING count(*) >= 2 ORDER BY chunk"
+    )
+
+
 def _q_multi_line_dups(sf_dir: str):
     """Multi-line duplication (G4) over the derived multi-line view with
     a planted 4-line trailer on every 10th doc (deterministic)."""
@@ -2905,6 +2965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_index_dedup": _q_lsh_index_dedup,
         "setjoin_pairs": _q_setjoin_pairs,
         "editsim_pairs": _q_editsim_pairs,
+        "cdc_chunks": _q_cdc_chunks,
         "stream_windows": _q_stream_windows,
         "inverted_index": _q_inverted_index,
         "cohort_retention": _q_cohort_retention,
@@ -3592,6 +3653,7 @@ def oracle_sql() -> dict[str, str]:
             "AND abs(length(a.s) - length(b.s)) <= 2 "
             "WHERE levenshtein(a.s, b.s) <= 2 ORDER BY id_a, id_b"
         ),
+        "cdc_chunks": _cdc_oracle_sql(),
         # ordered-pair containment over the same gram CTEs (jpairs is
         # an unreferenced plain CTE here, so DuckDB never evaluates it)
         "containment_pairs": (
