@@ -1222,6 +1222,33 @@ def _cdc_oracle_sql(
     )
 
 
+def _q_table_profile(sf_dir: str):
+    """Distributed column profiler over the full documents table
+    (row/null/exact-distinct counts + typed min/max per column): the
+    ingest-time metadata pass. Narrow stats are per-block partials
+    with a driver merge bounded by blocks x columns; the exact
+    distinct count is ONE (col, value)-aligned exchange. Integer
+    min/max merge numerically and render as VARCHAR (injective), so
+    the oracle's UNION-ALL-per-column aggregate hashes exactly."""
+    from textalyzer_ray.pipelines.profile import profile_table
+    from textalyzer_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents")
+    return profile_table(docs)
+
+
+def _table_profile_oracle_sql(table: str, columns: list[str]) -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        f"CAST(min({c}) AS VARCHAR) AS min_v, "
+        f"CAST(max({c}) AS VARCHAR) AS max_v FROM {table}"
+        for c in columns
+    )
+    return f"SELECT * FROM ({sel}) ORDER BY col"
+
+
 def _q_multi_line_dups(sf_dir: str):
     """Multi-line duplication (G4) over the derived multi-line view with
     a planted 4-line trailer on every 10th doc (deterministic)."""
@@ -2966,6 +2993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "setjoin_pairs": _q_setjoin_pairs,
         "editsim_pairs": _q_editsim_pairs,
         "cdc_chunks": _q_cdc_chunks,
+        "table_profile": _q_table_profile,
         "stream_windows": _q_stream_windows,
         "inverted_index": _q_inverted_index,
         "cohort_retention": _q_cohort_retention,
@@ -3654,6 +3682,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE levenshtein(a.s, b.s) <= 2 ORDER BY id_a, id_b"
         ),
         "cdc_chunks": _cdc_oracle_sql(),
+        "table_profile": _table_profile_oracle_sql(
+            "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
         # ordered-pair containment over the same gram CTEs (jpairs is
         # an unreferenced plain CTE here, so DuckDB never evaluates it)
         "containment_pairs": (
