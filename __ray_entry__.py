@@ -733,7 +733,9 @@ def _hll_hash64_oracle_ctes(src: str, key: str, id_col: str) -> str:
     modular products, fmix64 on 32-bit halves with the murmur constants
     split to stay under signed INT128), but keyed by ``id_col`` instead
     of the distinct-word set so membership oracles (bloom filter) can
-    join hashes back to rows. Must be embedded under WITH RECURSIVE."""
+    join hashes back to rows. Must be embedded under WITH RECURSIVE.
+    ``id_col``/``key`` must not be named ``i`` (internal position
+    alias — a clash silently mis-groups the Horner sum)."""
     m64 = "18446744073709551616"
     return (
         f"bpows(i, v) AS (SELECT 0, CAST(1 AS HUGEINT) UNION ALL "
@@ -752,13 +754,13 @@ def _hll_hash64_oracle_ctes(src: str, key: str, id_col: str) -> str:
         f"bx1 AS (SELECT {id_col}, hi, xor(lo, hi >> 1) AS lo FROM bmix), "
         f"bm1 AS (SELECT {id_col}, CAST(v // 4294967296 AS BIGINT) AS hi, "
         f"CAST(v % 4294967296 AS BIGINT) AS lo FROM (SELECT {id_col}, "
-        f"(h * 3982748877 + ((h * 4283543511) % 4294967296) * 4294967296) "
+        f"(h * 3981806797 + ((h * 4283543511) % 4294967296) * 4294967296) "
         f"% {m64} AS v FROM (SELECT {id_col}, "
         f"CAST(hi AS HUGEINT) * 4294967296 + lo AS h FROM bx1))), "
         f"bx2 AS (SELECT {id_col}, hi, xor(lo, hi >> 1) AS lo FROM bm1), "
         f"bm2 AS (SELECT {id_col}, CAST(v // 4294967296 AS BIGINT) AS hi, "
         f"CAST(v % 4294967296 AS BIGINT) AS lo FROM (SELECT {id_col}, "
-        f"(h * 444591187 + ((h * 3302898174) % 4294967296) * 4294967296) "
+        f"(h * 444984403 + ((h * 3301882366) % 4294967296) * 4294967296) "
         f"% {m64} AS v FROM (SELECT {id_col}, "
         f"CAST(hi AS HUGEINT) * 4294967296 + lo AS h FROM bx2))), "
         f"bx3 AS (SELECT {id_col}, hi, xor(lo, hi >> 1) AS lo FROM bm2)"
@@ -1247,6 +1249,63 @@ def _table_profile_oracle_sql(table: str, columns: list[str]) -> str:
         for c in columns
     )
     return f"SELECT * FROM ({sel}) ORDER BY col"
+
+
+def _q_srp_pairs(sf_dir: str):
+    """Charikar sign-random-projection LSH over the embeddings table
+    (8 bands x 8 bits, hyperplane signs from the SQL-recomputable
+    hll_hash64 of each dim index), candidates verified at exact
+    float64 cosine >= 0.3. Output (id_a, id_b, n_bands) is all-integer
+    and deterministic; the oracle rebuilds the sign matrix, every
+    projection and bucket, and the cosine filter in SQL. Measured
+    float margins (pinned in tests): min |projection| 7.7e-7+, min
+    |cosine - 0.3| 5.9e-7+ at every sf — both orders of magnitude
+    above the cross-engine float error."""
+    from textalyzer_ray.pipelines.srp import srp_candidate_pairs
+    from textalyzer_ray.sources.tables import read_table
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return srp_candidate_pairs(emb, threshold=0.3)
+
+
+def _srp_oracle_sql(
+    threshold: str = "0.3", n_bands: int = 8, band_bits: int = 8
+) -> str:
+    """SQL replay of the SRP chain: sign matrix from the hll_hash64
+    CTE chain keyed by dim index, projections via an exploded
+    (vec_id, j, val) join, band buckets by bit-packing the projection
+    signs, candidate pairs by bucket equality, cosine verification via
+    list_cosine_similarity (float margins measured — _q_srp_pairs)."""
+    chain = _hll_hash64_oracle_ctes("dimss", "js", "j")
+    return (
+        "WITH RECURSIVE sdims AS (SELECT unnest(generate_series(0, 63)) "
+        "AS j), "
+        "dimss AS (SELECT j, CAST(j AS VARCHAR) AS js FROM sdims), "
+        f"{chain}, "
+        "sb AS MATERIALIZED (SELECT j, b, CASE WHEN b < 32 "
+        "THEN (lo >> b) & 1 ELSE (hi >> (b - 32)) & 1 END AS bit "
+        "FROM bx3, (SELECT unnest(generate_series(0, "
+        f"{n_bands * band_bits - 1})) AS b)), "
+        "ev AS MATERIALIZED (SELECT vec_id, j, "
+        "CAST(embedding[j + 1] AS DOUBLE) AS val FROM embeddings, sdims), "
+        "proj AS MATERIALIZED (SELECT vec_id, b, "
+        "sum(CASE WHEN bit = 1 THEN val ELSE -val END) AS p "
+        "FROM ev JOIN sb USING (j) GROUP BY 1, 2), "
+        f"bkt AS MATERIALIZED (SELECT vec_id, b // {band_bits} AS band, "
+        "CAST(sum(CASE WHEN p >= 0 THEN "
+        f"(1 << (b % {band_bits})) ELSE 0 END) AS BIGINT) AS bucket "
+        "FROM proj GROUP BY 1, 2), "
+        "scand AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, "
+        "CAST(count(*) AS BIGINT) AS n_bands FROM bkt a JOIN bkt c "
+        "ON a.band = c.band AND a.bucket = c.bucket "
+        "AND a.vec_id < c.vec_id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, n_bands FROM scand "
+        "JOIN embeddings e1 ON e1.vec_id = id_a "
+        "JOIN embeddings e2 ON e2.vec_id = id_b "
+        "WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), "
+        f"CAST(e2.embedding AS DOUBLE[])) >= {threshold} "
+        "ORDER BY id_a, id_b"
+    )
 
 
 def _q_multi_line_dups(sf_dir: str):
@@ -2994,6 +3053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "editsim_pairs": _q_editsim_pairs,
         "cdc_chunks": _q_cdc_chunks,
         "table_profile": _q_table_profile,
+        "srp_pairs": _q_srp_pairs,
         "stream_windows": _q_stream_windows,
         "inverted_index": _q_inverted_index,
         "cohort_retention": _q_cohort_retention,
@@ -3685,6 +3745,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": _table_profile_oracle_sql(
             "documents", ["doc_id", "text", "lang", "source", "n_chars"]
         ),
+        "srp_pairs": _srp_oracle_sql(),
         # ordered-pair containment over the same gram CTEs (jpairs is
         # an unreferenced plain CTE here, so DuckDB never evaluates it)
         "containment_pairs": (
@@ -4611,13 +4672,13 @@ def oracle_sql() -> dict[str, str]:
             "hx1 AS (SELECT word, hi, xor(lo, hi >> 1) AS lo FROM hmix), "
             "hm1 AS (SELECT word, CAST(v // 4294967296 AS BIGINT) AS hi, "
             "CAST(v % 4294967296 AS BIGINT) AS lo FROM (SELECT word, "
-            "(h * 3982748877 + ((h * 4283543511) % 4294967296) * 4294967296) "
+            "(h * 3981806797 + ((h * 4283543511) % 4294967296) * 4294967296) "
             "% 18446744073709551616 AS v FROM (SELECT word, "
             "CAST(hi AS HUGEINT) * 4294967296 + lo AS h FROM hx1))), "
             "hx2 AS (SELECT word, hi, xor(lo, hi >> 1) AS lo FROM hm1), "
             "hm2 AS (SELECT word, CAST(v // 4294967296 AS BIGINT) AS hi, "
             "CAST(v % 4294967296 AS BIGINT) AS lo FROM (SELECT word, "
-            "(h * 444591187 + ((h * 3302898174) % 4294967296) * 4294967296) "
+            "(h * 444984403 + ((h * 3301882366) % 4294967296) * 4294967296) "
             "% 18446744073709551616 AS v FROM (SELECT word, "
             "CAST(hi AS HUGEINT) * 4294967296 + lo AS h FROM hx2))), "
             "hx3 AS (SELECT word, hi, xor(lo, hi >> 1) AS lo FROM hm2), "
