@@ -296,6 +296,22 @@ def run_bench() -> dict:
         lambda: contract._q_events_gapfill(sf_dir).count(),
     )
 
+    # r4 continuation additions: exact edit-distance join (Ed-Join
+    # prefix filter + Myers bit-parallel verify), content-defined
+    # chunking dedup (one batched boundary matmul + a chunk-keyed
+    # exchange), SRP-LSH embedding candidate pairs, and the full-table
+    # column profiler (narrow partials + one distinct exchange).
+    timed(
+        "editsim",
+        lambda: contract._q_editsim_pairs(sf_dir).count(),
+    )
+    timed("cdc", lambda: contract._q_cdc_chunks(sf_dir).count())
+    timed("srp", lambda: contract._q_srp_pairs(sf_dir).count())
+    timed(
+        "table_profile",
+        lambda: contract._q_table_profile(sf_dir).count(),
+    )
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     # In-run hardware control: this shared VM intermittently loses 2-20x

@@ -53,5 +53,9 @@ def test_bench_emits_single_json_line():
         "vector_probe",
         "setjoin",
         "events_gapfill",
+        "editsim",
+        "cdc",
+        "srp",
+        "table_profile",
     }
     assert data["n_docs"] == 500
