@@ -2525,6 +2525,24 @@ def _q_sessionize(sf_dir: str):
     return user_sessionize(ev).sort(["user_id", "session_id"])
 
 
+def _q_session_transitions(sf_dir: str):
+    """First-order Markov transition counts over sessionized event
+    streams (the behavior model sequence-mining pipelines train on):
+    sessions cut at 1800 s gaps with the exact sessionize rule, events
+    ordered (ts, event_id) within a user, each consecutive in-session
+    pair emitting one (from_type, to_type) edge. One user-aligned
+    exchange; per-block polars shift over every user at once; partial
+    counts bounded by |types|^2 per block; tiny tree merge. All-BIGINT
+    counts -> exact lead()-window oracle."""
+    from textalyzer_ray.pipelines.analytics import session_transitions
+    from textalyzer_ray.sources.tables import read_table
+
+    ev = read_table(
+        sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+    return session_transitions(ev)
+
+
 _BM25_TERMS = ["stream", "hash", "join", "window", "scan", "sort"]
 
 
@@ -3042,6 +3060,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # replaced dedup_against (two-corpus comparison family; the
     # incremental anti-join stays locally gated below the cap).
     # Rows-only entries close the dict.
+    #
+    # r4 continuation rotation: four new families entered the window
+    # (editsim_pairs — edit-distance join; cdc_chunks — content-defined
+    # chunking dedup; table_profile — column profiler; srp_pairs —
+    # embedding SRP-LSH). Displaced past the cap: dup_ngram_coverage
+    # (duplication coverage witnessed by dup_span_removal + cdc_chunks),
+    # word_kcore (graph family by word_triangles + lpa_communities +
+    # textrank_keywords), classifier_scores (model-scoring family by
+    # lm_surprisal, kept in-window by parking containment_pairs, whose
+    # setjoin family setjoin_pairs witnesses).
     return {
         # SQL-oracled — one per family, strongest evidence first
         "word_histogram": _q_word_histogram,
@@ -3068,8 +3096,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": _q_funnel_stages,
         "embedding_clusters": _q_embedding_clusters,
         "zorder_layout": _q_zorder_layout,
-        "hash_split": _q_hash_split,
-        "containment_pairs": _q_containment_pairs,
+        "session_transitions": _q_session_transitions,
+        "lm_surprisal": _q_lm_surprisal,
         "hll_service_distinct": _q_hll_service_distinct,
         "dup_span_removal": _q_dup_span_removal,
         "line_dedup_rebuild": _q_line_dedup_rebuild,
@@ -3094,10 +3122,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "scrub_pii": _q_scrub_pii,
         "bloom_url_seen": _q_bloom_url_seen,
-        "lm_surprisal": _q_lm_surprisal,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
         "word_kcore": _q_word_kcore,
         "classifier_scores": _q_classifier_scores,
+        "containment_pairs": _q_containment_pairs,
+        "hash_split": _q_hash_split,
         # SQL-oracled, redundant coverage (same families as entries
         # above) — first to fall past a driver cap. r4 rotation parked
         # ten r3-driver-green veterans here (each family keeps an
@@ -4768,6 +4797,25 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY node ORDER BY node"
     )
     d["pq_codes"] = _pq_oracle_sql(n_subspaces=4, k=8, n_iter=4)
+    d["session_transitions"] = (
+        # same session rule (and (ts, event_id) intra-user order) as
+        # the sessionize oracle; lead() within (user, session) yields
+        # each consecutive edge exactly once
+        "WITH g AS (SELECT user_id, event_id, ts, event_type, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND THEN 1 ELSE 0 END "
+        "AS is_new FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, event_id, ts, event_type, "
+        "sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM g), "
+        "p AS (SELECT event_type AS from_type, "
+        "lead(event_type) OVER (PARTITION BY user_id, sid "
+        "ORDER BY ts, event_id) AS to_type FROM s) "
+        "SELECT from_type, to_type, CAST(count(*) AS BIGINT) "
+        "AS n_transitions FROM p WHERE to_type IS NOT NULL "
+        "GROUP BY from_type, to_type ORDER BY from_type, to_type"
+    )
     d["pivot_counts"] = (
         "SELECT user_id, "
         "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "

@@ -196,6 +196,95 @@ def user_sessionize(
     )
 
 
+def session_transitions(
+    ds_events: Dataset, gap_s: int = 1800
+) -> Dataset:
+    """Markov transition counts over sessionized event streams: within
+    each session (same gap rule as ``user_sessionize``, events ordered
+    by (ts, event_id) within a user), every consecutive pair of events
+    contributes one (from_type, to_type) edge. Returns
+    (from_type, to_type, n_transitions BIGINT) sorted by the pair —
+    the first-order behavior model sequence mining / next-event
+    prediction pipelines train on.
+
+    Shape: one user-aligned hash exchange (``grouped_apply``) so every
+    user's events sit in one block; the block kernel sessionizes and
+    shifts EVERY user at once in polars (no per-group Python) and
+    emits per-block (from, to) partial counts — bounded by
+    |event_type|^2 per block, never by event volume — which a tiny
+    ``key_counts`` tree merge finishes. Skew note: a hot user inflates
+    one block linearly (same exposure as sessionize/funnel); the edge
+    keyspace itself cannot be hot because partials cap shuffle rows at
+    blocks x |types|^2."""
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import grouped_apply, key_counts
+
+    gap_us = gap_s * 1_000_000
+    out_schema = pa.schema(
+        [
+            pa.field("from_type", pa.string()),
+            pa.field("to_type", pa.string()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def transitions_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = (
+            pl.from_arrow(t)
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(
+                (
+                    pl.col("ts")
+                    .cast(pl.Int64)
+                    .diff()
+                    .fill_null(gap_us + 1)
+                    .over("user_id")
+                    > gap_us
+                )
+                .cast(pl.Int64)
+                .cum_sum()
+                .over("user_id")
+                .alias("_sess")
+            )
+            .with_columns(
+                pl.col("event_type")
+                .shift(-1)
+                .over(["user_id", "_sess"])
+                .alias("to_type")
+            )
+            .drop_nulls("to_type")
+        )
+        out = (
+            df.group_by(["event_type", "to_type"])
+            .agg(n=pl.len().cast(pl.Int64))
+            .rename({"event_type": "from_type"})
+            .select(["from_type", "to_type", "n"])
+        )
+        return out.to_arrow().cast(out_schema)
+
+    partials = grouped_apply(
+        ds_events.select_columns(["user_id", "event_id", "ts", "event_type"]),
+        ["user_id"],
+        transitions_block,
+    )
+    merged = key_counts(
+        partials, ["from_type", "to_type"], sum_cols=["n"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "from_type": t["from_type"],
+                "to_type": t["to_type"],
+                "n_transitions": t["sum_n"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return merged.sort(["from_type", "to_type"])
+
+
 def cohort_retention(
     ds_events: Dataset, bucket_s: int = 86400
 ) -> Dataset:
