@@ -2525,6 +2525,22 @@ def _q_sessionize(sf_dir: str):
     return user_sessionize(ev).sort(["user_id", "session_id"])
 
 
+def _q_stratified_split(sf_dir: str):
+    """EXACT-count stratified train/holdout split by language: each
+    stratum keeps exactly floor(n*4/5) rows, the lowest under the
+    total (hll_hash64(str(doc_id)), doc_id) order. Distributed rank
+    selection — two strata x 2^16-bounded histogram exchanges, an
+    expected-n/2^32 exact tail on the driver, one stateless scoring
+    pass; no per-stratum sort of the corpus. Rational fraction keeps
+    the threshold integer-exact on both engines; the oracle replays
+    the hash chain + row_number per stratum."""
+    from textalyzer_ray.pipelines.curation import stratified_split
+
+    return stratified_split(
+        _docs(sf_dir, columns=["doc_id", "lang"])
+    ).sort("doc_id")
+
+
 def _q_session_transitions(sf_dir: str):
     """First-order Markov transition counts over sessionized event
     streams (the behavior model sequence-mining pipelines train on):
@@ -3100,7 +3116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_surprisal": _q_lm_surprisal,
         "hll_service_distinct": _q_hll_service_distinct,
         "dup_span_removal": _q_dup_span_removal,
-        "line_dedup_rebuild": _q_line_dedup_rebuild,
+        "stratified_split": _q_stratified_split,
         "pivot_counts": _q_pivot_counts,
         "extract_text": _q_extract_text,
         "warc_extract": _q_warc_extract,
@@ -3127,6 +3143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_scores": _q_classifier_scores,
         "containment_pairs": _q_containment_pairs,
         "hash_split": _q_hash_split,
+        "line_dedup_rebuild": _q_line_dedup_rebuild,
         # SQL-oracled, redundant coverage (same families as entries
         # above) — first to fall past a driver cap. r4 rotation parked
         # ten r3-driver-green veterans here (each family keeps an
@@ -4797,6 +4814,22 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY node ORDER BY node"
     )
     d["pq_codes"] = _pq_oracle_sql(n_subspaces=4, k=8, n_iter=4)
+    d["stratified_split"] = (
+        # replay the per-row hll_hash64(str(doc_id)) chain, rank within
+        # each stratum by (hash, id), threshold integer-exact (n*4)//5
+        "WITH RECURSIVE src AS (SELECT doc_id, lang, "
+        "CAST(doc_id AS VARCHAR) AS sk FROM documents), "
+        + _hll_hash64_oracle_ctes("src", "sk", "doc_id")
+        + ", hv AS (SELECT s.doc_id, s.lang, "
+        "CAST(b.hi AS HUGEINT) * 4294967296 + b.lo AS h "
+        "FROM src s JOIN bx3 b USING (doc_id)), "
+        "r AS (SELECT doc_id, lang, row_number() OVER "
+        "(PARTITION BY lang ORDER BY h, doc_id) AS rk, "
+        "count(*) OVER (PARTITION BY lang) AS n FROM hv) "
+        "SELECT doc_id, lang, CAST(CASE WHEN rk <= (n*4)//5 "
+        "THEN 1 ELSE 0 END AS BIGINT) AS is_train "
+        "FROM r ORDER BY doc_id"
+    )
     d["session_transitions"] = (
         # same session rule (and (ts, event_id) intra-user order) as
         # the sessionize oracle; lead() within (user, session) yields

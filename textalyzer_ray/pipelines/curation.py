@@ -1016,6 +1016,213 @@ def hash_split(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def stratified_split(
+    ds: Dataset,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    train_num: int = 4,
+    train_den: int = 5,
+    split_col: str = "is_train",
+) -> Dataset:
+    """EXACT-count stratified train/holdout split: within every
+    stratum, exactly ``floor(n_stratum * train_num / train_den)`` rows
+    get ``split_col = 1``, chosen as the lowest rows under the total
+    order (hll_hash64(str(id)), id) — deterministic, RNG-free, and
+    partitioning-invariant, the property ``hash_split`` has, but with
+    per-stratum fractions that hold EXACTLY instead of in expectation
+    (a 10^4-doc low-resource stratum keeps precisely its share; a
+    Bernoulli threshold can miss by hundreds).
+
+    Distributed rank selection (no per-stratum sort of the corpus):
+
+    1. one streaming pass -> (stratum, h>>48) histogram via
+       ``key_counts`` — the exchange is bounded by strata x 2^16 rows,
+       never by corpus rows; the driver picks each stratum's boundary
+       bucket and the residual rank inside it;
+    2. a second pass histograms ONLY boundary-bucket rows on the next
+       16 hash bits (expected n/2^16 of the corpus feeds it, and the
+       exchange is again strata x 2^16);
+    3. the surviving (stratum, 32-bit-prefix) slivers — expected
+       n/2^32 rows, ~250 rows even at 10^12 — are collected and ranked
+       exactly on the driver, yielding one (cut_hash, cut_id) pair per
+       stratum;
+    4. the strata-sized cut table rides the closure into a stateless
+       vectorized scoring pass: train iff (h, id) <= (cut_hash,
+       cut_id).
+
+    The fraction is a RATIONAL (train_num/train_den) so the threshold
+    ``(n * num) // den`` is integer-exact on both engines (float
+    floor(frac*n) disagrees near exact multiples — the setjoin prefix
+    lesson). Oracle: row_number() OVER (PARTITION BY stratum ORDER BY
+    hv, id) <= (n*num)//den via the SQL-recomputable hll_hash64 chain."""
+    import numpy as np
+
+    from textalyzer_ray.core.fingerprint import hll_hash64_array
+    from textalyzer_ray.stages.groups import key_counts
+
+    if not (0 < train_num <= train_den):
+        raise ValueError("train_num/train_den must be a fraction in (0, 1]")
+
+    def _hashes(t: pa.Table) -> "tuple[np.ndarray, np.ndarray]":
+        import pyarrow.compute as pc
+
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = hll_hash64_array(pc.cast(t[id_col], pa.string()).to_pylist())
+        return h, ids
+
+    def _strata(t: pa.Table) -> np.ndarray:
+        return np.asarray(t[strata_col].to_pylist(), dtype=object)
+
+    narrow = ds.select_columns([id_col, strata_col])
+    part_schema = pa.schema(
+        [
+            pa.field("s", pa.string()),
+            pa.field("b", pa.int64()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def l1_partial(t: pa.Table) -> pa.Table:
+        h, _ = _hashes(t)
+        b = (h >> np.uint64(48)).astype(np.int64)
+        return (
+            pa.table({"s": t[strata_col], "b": pa.array(b)})
+            .group_by(["s", "b"])
+            .aggregate([("b", "count")])
+            .rename_columns(["s", "b", "n"])
+            .cast(part_schema)
+        )
+
+    hist1 = key_counts(
+        narrow.map_batches(l1_partial, batch_format="pyarrow"),
+        ["s", "b"],
+        sum_cols=["n"],
+    ).take_all()
+
+    # driver: per-stratum boundary bucket + residual rank (tiny: the
+    # histogram is bounded by strata x 2^16 regardless of corpus size)
+    per: dict[str, list[tuple[int, int]]] = {}
+    for r in hist1:
+        per.setdefault(r["s"], []).append((r["b"], r["sum_n"]))
+
+    def _boundary(buckets: list[tuple[int, int]], target: int):
+        """-> (boundary_bucket | None, residual_rank): the bucket
+        holding the target-th smallest element and the rank within it;
+        None when target <= 0 (no row selected). target == total lands
+        on the last non-empty bucket with a full residual — the generic
+        cut path then picks the bucket's max, so frac == 1 needs no
+        special case."""
+        if target <= 0:
+            return None, 0
+        cum = 0
+        for b, n in sorted(buckets):
+            if cum + n >= target:
+                return b, target - cum
+            cum += n
+        raise AssertionError("target exceeds stratum size")
+
+    stage1: dict[str, tuple[object, int]] = {}
+    for s, buckets in per.items():
+        n_s = sum(n for _, n in buckets)
+        stage1[s] = _boundary(buckets, (n_s * train_num) // train_den)
+
+    bnd1 = {s: v[0] for s, v in stage1.items() if v[0] is not None}
+
+    def _boundary_mask(t: pa.Table, bmap: dict, shift: int, h: np.ndarray):
+        strat = _strata(t)
+        b = (h >> np.uint64(shift)).astype(np.int64)
+        m = np.zeros(len(strat), dtype=bool)
+        for s, bb in bmap.items():
+            m |= (strat == s) & (b == bb)
+        return m
+
+    cuts: dict[str, tuple[int, int]] = {}
+    if bnd1:
+        def l2_partial(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            h, _ = _hashes(t)
+            m = _boundary_mask(t, bnd1, 48, h)
+            b2 = ((h[m] >> np.uint64(32)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+            return (
+                pa.table(
+                    {"s": pc.filter(t[strata_col], pa.array(m)), "b": b2}
+                )
+                .group_by(["s", "b"])
+                .aggregate([("b", "count")])
+                .rename_columns(["s", "b", "n"])
+                .cast(part_schema)
+            )
+
+        hist2 = key_counts(
+            narrow.map_batches(l2_partial, batch_format="pyarrow"),
+            ["s", "b"],
+            sum_cols=["n"],
+        ).take_all()
+        per2: dict[str, list[tuple[int, int]]] = {}
+        for r in hist2:
+            per2.setdefault(r["s"], []).append((r["b"], r["sum_n"]))
+        bnd2: dict[str, int] = {}
+        resid2: dict[str, int] = {}
+        for s, (b1, resid) in {
+            s: v for s, v in stage1.items() if s in bnd1
+        }.items():
+            bb, rr = _boundary(per2[s], resid)
+            assert bb is not None  # 0 < resid <= bucket size
+            bnd2[s] = (bnd1[s] << 16) | bb
+            resid2[s] = rr
+
+        def tail_rows(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            h, ids = _hashes(t)
+            m = _boundary_mask(t, bnd2, 32, h)
+            return pa.table(
+                {
+                    "s": pc.filter(t[strata_col], pa.array(m)),
+                    "h": pa.array(h[m], pa.uint64()),
+                    "id": pa.array(ids[m], pa.int64()),
+                }
+            ).cast(
+                pa.schema(
+                    [
+                        pa.field("s", pa.string()),
+                        pa.field("h", pa.uint64()),
+                        pa.field("id", pa.int64()),
+                    ]
+                )
+            )
+
+        tail: dict[str, list[tuple[int, int]]] = {}
+        for r in narrow.map_batches(
+            tail_rows, batch_format="pyarrow"
+        ).take_all():
+            tail.setdefault(r["s"], []).append((r["h"], r["id"]))
+        for s, rows in tail.items():
+            rows.sort()
+            cut_h, cut_id = rows[resid2[s] - 1]
+            cuts[s] = (int(cut_h), int(cut_id))
+
+    out_field = pa.field(split_col, pa.int64())
+
+    def score(t: pa.Table) -> pa.Table:
+        h, ids = _hashes(t)
+        strat = _strata(t)
+        train = np.zeros(len(ids), dtype=bool)
+        for s, (ch, cid) in cuts.items():
+            m = strat == s
+            train[m] = (h[m] < np.uint64(ch)) | (
+                (h[m] == np.uint64(ch)) & (ids[m] <= cid)
+            )
+        return t.append_column(
+            out_field, pa.array(train.astype(np.int64), pa.int64())
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def dup_ngram_coverage(
     ds: Dataset,
     n: int = 3,
