@@ -2525,6 +2525,20 @@ def _q_sessionize(sf_dir: str):
     return user_sessionize(ev).sort(["user_id", "session_id"])
 
 
+def _q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood near-dup blocking (Hernandez-Stolfo SNM):
+    one (byte-length, id) sort, window-8 positional candidates (exact
+    candidate volume n x 7, skew-proof), carry-in rows broadcast so no
+    rank is shuffled, exact shingle-Jaccard verification in-kernel.
+    Oracle replays the rank window + candidate-restricted Jaccard;
+    measured |jaccard - 0.7| margins pytest-pinned."""
+    from textalyzer_ray.pipelines.snm import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _augmented_docs(sf_dir), window=8
+    ).sort(["id_a", "id_b"])
+
+
 def _q_weighted_sample(sf_dir: str):
     """Deterministic Efraimidis-Spirakis weighted sample (k=64,
     weight = n_chars): key = u^(1/w) with u from the hll_hash64 chain,
@@ -3143,7 +3157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets": _q_grouping_sets,
         "kmeans_clusters": _q_kmeans_clusters,
         "stream_range_join": _q_stream_range_join,
-        "anchor_rollup": _q_anchor_rollup,
+        "sorted_neighborhood": _q_sorted_neighborhood,
         "textrank_keywords": _q_textrank_keywords,
         "bpe_train": _q_bpe_train,
         "rep_signals": _q_rep_signals,
@@ -3160,6 +3174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "line_dedup_rebuild": _q_line_dedup_rebuild,
         "cosine_pairs": _q_cosine_pairs,
+        "anchor_rollup": _q_anchor_rollup,
         # SQL-oracled, redundant coverage (same families as entries
         # above) — first to fall past a driver cap. r4 rotation parked
         # ten r3-driver-green veterans here (each family keeps an
@@ -3368,7 +3383,10 @@ def oracle_sql() -> dict[str, str]:
     def _jac_ctes_at(thresh: str) -> str:
         return jac_ctes.replace(">= 0.7", f">= {thresh}")
 
-    jac_ctes = (
+    # base fragment (aug corpus -> distinct grams -> set sizes), shared
+    # by the all-pairs jpairs chain below and the window-restricted
+    # sorted-neighborhood oracle
+    jac_base = (
         f"{aug_cte}, "
         "jtok AS (SELECT doc_id, list_filter(regexp_split_to_array("
         f"lower(text), '{_TOKEN_SPLIT_SQL}'), x -> x <> '') AS ws FROM aug), "
@@ -3378,7 +3396,10 @@ def oracle_sql() -> dict[str, str]:
         "WHERE len(ws) >= 3) "
         "UNION SELECT DISTINCT doc_id, array_to_string(ws, ' ') FROM jtok "
         "WHERE len(ws) >= 1 AND len(ws) < 3), "
-        "jn AS (SELECT doc_id, count(*) AS sz FROM jg GROUP BY doc_id), "
+        "jn AS (SELECT doc_id, count(*) AS sz FROM jg GROUP BY doc_id)"
+    )
+    jac_ctes = (
+        f"{jac_base}, "
         "jinter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "count(*) AS ix FROM jg a JOIN jg b ON a.gram = b.gram "
         "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
@@ -4830,6 +4851,27 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY node ORDER BY node"
     )
     d["pq_codes"] = _pq_oracle_sql(n_subspaces=4, k=8, n_iter=4)
+    d["sorted_neighborhood"] = (
+        # same (byte-length, id) order as the pipeline's one sort;
+        # candidates = rank distance 1..7; exact candidate-restricted
+        # shingle Jaccard (int/int division is IEEE-identical)
+        f"WITH {jac_base}, "
+        "snr AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY octet_length(encode(text)), doc_id) AS rk FROM aug), "
+        "snc AS (SELECT least(a.doc_id, b.doc_id) AS id_a, "
+        "greatest(a.doc_id, b.doc_id) AS id_b FROM snr a JOIN snr b "
+        "ON b.rk - a.rk BETWEEN 1 AND 7), "
+        "snix AS (SELECT c.id_a, c.id_b, count(*) AS ix FROM snc c "
+        "JOIN jg ga ON ga.doc_id = c.id_a "
+        "JOIN jg gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram "
+        "GROUP BY 1, 2) "
+        "SELECT id_a, id_b, "
+        "CAST(ix AS DOUBLE) / (na.sz + nb.sz - ix) AS jaccard "
+        "FROM snix JOIN jn na ON na.doc_id = id_a "
+        "JOIN jn nb ON nb.doc_id = id_b "
+        "WHERE CAST(ix AS DOUBLE) / (na.sz + nb.sz - ix) >= 0.7 "
+        "ORDER BY id_a, id_b"
+    )
     d["weighted_sample"] = (
         # ES keys replayed from the hash chain; u and the division are
         # IEEE-identical, ln() margins measured (CLAUDE.md float-parity
