@@ -312,6 +312,28 @@ def run_bench() -> dict:
         lambda: contract._q_table_profile(sf_dir).count(),
     )
 
+    # this-session additions: sessionized Markov transitions (one
+    # user-aligned exchange), exact-count stratified split (distributed
+    # rank selection, two 2^16-bounded exchanges), ES weighted sampling
+    # (per-block top-k prune), and sorted-neighborhood blocking (one
+    # sort, carry-in broadcast, n x (w-1) candidates).
+    timed(
+        "transitions",
+        lambda: contract._q_session_transitions(sf_dir).count(),
+    )
+    timed(
+        "strat_split",
+        lambda: contract._q_stratified_split(sf_dir).count(),
+    )
+    timed(
+        "weighted_sample",
+        lambda: contract._q_weighted_sample(sf_dir).count(),
+    )
+    timed(
+        "snm",
+        lambda: contract._q_sorted_neighborhood(sf_dir).count(),
+    )
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     # In-run hardware control: this shared VM intermittently loses 2-20x

@@ -57,5 +57,9 @@ def test_bench_emits_single_json_line():
         "cdc",
         "srp",
         "table_profile",
+        "transitions",
+        "strat_split",
+        "weighted_sample",
+        "snm",
     }
     assert data["n_docs"] == 500
