@@ -2525,6 +2525,20 @@ def _q_sessionize(sf_dir: str):
     return user_sessionize(ev).sort(["user_id", "session_id"])
 
 
+def _q_props_rollup(sf_dir: str):
+    """Semi-structured extraction: parse the events stream's JSON
+    ``props`` payload IN the batch kernel (vectorized polars JSON
+    path), roll up per (event_type, k//10) with exact distinct-k — the
+    distinct count rides free as the deduped (type, k) row count after
+    one small exchange. All-BIGINT; oracle uses DuckDB's built-in
+    json_extract_string."""
+    from textalyzer_ray.pipelines.analytics import props_rollup
+    from textalyzer_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+    return props_rollup(ev)
+
+
 def _q_sorted_neighborhood(sf_dir: str):
     """Sorted-neighborhood near-dup blocking (Hernandez-Stolfo SNM):
     one (byte-length, id) sort, window-8 positional candidates (exact
@@ -3160,7 +3174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood": _q_sorted_neighborhood,
         "textrank_keywords": _q_textrank_keywords,
         "bpe_train": _q_bpe_train,
-        "rep_signals": _q_rep_signals,
+        "props_rollup": _q_props_rollup,
         "pq_codes": _q_pq_codes,
         "events_gapfill": _q_events_gapfill,
         "chunk_windows": _q_chunk_windows,
@@ -3175,6 +3189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_rebuild": _q_line_dedup_rebuild,
         "cosine_pairs": _q_cosine_pairs,
         "anchor_rollup": _q_anchor_rollup,
+        "rep_signals": _q_rep_signals,
         # SQL-oracled, redundant coverage (same families as entries
         # above) — first to fall past a driver cap. r4 rotation parked
         # ten r3-driver-green veterans here (each family keeps an
@@ -4851,6 +4866,18 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY node ORDER BY node"
     )
     d["pq_codes"] = _pq_oracle_sql(n_subspaces=4, k=8, n_iter=4)
+    d["props_rollup"] = (
+        "WITH e AS (SELECT event_type, "
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+        "FROM events), "
+        "g AS (SELECT event_type, k, count(*) AS n FROM e "
+        "WHERE k IS NOT NULL GROUP BY 1, 2) "
+        "SELECT event_type, k // 10 AS k_bucket, "
+        "CAST(sum(n) AS BIGINT) AS n_events, "
+        "CAST(count(*) AS BIGINT) AS n_distinct_k, "
+        "CAST(sum(k * n) AS BIGINT) AS sum_k "
+        "FROM g GROUP BY 1, 2 ORDER BY 1, 2"
+    )
     d["sorted_neighborhood"] = (
         # same (byte-length, id) order as the pipeline's one sort;
         # candidates = rank distance 1..7; exact candidate-restricted

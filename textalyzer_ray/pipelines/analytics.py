@@ -285,6 +285,123 @@ def session_transitions(
     return merged.sort(["from_type", "to_type"])
 
 
+def props_rollup(
+    ds_events: Dataset, bucket_width: int = 10
+) -> Dataset:
+    """Semi-structured extraction + rollup over the events stream's
+    JSON ``props`` column (web payloads are JSON at the edge; parsing
+    them INSIDE the batch kernel instead of a preprocessing job is the
+    point): extract the integer field ``k``, then per
+    (event_type, k_bucket = k // bucket_width) report
+    ``n_events``, ``n_distinct_k`` and ``sum_k`` — all BIGINT.
+
+    Shape: vectorized polars JSON-path extraction per batch; a
+    per-block (event_type, k) distinct partial prunes event volume to
+    at most types x |k| rows before the one small exchange; the bucket
+    rollup then reads ``n_distinct_k`` for free as the deduped row
+    count per bucket (each (type, k) appears exactly once after the
+    merge). Rows whose props lack an integer ``k`` are excluded (both
+    engines agree: NULL extraction drops)."""
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import key_counts
+
+    part_schema = pa.schema(
+        [
+            pa.field("event_type", pa.string()),
+            pa.field("k", pa.int64()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def extract_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        out = (
+            pl.from_arrow(t.select(["event_type", "props"]))
+            .with_columns(
+                k=pl.col("props")
+                .str.json_path_match("$.k")
+                .cast(pl.Int64, strict=False)
+            )
+            .drop_nulls("k")
+            .group_by(["event_type", "k"])
+            .agg(n=pl.len().cast(pl.Int64))
+            .select(["event_type", "k", "n"])
+        )
+        return out.to_arrow().cast(part_schema)
+
+    per_k = key_counts(
+        ds_events.select_columns(["event_type", "props"]).map_batches(
+            extract_partial, batch_format="pyarrow"
+        ),
+        ["event_type", "k"],
+        sum_cols=["n"],
+    )
+    out_schema = pa.schema(
+        [
+            pa.field("event_type", pa.string()),
+            pa.field("k_bucket", pa.int64()),
+            pa.field("n_events", pa.int64()),
+            pa.field("n_distinct_k", pa.int64()),
+            pa.field("sum_k", pa.int64()),
+        ]
+    )
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        # (event_type, k) rows are globally unique after the merge, so
+        # len() per bucket IS the distinct-k count
+        out = (
+            pl.from_arrow(
+                t.select(["event_type", "k", "sum_n"])
+            )
+            .with_columns(
+                k_bucket=(pl.col("k") // bucket_width).cast(pl.Int64),
+                kn=(pl.col("k") * pl.col("sum_n")).cast(pl.Int64),
+            )
+            .group_by(["event_type", "k_bucket"])
+            .agg(
+                n_events=pl.col("sum_n").sum().cast(pl.Int64),
+                n_distinct_k=pl.len().cast(pl.Int64),
+                sum_k=pl.col("kn").sum().cast(pl.Int64),
+            )
+            .select(
+                [
+                    "event_type",
+                    "k_bucket",
+                    "n_events",
+                    "n_distinct_k",
+                    "sum_k",
+                ]
+            )
+        )
+        return out.to_arrow().cast(out_schema)
+
+    # the merged (type, k) table is small (types x |k| rows) but may
+    # span blocks that SPLIT a bucket: finish with one more tiny
+    # key-summed merge over the bucket partials
+    parts = per_k.map_batches(bucket_partial, batch_format="pyarrow")
+    merged = key_counts(
+        parts,
+        ["event_type", "k_bucket"],
+        sum_cols=["n_events", "n_distinct_k", "sum_k"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "k_bucket": t["k_bucket"],
+                "n_events": t["sum_n_events"],
+                "n_distinct_k": t["sum_n_distinct_k"],
+                "sum_k": t["sum_sum_k"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return merged.sort(["event_type", "k_bucket"])
+
+
 def cohort_retention(
     ds_events: Dataset, bucket_s: int = 86400
 ) -> Dataset:
