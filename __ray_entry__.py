@@ -372,6 +372,20 @@ def _q_host_pagerank(sf_dir: str):
     )
 
 
+def _q_hits_doc_host(sf_dir: str):
+    """HITS hubs/authorities (8 iterations, L2-normalized half-steps)
+    over the bipartite doc->host outlink graph: pages are pure hubs,
+    link-target hosts pure authorities — the link-authority signal a
+    crawl frontier uses to prioritize seed hosts. Ranks order by
+    quantized floor(x*1e9+0.5) scores (structural outlink-profile ties
+    break by host in both engines); the raw hub/auth DOUBLES are
+    hash-safe by measurement — maxdiff, adjacent-gap and 9-decimal
+    boundary margins pinned in tests/test_pipelines_links.py."""
+    from textalyzer_ray.pipelines.links import doc_linkgraph, host_hits
+
+    return host_hits(doc_linkgraph(_pages(sf_dir)), n_iter=8).sort("host")
+
+
 def _planted_community_edges(sf_dir: str):
     """Deterministic weighted community graph from doc_id arithmetic
     (the bloom/multimodal oracle pattern — no external data): 20
@@ -543,6 +557,63 @@ def _pagerank_oracle_sql(
         f" SELECT host AS {node_col}, pr, CAST(row_number() OVER "
         "(ORDER BY pr DESC, host ASC) AS BIGINT) AS pr_rank "
         f"FROM pr{n_iter} ORDER BY pr_rank"
+    )
+    return "".join(p)
+
+
+def _hits_oracle_sql(
+    n_iter: int = 8,
+    prelude: str | None = None,
+    edge_cte: str | None = None,
+    node_col: str = "host",
+) -> str:
+    """Unrolled k-iteration HITS (Kleinberg hubs/authorities) in pure
+    SQL over any weighted edge set — the _pagerank_oracle_sql idiom:
+    every CTE MATERIALIZED (a plain CTE re-inlines at each reference
+    and the re-scan count grows exponentially with rounds), float-op
+    grouping mirroring the pipeline exactly (sum of hub*w per dst,
+    then coalesce/norm in one division). Ranks order by
+    floor(x*1e9 + 0.5) DESC, host ASC — the quantized-tie rule
+    (structurally symmetric nodes tie at full precision in an
+    engine-dependent order; floor(x+0.5) is the Python/SQL-parity
+    rounding form). ``edge_cte`` must define ``e(s, t, w DOUBLE)``;
+    the default is the doc->host bipartite outlink graph."""
+    if prelude is None:
+        prelude = _LINKS_CTE
+        edge_cte = (
+            "e AS MATERIALIZED (SELECT 'doc:' || CAST(doc_id AS VARCHAR) "
+            "AS s, out_host AS t, CAST(count(*) AS DOUBLE) AS w "
+            "FROM links GROUP BY 1, 2)"
+        )
+    p = [
+        f"WITH {prelude}, ",
+        f"{edge_cte}, ",
+        "nodes AS MATERIALIZED (SELECT s AS host FROM e UNION SELECT t FROM e), ",
+        "h0 AS MATERIALIZED (SELECT host, 1.0 AS x FROM nodes)",
+    ]
+    for k in range(1, n_iter + 1):
+        p.append(
+            f", ar{k} AS MATERIALIZED (SELECT e.t AS host, "
+            f"sum(h.x * e.w) AS v FROM e JOIN h{k-1} h ON h.host = e.s "
+            "GROUP BY e.t)"
+            f", a{k} AS MATERIALIZED (SELECT n.host, coalesce(r.v, 0.0) / "
+            f"(SELECT sqrt(sum(v*v)) FROM ar{k}) AS x "
+            f"FROM nodes n LEFT JOIN ar{k} r ON r.host = n.host)"
+            f", hr{k} AS MATERIALIZED (SELECT e.s AS host, "
+            f"sum(a.x * e.w) AS v FROM e JOIN a{k} a ON a.host = e.t "
+            "GROUP BY e.s)"
+            f", h{k} AS MATERIALIZED (SELECT n.host, coalesce(r.v, 0.0) / "
+            f"(SELECT sqrt(sum(v*v)) FROM hr{k}) AS x "
+            f"FROM nodes n LEFT JOIN hr{k} r ON r.host = n.host)"
+        )
+    p.append(
+        f" SELECT n.host AS {node_col}, h.x AS hub, a.x AS auth, "
+        "CAST(row_number() OVER (ORDER BY floor(h.x*1e9 + 0.5) DESC, "
+        "n.host ASC) AS BIGINT) AS hub_rank, "
+        "CAST(row_number() OVER (ORDER BY floor(a.x*1e9 + 0.5) DESC, "
+        "n.host ASC) AS BIGINT) AS auth_rank "
+        f"FROM nodes n JOIN h{n_iter} h ON h.host = n.host "
+        f"JOIN a{n_iter} a ON a.host = n.host ORDER BY 1"
     )
     return "".join(p)
 
@@ -3128,7 +3199,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # word_kcore (graph family by word_triangles + lpa_communities +
     # textrank_keywords), classifier_scores (model-scoring family by
     # lm_surprisal, kept in-window by parking containment_pairs, whose
-    # setjoin family setjoin_pairs witnesses).
+    # setjoin family setjoin_pairs witnesses). Second r4 rotation:
+    # hits_doc_host (hubs/authorities — a distinct iterative-graph
+    # algorithm from the pagerank chain) displaced the r3-green
+    # word_triangles (triangle counting stays witnessed by the r03
+    # driver row and locally gated below the cap).
     return {
         # SQL-oracled — one per family, strongest evidence first
         "word_histogram": _q_word_histogram,
@@ -3144,7 +3219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_windows": _q_stream_windows,
         "inverted_index": _q_inverted_index,
         "cohort_retention": _q_cohort_retention,
-        "word_triangles": _q_word_triangles,
+        "hits_doc_host": _q_hits_doc_host,
         "image_dhash_groups": _q_image_dhash_groups,
         "exact_dedup_distributed": _q_exact_dedup_distributed,
         "single_line_dups": _q_single_line_dups,
@@ -3224,6 +3299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "doc_token_counts": _q_doc_token_counts,
         "host_pagerank": _q_host_pagerank,
+        "word_triangles": _q_word_triangles,
         "token_shards": _q_token_shards,
         "cust_orders_by_segment": _q_cust_orders_by_segment,
         "outlinks": _q_outlinks,
@@ -4734,6 +4810,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY out_host, rank"
         ),
         "host_pagerank": _pagerank_oracle_sql(),
+        "hits_doc_host": _hits_oracle_sql(),
         # HyperLogLog rebuilt in pure SQL: polyhash64 per distinct
         # token (powers CTE + HUGEINT modular products + hi-into-lo
         # fold, as in the simhash oracle), bucket = hash >> 52,

@@ -221,3 +221,100 @@ class TestAnchorRollup:
         assert t.schema.field("out_host").type == pa.string()
         assert t.schema.field("anchor").type == pa.string()
         assert t.num_rows == 2 * 20  # 17 static + 3 cross per page
+
+
+class TestHostHits:
+    def _edges(self, rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src_host": pa.array([r[0] for r in rows], pa.string()),
+                    "dst_host": pa.array([r[1] for r in rows], pa.string()),
+                    "n_links": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            )
+        )
+
+    _ROWS = [
+        ("a", "x", 2), ("a", "y", 1), ("b", "x", 3),
+        ("c", "y", 1), ("c", "z", 4), ("b", "z", 1),
+    ]
+
+    def test_bipartite_structure_and_norms(self):
+        from textalyzer_ray.pipelines.links import host_hits
+
+        rows = {
+            r["host"]: r
+            for r in host_hits(self._edges(self._ROWS), n_iter=6).take_all()
+        }
+        # pure hubs carry no authority and vice versa
+        assert all(rows[h]["auth"] == 0.0 for h in "abc")
+        assert all(rows[h]["hub"] == 0.0 for h in "xyz")
+        # L2-normalized score vectors
+        assert abs(sum(v["hub"] ** 2 for v in rows.values()) - 1.0) < 1e-12
+        assert abs(sum(v["auth"] ** 2 for v in rows.values()) - 1.0) < 1e-12
+        # ranks are a permutation of 1..n with zero-score nodes last,
+        # tie-broken host-ascending
+        assert sorted(v["hub_rank"] for v in rows.values()) == list(range(1, 7))
+        assert [h for h, v in sorted(rows.items(), key=lambda kv: kv[1]["hub_rank"])][3:] == ["x", "y", "z"]
+
+    def test_distributed_path_matches_small(self):
+        from textalyzer_ray.pipelines.links import host_hits
+
+        small = {
+            r["host"]: r
+            for r in host_hits(self._edges(self._ROWS), n_iter=6).take_all()
+        }
+        big = {
+            r["host"]: r
+            for r in host_hits(
+                self._edges(self._ROWS), n_iter=6, small_threshold=0
+            ).take_all()
+        }
+        assert set(small) == set(big)
+        for h in small:
+            assert small[h]["hub_rank"] == big[h]["hub_rank"]
+            assert small[h]["auth_rank"] == big[h]["auth_rank"]
+            assert abs(small[h]["hub"] - big[h]["hub"]) < 1e-14
+            assert abs(small[h]["auth"] - big[h]["auth"]) < 1e-14
+
+    def test_empty_edges(self):
+        from textalyzer_ray.pipelines.links import host_hits
+
+        assert host_hits(self._edges([])).count() == 0
+
+    def test_oracle_margins_sf0001(self):
+        """Float-hash certification for hits_doc_host (the pagerank
+        protocol): cross-engine maxdiff must sit >= 3 orders below both
+        the smallest nonzero adjacent score gap and the closest
+        9-decimal rounding boundary, and quantized ranks must agree
+        exactly."""
+        import duckdb
+        import numpy as np
+
+        import __ray_entry__ as contract
+
+        sf = "/root/testdata/sf0.001"
+        got = contract._q_hits_doc_host(sf).take_all()
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        want = con.sql(contract.oracle_sql()["hits_doc_host"]).fetchall()
+        gm = {r["host"]: (r["hub"], r["auth"], r["hub_rank"], r["auth_rank"]) for r in got}
+        wm = {r[0]: (r[1], r[2], r[3], r[4]) for r in want}
+        assert set(gm) == set(wm) and len(gm) > 500
+        maxdiff = max(
+            max(abs(gm[k][0] - wm[k][0]), abs(gm[k][1] - wm[k][1])) for k in gm
+        )
+        assert all(gm[k][2:] == wm[k][2:] for k in gm)
+        vals = sorted({v for k in gm for v in (gm[k][0], gm[k][1])})
+        min_gap = min(b - a for a, b in zip(vals, vals[1:]) if b - a > 0)
+        bdist = min(
+            abs((v * 1e9) - np.floor(v * 1e9) - 0.5) * 1e-9
+            for v in vals
+            if v > 0
+        )
+        assert maxdiff < 1e-14
+        assert min_gap > 1e3 * maxdiff, (min_gap, maxdiff)
+        assert bdist > 1e3 * maxdiff, (bdist, maxdiff)

@@ -635,3 +635,388 @@ def site_linkgraph(pages: Dataset) -> Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def doc_linkgraph(pages: Dataset) -> Dataset:
+    """-> (src_host, dst_host, n_links) at DOC granularity: the src
+    node is the page itself (``doc:<doc_id>``), the dst its outlink's
+    host — the bipartite page->host graph HITS runs on (pages act as
+    pure hubs, hosts as pure authorities). Same rollup mechanism as
+    site_linkgraph: html dies in the extraction batch, counts go
+    through key_counts partials."""
+    from textalyzer_ray.stages.groups import key_counts
+
+    def doc_edges(batch: pa.Table) -> pa.Table:
+        links = _batch_outlinks(batch)
+        df = pl.from_arrow(links).select(
+            ("doc:" + pl.col("doc_id").cast(pl.String)).alias("src_host"),
+            pl.col("out_host").alias("dst_host"),
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    pa.field("src_host", pa.string()),
+                    pa.field("dst_host", pa.string()),
+                ]
+            )
+        )
+
+    edges = pages.map_batches(
+        doc_edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = key_counts(edges, ["src_host", "dst_host"])
+    schema = pa.schema(
+        [
+            pa.field("src_host", pa.string()),
+            pa.field("dst_host", pa.string()),
+            pa.field("n_links", pa.int64()),
+        ]
+    )
+    return counts.map_batches(
+        lambda t: t.rename_columns(["src_host", "dst_host", "n_links"]).cast(
+            schema
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def host_hits(
+    edges: Dataset,
+    n_iter: int = 8,
+    small_threshold: int = 2_000_000,
+) -> Dataset:
+    """Kleinberg HITS hubs/authorities over a weighted edge rollup
+    (src_host, dst_host, n_links) -> (host, hub: double, auth: double,
+    hub_rank: bigint, auth_rank: bigint). ``n_iter`` full iterations of
+
+        auth'[t] = sum_{(s,t,w)} hub[s]*w,   auth = auth'/||auth'||_2
+        hub'[s]  = sum_{(s,t,w)} auth[t]*w,  hub  = hub'/||hub'||_2
+
+    from hub == 1 everywhere (Kleinberg 1999; the reference CLI has no
+    graph stage — link-authority extension like host_pagerank).
+
+    Ranks order by (floor(x*1e9 + 0.5) DESC, host ASC): structurally
+    symmetric nodes (pages with identical outlink profiles) produce
+    float ties whose full-precision order is summation-order-dependent
+    PER ENGINE, so ranks over raw doubles are not reproducible —
+    quantized ties break by host everywhere (CLAUDE.md tie rule; the
+    floor(x+0.5) form is the Python/SQL-parity rounding). The raw
+    doubles stay in the output; their 9-decimal boundary margins are
+    pinned in tests/test_pipelines_links.py.
+
+    Two-path mechanism sized to the MEASURED edge count, exactly the
+    host_pagerank shape: one numpy task below ``small_threshold``
+    (rank mass is kilobytes; per-round shuffle actors would dominate);
+    above it, each half-step is one union-tag co-partition keyed by
+    the propagating endpoint (edge rows + score rows in one schema —
+    Dataset.join rejects the schema-less empty blocks a low-cardinality
+    side leaves behind) plus one key-aligned finalize per host, with
+    the L2 norm probed as one partial float per block (the CC
+    convergence-probe pattern — Dataset.sum plans a 200-partition
+    HashAggregate per call)."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data import DataContext
+
+    edges = edges.select_columns(
+        ["src_host", "dst_host", "n_links"]
+    ).materialize()
+    edges.context.shuffle_strategy = DataContext.get_current().shuffle_strategy
+    n_edges = edges.count()
+    out_schema = pa.schema(
+        [
+            pa.field("host", pa.string()),
+            pa.field("hub", pa.float64()),
+            pa.field("auth", pa.float64()),
+            pa.field("hub_rank", pa.int64()),
+            pa.field("auth_rank", pa.int64()),
+        ]
+    )
+    if n_edges == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    if n_edges <= small_threshold:
+
+        @ray.remote
+        def hits_task(*blocks: pa.Table) -> pa.Table:
+            df = pl.concat([pl.from_arrow(b) for b in blocks])
+            srcs = df["src_host"].to_list()
+            dsts = df["dst_host"].to_list()
+            hosts = sorted(set(srcs) | set(dsts))
+            idx = {h: i for i, h in enumerate(hosts)}
+            src = np.fromiter((idx[h] for h in srcs), np.int64, len(srcs))
+            dst = np.fromiter((idx[h] for h in dsts), np.int64, len(dsts))
+            w = df["n_links"].to_numpy().astype(np.float64)
+            n = len(hosts)
+            hub = np.ones(n)
+            auth = np.zeros(n)
+            for _ in range(n_iter):
+                auth = np.zeros(n)
+                np.add.at(auth, dst, hub[src] * w)
+                auth = auth / np.sqrt(np.sum(auth * auth))
+                hub = np.zeros(n)
+                np.add.at(hub, src, auth[dst] * w)
+                hub = hub / np.sqrt(np.sum(hub * hub))
+            harr = np.array(hosts)
+            ranks = []
+            for x in (hub, auth):
+                q = np.floor(x * 1e9 + 0.5)
+                order = np.lexsort((harr, -q))
+                r = np.empty(n, np.int64)
+                r[order] = np.arange(1, n + 1)
+                ranks.append(r)
+            return pa.table(
+                {
+                    "host": pa.array(hosts, pa.string()),
+                    "hub": pa.array(hub, pa.float64()),
+                    "auth": pa.array(auth, pa.float64()),
+                    "hub_rank": pa.array(ranks[0], pa.int64()),
+                    "auth_rank": pa.array(ranks[1], pa.int64()),
+                }
+            )
+
+        refs = edges.to_arrow_refs()
+        return rd.from_arrow_refs([hits_task.remote(*refs)])
+
+    # ---- distributed power iteration (edge-count-sized exchanges) ----
+    import math
+
+    from textalyzer_ray.stages.groups import grouped_apply, partitions_for
+
+    n_parts = partitions_for(n_edges)
+
+    def hosts_of(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": pa.concat_arrays(
+                    [
+                        t["src_host"].combine_chunks().cast(pa.string()),
+                        t["dst_host"].combine_chunks().cast(pa.string()),
+                    ]
+                )
+            }
+        )
+
+    def distinct_block(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .unique("host")
+            .to_arrow()
+            .cast(pa.schema([pa.field("host", pa.string())]))
+        )
+
+    nodes = grouped_apply(
+        edges.map_batches(hosts_of, batch_format="pyarrow"),
+        ["host"],
+        distinct_block,
+        num_partitions=n_parts,
+    )
+
+    score_schema = pa.schema(
+        [
+            pa.field("host", pa.string()),
+            pa.field("hub", pa.float64()),
+            pa.field("auth", pa.float64()),
+        ]
+    )
+
+    def init_block(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t["host"].combine_chunks().cast(pa.string()),
+                "hub": pa.array([1.0] * t.num_rows, pa.float64()),
+                "auth": pa.array([0.0] * t.num_rows, pa.float64()),
+            }
+        ).cast(score_schema)
+
+    scores = nodes.map_batches(init_block, batch_format="pyarrow").materialize()
+
+    flow_schema = pa.schema(
+        [
+            pa.field("key", pa.string()),
+            pa.field("other", pa.string()),
+            pa.field("w", pa.float64()),
+            pa.field("s", pa.float64()),
+        ]
+    )
+    contrib_schema = pa.schema(
+        [pa.field("host", pa.string()), pa.field("c", pa.float64())]
+    )
+    upd_schema = pa.schema(
+        [
+            pa.field("host", pa.string()),
+            pa.field("hub", pa.float64()),
+            pa.field("auth", pa.float64()),
+            pa.field("c", pa.float64()),
+        ]
+    )
+
+    def edge_rows(key_col: str, other_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": t[key_col],
+                    "other": t[other_col],
+                    "w": pc.cast(t["n_links"], pa.float64()),
+                    "s": pa.nulls(t.num_rows, pa.float64()),
+                }
+            ).cast(flow_schema)
+
+        return f
+
+    def score_rows(push_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": t["host"],
+                    "other": pa.nulls(t.num_rows, pa.string()),
+                    "w": pa.nulls(t.num_rows, pa.float64()),
+                    "s": t[push_col],
+                }
+            ).cast(flow_schema)
+
+        return f
+
+    def contrib_block(t: pa.Table) -> pa.Table:
+        # key-aligned: every edge whose propagating endpoint is k sits
+        # with k's score row; per-other sums are PARTIAL (the other
+        # endpoint spans blocks) — finalized by the host-keyed pass
+        df = pl.from_arrow(t)
+        edf = df.filter(pl.col("w").is_not_null()).select("key", "other", "w")
+        if edf.height == 0:
+            return contrib_schema.empty_table()
+        sdf = df.filter(pl.col("s").is_not_null()).select("key", "s")
+        return (
+            edf.join(sdf, on="key", how="inner")
+            .group_by("other")
+            .agg((pl.col("s") * pl.col("w")).sum().alias("c"))
+            .rename({"other": "host"})
+            .to_arrow()
+            .cast(contrib_schema)
+        )
+
+    def sc_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t["host"],
+                "hub": t["hub"],
+                "auth": t["auth"],
+                "c": pa.nulls(t.num_rows, pa.float64()),
+            }
+        ).cast(upd_schema)
+
+    def c_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t["host"],
+                "hub": pa.nulls(t.num_rows, pa.float64()),
+                "auth": pa.nulls(t.num_rows, pa.float64()),
+                "c": t["c"],
+            }
+        ).cast(upd_schema)
+
+    def half_step(
+        scores: Dataset, key_col: str, other_col: str, push: str, out: str
+    ) -> Dataset:
+        contrib = grouped_apply(
+            edges.map_batches(
+                edge_rows(key_col, other_col), batch_format="pyarrow"
+            ).union(scores.map_batches(score_rows(push), batch_format="pyarrow")),
+            ["key"],
+            contrib_block,
+            num_partitions=n_parts,
+        )
+
+        def upd_block(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            sc = df.filter(pl.col("hub").is_not_null()).select(
+                "host", "hub", "auth"
+            )
+            if sc.height == 0:
+                return score_schema.empty_table()
+            csum = (
+                df.filter(pl.col("c").is_not_null())
+                .group_by("host")
+                .agg(pl.col("c").sum().alias("c"))
+            )
+            return (
+                sc.join(csum, on="host", how="left")
+                .with_columns(pl.col("c").fill_null(0.0))
+                .drop(out)
+                .rename({"c": out})
+                .select("host", "hub", "auth")
+                .to_arrow()
+                .cast(score_schema)
+            )
+
+        raw = grouped_apply(
+            scores.map_batches(sc_rows, batch_format="pyarrow").union(
+                contrib.map_batches(c_rows, batch_format="pyarrow")
+            ),
+            ["host"],
+            upd_block,
+            num_partitions=n_parts,
+        ).materialize()
+        # L2 norm: one partial float per block to the driver
+        parts = raw.map_batches(
+            lambda t: pa.table(
+                {
+                    "ss": [
+                        pc.sum(pc.multiply(t[out], t[out])).as_py() or 0.0
+                    ]
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).take_all()
+        norm = math.sqrt(sum(r["ss"] for r in parts))
+
+        def divide(t: pa.Table, norm=norm) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index(out),
+                out,
+                pc.divide(t[out], pa.scalar(norm, pa.float64())),
+            )
+
+        return raw.map_batches(divide, batch_format="pyarrow").materialize()
+
+    for _ in range(n_iter):
+        scores = half_step(scores, "src_host", "dst_host", "hub", "auth")
+        scores = half_step(scores, "dst_host", "src_host", "auth", "hub")
+
+    # ranks: two quantized sorts with block-offset stamping (the
+    # host_pagerank prefix-scan pattern); the second sort carries
+    # hub_rank along so no final join is needed
+    def add_q(t: pa.Table) -> pa.Table:
+        qh = pc.floor(pc.add(pc.multiply(t["hub"], 1e9), 0.5))
+        qa = pc.floor(pc.add(pc.multiply(t["auth"], 1e9), 0.5))
+        return t.append_column("qh", qh).append_column("qa", qa)
+
+    def stamped(ds: Dataset, sort_col: str, rank_col: str) -> Dataset:
+        mat = ds.sort([sort_col, "host"], descending=[True, False]).materialize()
+        refs = mat.to_arrow_refs()
+        sizes = ray.get([_num_rows.remote(r) for r in refs])
+        offsets = [0]
+        for s in sizes[:-1]:
+            offsets.append(offsets[-1] + s)
+
+        @ray.remote
+        def stamp(offset: int, block: pa.Table) -> pa.Table:
+            return block.append_column(
+                rank_col,
+                pa.array(
+                    range(offset + 1, offset + 1 + block.num_rows), pa.int64()
+                ),
+            )
+
+        return rd.from_arrow_refs(
+            [stamp.remote(o, r) for o, r in zip(offsets, refs)]
+        )
+
+    withq = scores.map_batches(add_q, batch_format="pyarrow")
+    ranked = stamped(stamped(withq, "qh", "hub_rank"), "qa", "auth_rank")
+    return ranked.map_batches(
+        lambda t: t.select(["host", "hub", "auth", "hub_rank", "auth_rank"]),
+        batch_format="pyarrow",
+    )
