@@ -386,6 +386,20 @@ def _q_hits_doc_host(sf_dir: str):
     return host_hits(doc_linkgraph(_pages(sf_dir)), n_iter=8).sort("host")
 
 
+def _q_host_cocitation(sf_dir: str):
+    """Co-citation projection of the doc->host outlink graph (Small
+    1973): host pairs linked by the same pages, with exact common-doc
+    counts, per-host document degrees and the Jaccard overlap.
+    jaccard = n_common/(deg_a+deg_b-n_common) is one exact int/int
+    double division — IEEE-identical across engines (CLAUDE.md r2
+    int-division parity rule), so it joins the value hash raw."""
+    from textalyzer_ray.pipelines.links import host_cocitation
+
+    return host_cocitation(_pages(sf_dir), min_count=2).sort(
+        ["host_a", "host_b"]
+    )
+
+
 def _planted_community_edges(sf_dir: str):
     """Deterministic weighted community graph from doc_id arithmetic
     (the bloom/multimodal oracle pattern — no external data): 20
@@ -3203,7 +3217,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # hits_doc_host (hubs/authorities — a distinct iterative-graph
     # algorithm from the pagerank chain) displaced the r3-green
     # word_triangles (triangle counting stays witnessed by the r03
-    # driver row and locally gated below the cap).
+    # driver row and locally gated below the cap), and host_cocitation
+    # (bipartite co-citation projection, a new graph-derivation family)
+    # displaced the r3-green embedding_clusters (CC family keeps its
+    # r03 row + the semdedup variant below the cap).
     return {
         # SQL-oracled — one per family, strongest evidence first
         "word_histogram": _q_word_histogram,
@@ -3228,7 +3245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "weighted_sample": _q_weighted_sample,
         "funnel_stages": _q_funnel_stages,
-        "embedding_clusters": _q_embedding_clusters,
+        "host_cocitation": _q_host_cocitation,
         "zorder_layout": _q_zorder_layout,
         "session_transitions": _q_session_transitions,
         "lm_surprisal": _q_lm_surprisal,
@@ -3300,6 +3317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _q_doc_token_counts,
         "host_pagerank": _q_host_pagerank,
         "word_triangles": _q_word_triangles,
+        "embedding_clusters": _q_embedding_clusters,
         "token_shards": _q_token_shards,
         "cust_orders_by_segment": _q_cust_orders_by_segment,
         "outlinks": _q_outlinks,
@@ -4811,6 +4829,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "host_pagerank": _pagerank_oracle_sql(),
         "hits_doc_host": _hits_oracle_sql(),
+        "host_cocitation": (
+            f"WITH {_LINKS_CTE}, "
+            "dh AS MATERIALIZED (SELECT DISTINCT doc_id, out_host FROM links), "
+            "elig AS MATERIALIZED (SELECT doc_id FROM dh GROUP BY doc_id "
+            "HAVING count(*) <= 64), "
+            "ed AS MATERIALIZED (SELECT dh.doc_id, dh.out_host FROM dh "
+            "JOIN elig USING (doc_id)), "
+            "p AS (SELECT a.out_host AS host_a, b.out_host AS host_b, "
+            "CAST(count(*) AS BIGINT) AS n_common FROM ed a "
+            "JOIN ed b ON a.doc_id = b.doc_id AND a.out_host < b.out_host "
+            "GROUP BY 1, 2 HAVING count(*) >= 2), "
+            "deg AS (SELECT out_host, CAST(count(*) AS BIGINT) AS d "
+            "FROM ed GROUP BY 1) "
+            "SELECT p.host_a, p.host_b, p.n_common, da.d AS deg_a, "
+            "db.d AS deg_b, p.n_common / (da.d + db.d - p.n_common) AS jaccard "
+            "FROM p JOIN deg da ON da.out_host = p.host_a "
+            "JOIN deg db ON db.out_host = p.host_b ORDER BY 1, 2"
+        ),
         # HyperLogLog rebuilt in pure SQL: polyhash64 per distinct
         # token (powers CTE + HUGEINT modular products + hi-into-lo
         # fold, as in the simhash oracle), bucket = hash >> 52,

@@ -318,3 +318,73 @@ class TestHostHits:
         assert maxdiff < 1e-14
         assert min_gap > 1e3 * maxdiff, (min_gap, maxdiff)
         assert bdist > 1e3 * maxdiff, (bdist, maxdiff)
+
+
+class TestHostCocitation:
+    def _pages(self, htmls):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(htmls)), pa.int64()),
+                    "url": pa.array(
+                        [f"https://src{i}.example/p" for i in range(len(htmls))]
+                    ),
+                    "html": pa.array(
+                        [h.encode() for h in htmls], pa.binary()
+                    ),
+                }
+            )
+        )
+
+    @staticmethod
+    def _html(hosts):
+        return "".join(f'<a href="https://{h}/x">l</a>' for h in hosts)
+
+    def test_counts_degrees_jaccard_by_hand(self):
+        from textalyzer_ray.pipelines.links import host_cocitation
+
+        pages = self._pages(
+            [
+                self._html(["a.com", "b.com"]),
+                self._html(["a.com", "b.com", "c.com"]),
+                self._html(["a.com", "c.com"]),
+                self._html(["b.com", "b.com"]),  # dup hrefs: one incidence
+            ]
+        )
+        rows = {
+            (r["host_a"], r["host_b"]): r
+            for r in host_cocitation(pages, min_count=2).take_all()
+        }
+        # (a,b): docs 0,1 -> 2; (a,c): docs 1,2 -> 2; (b,c): doc 1 only
+        assert set(rows) == {("a.com", "b.com"), ("a.com", "c.com")}
+        ab = rows[("a.com", "b.com")]
+        assert (ab["n_common"], ab["deg_a"], ab["deg_b"]) == (2, 3, 3)
+        assert ab["jaccard"] == 2 / (3 + 3 - 2)
+        ac = rows[("a.com", "c.com")]
+        assert (ac["n_common"], ac["deg_a"], ac["deg_b"]) == (2, 3, 2)
+        assert ac["jaccard"] == 2 / (3 + 2 - 2)
+
+    def test_max_fanout_excludes_whole_doc(self):
+        from textalyzer_ray.pipelines.links import host_cocitation
+
+        # doc 0 has 3 distinct hosts -> excluded at max_fanout=2, so
+        # its incidences count neither toward pairs NOR degrees
+        pages = self._pages(
+            [
+                self._html(["a.com", "b.com", "c.com"]),
+                self._html(["a.com", "b.com"]),
+                self._html(["a.com", "b.com"]),
+            ]
+        )
+        rows = host_cocitation(pages, min_count=2, max_fanout=2).take_all()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["host_a"], r["host_b"], r["n_common"]) == ("a.com", "b.com", 2)
+        assert (r["deg_a"], r["deg_b"]) == (2, 2)
+        assert r["jaccard"] == 1.0
+
+    def test_no_pairs_below_min_count(self):
+        from textalyzer_ray.pipelines.links import host_cocitation
+
+        pages = self._pages([self._html(["a.com", "b.com"])])
+        assert host_cocitation(pages, min_count=2).count() == 0

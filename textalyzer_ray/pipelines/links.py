@@ -1020,3 +1020,155 @@ def host_hits(
         lambda t: t.select(["host", "hub", "auth", "hub_rank", "auth_rank"]),
         batch_format="pyarrow",
     )
+
+
+def host_cocitation(
+    pages: Dataset,
+    min_count: int = 2,
+    max_fanout: int = 64,
+) -> Dataset:
+    """Bipartite co-citation projection of the doc->host outlink graph
+    -> (host_a, host_b, n_common, deg_a, deg_b, jaccard): hosts ranked
+    similar when the same pages link both (Small 1973 co-citation; the
+    host-similarity / mirror-detection signal of a web curation
+    funnel). n_common = #docs linking both, deg = #docs linking each,
+    jaccard = n_common / (deg_a + deg_b - n_common).
+
+    Semantics (deterministic, SQL-replayable): distinct (doc, host)
+    incidences only; docs with MORE than ``max_fanout`` distinct
+    outlink hosts are excluded entirely (pair fan-out is C(fanout, 2)
+    per doc — the cap is an eligibility rule, not a truncation, so the
+    oracle states it as HAVING count(*) <= cap); pairs ordered
+    host_a < host_b; only pairs with n_common >= ``min_count`` emit.
+
+    Scale shape: a doc's hrefs all sit in one extraction batch, so the
+    distinct/eligibility/pair expansion is a single vectorized polars
+    pass per block — no doc ever shuffles. Pair rows (2 short strings)
+    and degree rows (1 string, sentinel-tagged into the same schema so
+    ONE extraction pass feeds both rollups) go through key_counts
+    partials: hot host pairs pre-aggregate inside each block before
+    any exchange. jaccard is one exact int/int double division
+    (IEEE-identical in Python and DuckDB — CLAUDE.md r2 rule)."""
+    from textalyzer_ray.pipelines.joins import union_tag_lookup
+    from textalyzer_ray.stages.groups import key_counts
+
+    pair_schema = pa.schema(
+        [pa.field("host_a", pa.string()), pa.field("host_b", pa.string())]
+    )
+
+    def doc_pairs(batch: pa.Table) -> pa.Table:
+        links = _batch_outlinks(batch)
+        df = (
+            pl.from_arrow(links)
+            .select("doc_id", "out_host")
+            .unique()
+            .with_columns(pl.len().over("doc_id").alias("_fan"))
+            .filter(pl.col("_fan") <= max_fanout)
+        )
+        a = df.select("doc_id", pl.col("out_host").alias("host_a"))
+        b = df.select("doc_id", pl.col("out_host").alias("host_b"))
+        pairs = (
+            a.join(b, on="doc_id")
+            .filter(pl.col("host_a") < pl.col("host_b"))
+            .select("host_a", "host_b")
+        )
+        # degree rows ride the same schema with an empty-string
+        # sentinel (a host string is never empty)
+        degs = df.select(
+            pl.col("out_host").alias("host_a"),
+            pl.lit("").alias("host_b"),
+        )
+        return pl.concat([pairs, degs]).to_arrow().cast(pair_schema)
+
+    combined = pages.map_batches(
+        doc_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def only_pairs(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["host_b"], ""))
+
+    def only_degs(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["host_b"], "")).select(["host_a"])
+
+    def at_least(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["count"], min_count))
+
+    pc_counts = key_counts(
+        combined.map_batches(
+            only_pairs, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["host_a", "host_b"],
+    ).map_batches(at_least, batch_format="pyarrow", zero_copy_batch=True)
+    deg = key_counts(
+        combined.map_batches(
+            only_degs, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["host_a"],
+    )
+
+    count_schema = pa.schema(
+        [
+            pa.field("host_a", pa.string()),
+            pa.field("host_b", pa.string()),
+            pa.field("n_common", pa.int64()),
+        ]
+    )
+    pairs = pc_counts.map_batches(
+        lambda t: t.rename_columns(["host_a", "host_b", "n_common"]).cast(
+            count_schema
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    deg_schema = pa.schema(
+        [pa.field("host", pa.string()), pa.field("deg", pa.int64())]
+    )
+    deg = deg.map_batches(
+        lambda t: t.rename_columns(["host", "deg"]).cast(deg_schema),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def keyed(name: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([name, "deg"])
+
+        return f
+
+    with_a = union_tag_lookup(
+        pairs,
+        deg.map_batches(keyed("host_a"), batch_format="pyarrow"),
+        "host_a",
+        "deg",
+        "deg_a",
+    )
+    with_b = union_tag_lookup(
+        with_a,
+        deg.map_batches(keyed("host_b"), batch_format="pyarrow"),
+        "host_b",
+        "deg",
+        "deg_b",
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("host_a", pa.string()),
+            pa.field("host_b", pa.string()),
+            pa.field("n_common", pa.int64()),
+            pa.field("deg_a", pa.int64()),
+            pa.field("deg_b", pa.int64()),
+            pa.field("jaccard", pa.float64()),
+        ]
+    )
+
+    def add_jaccard(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_common"], pa.float64())
+        denom = pc.cast(
+            pc.subtract(pc.add(t["deg_a"], t["deg_b"]), t["n_common"]),
+            pa.float64(),
+        )
+        return t.append_column("jaccard", pc.divide(n, denom)).cast(out_schema)
+
+    return with_b.map_batches(
+        add_jaccard, batch_format="pyarrow", zero_copy_batch=True
+    )
