@@ -136,6 +136,17 @@ def _q_doc_token_counts(sf_dir: str):
     )
 
 
+def _q_lexical_profile(sf_dir: str):
+    """Per-doc lexical diversity: token/type/hapax counts + type-token
+    ratio — the template-text / keyword-spam quality signal. ttr is
+    one exact int/int double division (value-hash safe raw)."""
+    from textalyzer_ray.pipelines.analytics import lexical_profile
+
+    return lexical_profile(_docs(sf_dir, columns=["doc_id", "text"])).sort(
+        "doc_id"
+    )
+
+
 def _q_lang_rollup(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -3220,7 +3231,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver row and locally gated below the cap), and host_cocitation
     # (bipartite co-citation projection, a new graph-derivation family)
     # displaced the r3-green embedding_clusters (CC family keeps its
-    # r03 row + the semdedup variant below the cap).
+    # r03 row + the semdedup variant below the cap), and
+    # lexical_profile (type-token/hapax diversity, a new quality-signal
+    # family) displaced the r3-green image_dhash_groups (multimodal
+    # family holds THREE r03 driver rows — image/audio/video — and all
+    # three stay locally gated below the cap).
     return {
         # SQL-oracled — one per family, strongest evidence first
         "word_histogram": _q_word_histogram,
@@ -3237,7 +3252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "cohort_retention": _q_cohort_retention,
         "hits_doc_host": _q_hits_doc_host,
-        "image_dhash_groups": _q_image_dhash_groups,
+        "lexical_profile": _q_lexical_profile,
         "exact_dedup_distributed": _q_exact_dedup_distributed,
         "single_line_dups": _q_single_line_dups,
         "count_min_words": _q_count_min_words,
@@ -3318,6 +3333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "word_triangles": _q_word_triangles,
         "embedding_clusters": _q_embedding_clusters,
+        "image_dhash_groups": _q_image_dhash_groups,
         "token_shards": _q_token_shards,
         "cust_orders_by_segment": _q_cust_orders_by_segment,
         "outlinks": _q_outlinks,
@@ -3633,6 +3649,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, coalesce(t.n, 0) AS n_tokens FROM documents d "
             f"LEFT JOIN (SELECT doc_id, count(*) AS n FROM ({tokens_cte}) GROUP BY doc_id) t "
             "USING (doc_id) ORDER BY d.doc_id"
+        ),
+        "lexical_profile": (
+            f"WITH tok AS ({tokens_cte}), "
+            "per AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2), "
+            "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "CAST(count(*) AS BIGINT) AS n_types, "
+            "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax "
+            "FROM per GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, "
+            "coalesce(a.n_types, 0) AS n_types, "
+            "coalesce(a.n_hapax, 0) AS n_hapax, "
+            "CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0 "
+            "ELSE a.n_types / a.n_tokens END AS ttr "
+            "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
         ),
         "lang_rollup": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "

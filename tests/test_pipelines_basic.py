@@ -530,3 +530,51 @@ class TestIntervalCounts:
             rd.from_arrow(t), [(h0, h0 + 2)]
         ).take_all()
         assert [(r["interval_id"], r["n"]) for r in got] == [(0, 1)]
+
+
+class TestLexicalProfile:
+    def _docs(self, texts):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+
+    def test_hand_computed(self):
+        from textalyzer_ray.pipelines.analytics import lexical_profile
+
+        rows = {
+            r["doc_id"]: r
+            for r in lexical_profile(
+                self._docs(
+                    [
+                        "the cat and the dog and the bird",  # the:3 and:2 cat/dog/bird:1
+                        "",  # token-free
+                        "word word word",  # one type, no hapax
+                        "all distinct tokens here",  # pure hapax
+                    ]
+                )
+            ).take_all()
+        }
+        assert (rows[0]["n_tokens"], rows[0]["n_types"], rows[0]["n_hapax"]) == (8, 5, 3)
+        assert rows[0]["ttr"] == 5 / 8
+        assert (rows[1]["n_tokens"], rows[1]["n_types"], rows[1]["n_hapax"], rows[1]["ttr"]) == (0, 0, 0, 0.0)
+        assert (rows[2]["n_tokens"], rows[2]["n_types"], rows[2]["n_hapax"]) == (3, 1, 0)
+        assert rows[2]["ttr"] == 1 / 3
+        assert (rows[3]["n_tokens"], rows[3]["n_types"], rows[3]["n_hapax"], rows[3]["ttr"]) == (4, 4, 4, 1.0)
+
+    def test_tokenizer_semantics_match_core(self):
+        """Non-letter split + lowercase: digits/punct break tokens,
+        case folds (core.textmetrics.tokenize is the spec)."""
+        from textalyzer_ray.pipelines.analytics import lexical_profile
+
+        txt = "Red RED red2red re-d"
+        rows = lexical_profile(self._docs([txt])).take_all()
+        toks = tokenize(txt)
+        assert rows[0]["n_tokens"] == len(toks)
+        assert rows[0]["n_types"] == len(set(toks))
+        counts = frequency_map(txt)
+        assert rows[0]["n_hapax"] == sum(1 for v in counts.values() if v == 1)

@@ -63,6 +63,71 @@ def token_counts(ds_docs: Dataset) -> Dataset:
     )
 
 
+def lexical_profile(ds_docs: Dataset) -> Dataset:
+    """(doc_id, n_tokens, n_types, n_hapax, ttr) per document — the
+    lexical-diversity signal an LM-data quality funnel scores on
+    (machine-generated / template text has pathologically low
+    type-token ratio; keyword-stuffed spam pathologically high hapax
+    share). n_types = distinct tokens, n_hapax = tokens occurring once
+    in THAT doc, ttr = n_types/n_tokens (0.0 for token-free docs).
+
+    All of a doc's tokens sit in its own batch row, so the whole
+    profile is one vectorized polars pass per block — nothing
+    shuffles, the text column dies in the stage. ttr is one exact
+    int/int double division (IEEE-identical in Python/polars and
+    DuckDB, CLAUDE.md r2 rule), so it is value-hash safe raw."""
+    import polars as pl
+
+    from textalyzer_ray.stages.tokenize import exploded_tokens
+
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("n_types", pa.int64()),
+            pa.field("n_hapax", pa.int64()),
+            pa.field("ttr", pa.float64()),
+        ]
+    )
+
+    def prof(t: pa.Table) -> pa.Table:
+        per = (
+            pl.from_arrow(exploded_tokens(t, "doc_id", "text"))
+            .group_by("doc_id", "word")
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+        )
+        agg = per.group_by("doc_id").agg(
+            pl.col("c").sum().alias("n_tokens"),
+            pl.len().cast(pl.Int64).alias("n_types"),
+            (pl.col("c") == 1).sum().cast(pl.Int64).alias("n_hapax"),
+        )
+        base = pl.from_arrow(t.select(["doc_id"]))
+        return (
+            base.join(agg, on="doc_id", how="left", maintain_order="left")
+            .with_columns(
+                pl.col("n_tokens").fill_null(0),
+                pl.col("n_types").fill_null(0),
+                pl.col("n_hapax").fill_null(0),
+            )
+            .with_columns(
+                pl.when(pl.col("n_tokens") > 0)
+                .then(
+                    pl.col("n_types").cast(pl.Float64)
+                    / pl.col("n_tokens").cast(pl.Float64)
+                )
+                .otherwise(0.0)
+                .alias("ttr")
+            )
+            .select("doc_id", "n_tokens", "n_types", "n_hapax", "ttr")
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return ds_docs.select_columns(["doc_id", "text"]).map_batches(
+        prof, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def events_tumbling_window(
     ds_events: Dataset, window_s: int = 3600
 ) -> Dataset:
