@@ -397,6 +397,34 @@ def _q_hits_doc_host(sf_dir: str):
     return host_hits(doc_linkgraph(_pages(sf_dir)), n_iter=8).sort("host")
 
 
+def _q_robots_filter(sf_dir: str):
+    """Crawl-frontier robots filtering: distinct cross-site outlink
+    targets -> longest-prefix-match verdict against deterministic
+    per-host robots rules (RFC 9309 semantics: longest prefix wins,
+    allow beats disallow on length ties). Distinctness is one
+    key-aligned hash exchange (grouped_apply per-block unique); the
+    rules broadcast once per worker. Both the candidate URL set
+    (webgen.cross_links_for arithmetic) and the rule set
+    (robots.robots_rules_for_sites host-index arithmetic) re-derive in
+    SQL, so every verdict is hash-gated."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from textalyzer_ray.pipelines.links import extract_outlinks
+    from textalyzer_ray.pipelines.robots import (
+        frontier_robots_filter,
+        robots_rules_for_sites,
+    )
+
+    cand = extract_outlinks(_pages(sf_dir)).map_batches(
+        lambda t: pa.table(
+            {"url": t.filter(pc.not_equal(t["out_host"], "docs.example"))["out_url"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return frontier_robots_filter(cand, robots_rules_for_sites(50)).sort("url")
+
+
 def _q_host_cocitation(sf_dir: str):
     """Co-citation projection of the doc->host outlink graph (Small
     1973): host pairs linked by the same pages, with exact common-doc
@@ -3261,7 +3289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "funnel_stages": _q_funnel_stages,
         "host_cocitation": _q_host_cocitation,
-        "zorder_layout": _q_zorder_layout,
+        "robots_filter": _q_robots_filter,
         "session_transitions": _q_session_transitions,
         "lm_surprisal": _q_lm_surprisal,
         "hll_service_distinct": _q_hll_service_distinct,
@@ -3319,6 +3347,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semdedup (embedding-cluster family by embedding_clusters),
         # curation_funnel (funnel by resumable_funnel, which runs the
         # same funnel under forced abort + resume).
+        # r4 continuation rotation: robots_filter (crawl-frontier robots
+        # verdicts, a new family) took the window slot of the r3-green
+        # zorder_layout (layout family keeps its r03 driver row; parked
+        # here, still locally gated).
+        "zorder_layout": _q_zorder_layout,
         "simhash_pairs": _q_simhash_pairs,
         "chars_quantiles": _q_chars_quantiles,
         "langid": _q_langid,
@@ -4856,6 +4889,33 @@ def oracle_sql() -> dict[str, str]:
             "AS rank FROM h) "
             "SELECT out_host, anchor, n, rank FROM r WHERE rank <= 3 "
             "ORDER BY out_host, rank"
+        ),
+        # robots verdicts: candidate set = distinct cross-site link
+        # targets (pure doc_id arithmetic, above); rules = pure
+        # host-index arithmetic (pipelines/robots.py
+        # robots_rules_for_sites); winner = longest prefix, allow
+        # beats disallow on ties, prefix ASC as the total-order key.
+        "robots_filter": (
+            f"WITH {_LINKS_CTE}, "
+            "cand AS (SELECT DISTINCT out_url AS url, out_host AS host "
+            "FROM links WHERE out_host <> 'docs.example'), "
+            "rules AS (SELECT 'site' || CAST(h AS VARCHAR) || '.example' "
+            "AS host, p.prefix, "
+            "CASE WHEN p.k = 0 THEN 1 "
+            "WHEN p.k = 1 THEN CASE WHEN h % 3 <> 0 THEN 1 ELSE 0 END "
+            "WHEN p.k = 2 THEN CASE WHEN h % 3 = 0 THEN 1 ELSE 0 END "
+            "ELSE CASE WHEN h % 2 = 0 THEN 1 ELSE 0 END END AS allow "
+            "FROM range(50) t(h) CROSS JOIN (VALUES (0, '/'), "
+            "(1, '/page/'), (2, '/page/1'), (3, '/page/12')) "
+            "p(k, prefix)), "
+            "m AS (SELECT c.url, c.host, r.prefix, r.allow, "
+            "row_number() OVER (PARTITION BY c.url ORDER BY "
+            "length(r.prefix) DESC, r.allow DESC, r.prefix) AS rn "
+            "FROM cand c JOIN rules r ON r.host = c.host "
+            "WHERE starts_with(regexp_extract(c.url, "
+            "'^https?://[^/]+(/.*)$', 1), r.prefix)) "
+            "SELECT url, host, CAST(allow AS BIGINT) AS allowed, "
+            "prefix AS rule_prefix FROM m WHERE rn = 1 ORDER BY url"
         ),
         "host_pagerank": _pagerank_oracle_sql(),
         "hits_doc_host": _hits_oracle_sql(),

@@ -1,0 +1,190 @@
+"""Robots-rules crawl-frontier filtering (longest-prefix-match).
+
+A crawl loop's frontier step must drop candidate URLs the target host's
+robots rules disallow BEFORE fetch scheduling. The reference CLI has no
+crawl stage — this is a training-data-pipeline extension over the link
+graph (pipelines/links.py), using the de-facto robots semantics
+(Google's robots.txt spec, RFC 9309): among all rules of the URL's host
+whose path-prefix matches the URL path, the LONGEST prefix wins, and on
+an exact length tie ``allow`` beats ``disallow``. A URL whose host has
+no matching rule is allowed by default.
+
+Scale shape: the rules table is per-HOST metadata — many orders smaller
+than the frontier (a 100 TB crawl has ~10^8 hosts vs ~10^12 candidate
+URLs) but NOT driver-trivial at full scale. This module broadcasts the
+rules once (``ray.put`` + per-worker-process cache, the
+stages/groups.py pattern) and runs one vectorized polars
+join+prefix-match per batch; above ``broadcast_max_rules`` it refuses
+with the documented alternative (key-align both sides on host via
+stages.groups.grouped_apply — the joins.union_tag_lookup shape) rather
+than silently shipping an oversized object per worker.
+
+Everything is deterministic: rule synthesis is pure host-index
+arithmetic, so a DuckDB oracle re-derives every rule and every match
+(see __ray_entry__ ``robots_filter``).
+"""
+
+from __future__ import annotations
+
+import polars as pl
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+_HOST_RE = r"^https?://([^/]+)"
+# path = everything from the first '/' after the host (query strings
+# included — robots prefixes match the raw path+query per RFC 9309)
+_PATH_RE = r"^https?://[^/]+(/.*)?$"
+
+RULES_SCHEMA = pa.schema(
+    [
+        pa.field("host", pa.string()),
+        pa.field("prefix", pa.string()),
+        pa.field("allow", pa.int64()),  # 1 allow / 0 disallow
+    ]
+)
+
+
+def robots_rules_for_sites(n_sites: int = 50) -> pa.Table:
+    """Deterministic per-host rule set for the synthetic cross-link
+    hosts ``site{h}.example`` (webgen.cross_links_for targets) — pure
+    host-index arithmetic so the SQL oracle re-derives it row-for-row:
+
+    - ``/``         allow                      (explicit default)
+    - ``/page/``    allow iff h % 3 != 0       (every 3rd host blocks
+                                                the page tree)
+    - ``/page/1``   allow iff h % 3 == 0       (longest-match override:
+                                                flips the /page/ rule
+                                                for paths whose id
+                                                starts with digit 1)
+    - ``/page/12``  allow iff h % 2 == 0       (a deeper override, so
+                                                three prefix lengths
+                                                compete on /page/12*)
+    """
+    hosts, prefixes, allows = [], [], []
+    for h in range(n_sites):
+        host = f"site{h}.example"
+        for prefix, allow in (
+            ("/", 1),
+            ("/page/", 1 if h % 3 != 0 else 0),
+            ("/page/1", 1 if h % 3 == 0 else 0),
+            ("/page/12", 1 if h % 2 == 0 else 0),
+        ):
+            hosts.append(host)
+            prefixes.append(prefix)
+            allows.append(allow)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "prefix": pa.array(prefixes, pa.string()),
+            "allow": pa.array(allows, pa.int64()),
+        }
+    )
+
+
+def robots_match(
+    ds_urls: Dataset,
+    rules: pa.Table,
+    url_col: str = "url",
+    broadcast_max_rules: int = 5_000_000,
+) -> Dataset:
+    """Attach the winning robots verdict to every URL row: output is
+    the input columns plus ``host``, ``allowed`` (BIGINT 1/0) and
+    ``rule_prefix`` (the winning rule's prefix, '' when the host has no
+    matching rule — default allow).
+
+    Longest-prefix-wins with allow-beats-disallow on ties, made a TOTAL
+    order (prefix ASC as the final key) so the winner is deterministic
+    even under duplicate rule rows. One polars join + prefix filter +
+    stable sort per batch; the rules ship once per worker process via
+    ``ray.put`` + the per-worker object cache."""
+    if rules.num_rows > broadcast_max_rules:
+        raise ValueError(
+            f"rules table has {rules.num_rows} rows > broadcast_max_rules="
+            f"{broadcast_max_rules}; key-align frontier and rules on host "
+            "(stages.groups.grouped_apply) instead of broadcasting"
+        )
+    rules_ref = ray.put(rules)
+
+    def match(t: pa.Table) -> pa.Table:
+        from textalyzer_ray.stages.groups import _worker_object_cache
+
+        out_schema = pa.schema(
+            list(t.schema)
+            + [
+                pa.field("host", pa.string()),
+                pa.field("allowed", pa.int64()),
+                pa.field("rule_prefix", pa.string()),
+            ]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        cache = _worker_object_cache()
+        ck = "robots:" + rules_ref.hex()
+        rdf = cache.get(ck)
+        if rdf is None:
+            rdf = cache[ck] = (
+                pl.from_arrow(ray.get(rules_ref))
+                .with_columns(pl.col("prefix").str.len_bytes().alias("_plen"))
+            )
+        df = pl.from_arrow(t).with_row_index("_rid")
+        parsed = df.select(
+            "_rid",
+            pl.col(url_col).str.extract(_HOST_RE, 1).alias("host"),
+            pl.col(url_col)
+            .str.extract(_PATH_RE, 1)
+            .fill_null("/")
+            .alias("_path"),
+        )
+        hits = (
+            parsed.join(rdf, on="host", how="inner")
+            # prefix match on raw path bytes (RFC 9309 %-encoding parity
+            # is the caller's normalization concern)
+            .filter(
+                pl.col("_path").str.slice(0, pl.col("_plen"))
+                == pl.col("prefix")
+            )
+            .sort(
+                ["_rid", "_plen", "allow", "prefix"],
+                descending=[False, True, True, False],
+            )
+            .group_by("_rid", maintain_order=True)
+            .first()
+            .select("_rid", "allow", "prefix")
+        )
+        out = (
+            df.join(parsed.select("_rid", "host"), on="_rid", how="left", maintain_order="left")
+            .join(hits, on="_rid", how="left", maintain_order="left")
+            .with_columns(
+                pl.col("allow").fill_null(1).alias("allowed"),
+                pl.col("prefix").fill_null("").alias("rule_prefix"),
+            )
+            .drop("_rid", "allow", "prefix")
+        )
+        return out.to_arrow().cast(out_schema)
+
+    return ds_urls.map_batches(match, batch_format="pyarrow")
+
+
+def frontier_robots_filter(
+    ds_candidates: Dataset,
+    rules: pa.Table,
+    url_col: str = "url",
+) -> Dataset:
+    """Frontier step: distinct candidate URLs -> robots verdict per
+    URL. Distinctness is fully distributed: ONE key-aligned hash
+    exchange on the url (stages.groups.grouped_apply puts every url
+    entirely in one block) + a per-block polars ``unique`` — no URL
+    set on the driver, dup-heavy frontiers collapse before the match
+    pass. Returns (url, host, allowed, rule_prefix)."""
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    def distinct_block(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).unique(maintain_order=False).to_arrow().cast(
+            t.schema
+        )
+
+    urls = grouped_apply(
+        ds_candidates.select_columns([url_col]), [url_col], distinct_block
+    )
+    return robots_match(urls, rules, url_col=url_col)
