@@ -1806,6 +1806,40 @@ def _q_lm_surprisal(sf_dir: str):
     return lm_surprisal_scores(docs, slice_ds).sort("doc_id")
 
 
+def _q_knn_hop_distance(sf_dir: str):
+    """Semantic-neighborhood expansion: multi-source BFS (3 rounds)
+    from the seed docs (vec_id % 97 == 0) along the DIRECTED exact
+    top-10 cosine kNN edges — the closure a decontamination pass takes
+    before filtering. Output (vec_id, dist) is integer-only; the edge
+    set carries knn_graph's measured 1.4e-6 adjacent-cosine margin, so
+    the SQL oracle (same kNN CTE + 3 unrolled MATERIALIZED BFS rounds)
+    is deterministic."""
+    import pyarrow as pa
+
+    from textalyzer_ray.pipelines.graph import hop_distance
+    from textalyzer_ray.pipelines.similarity import knn_self_join
+    from textalyzer_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    edges = knn_self_join(ds, k=TOPK).map_batches(
+        lambda t: pa.table({"src": t["vec_id"], "dst": t["neighbor_id"]}),
+        batch_format="pyarrow",
+    )
+    def seed_filter(t: pa.Table) -> pa.Table:
+        # id-arithmetic via numpy: pyarrow.compute has no mod kernel
+        import numpy as np
+
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v % 97 == 0)).rename_columns(["node"])
+
+    seeds = read_table(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
+        seed_filter, batch_format="pyarrow"
+    )
+    return hop_distance(edges, seeds, n_rounds=3, node_col="node").sort(
+        "node"
+    )
+
+
 def _q_knn_graph(sf_dir: str):
     """Exact top-10 cosine neighbor graph (triangle partitioning).
     Int-only (vec_id, rank, neighbor_id); the minimum adjacent cosine
@@ -3300,7 +3334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": _q_warc_extract,
         "skyline_docs": _q_skyline_docs,
         "nfc_clean": _q_nfc_clean,
-        "readability": _q_readability,
+        "knn_hop_distance": _q_knn_hop_distance,
         "lpa_communities": _q_lpa_communities,
         "resumable_funnel": _q_resumable_funnel,
         "grouping_sets": _q_grouping_sets,
@@ -3350,8 +3384,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4 continuation rotation: robots_filter (crawl-frontier robots
         # verdicts, a new family) took the window slot of the r3-green
         # zorder_layout (layout family keeps its r03 driver row; parked
-        # here, still locally gated).
+        # here, still locally gated), and knn_hop_distance (multi-source
+        # BFS graph traversal, a new family) took the slot of the
+        # r3-green readability (readability_components stays locally
+        # gated; the family keeps its r03 driver row).
         "zorder_layout": _q_zorder_layout,
+        "readability": _q_readability,
         "simhash_pairs": _q_simhash_pairs,
         "chars_quantiles": _q_chars_quantiles,
         "langid": _q_langid,
@@ -4140,6 +4178,34 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS BIGINT) AS maybe_seen "
             "FROM bpos b LEFT JOIN sbits s ON b.p = s.p "
             "GROUP BY b.doc_id ORDER BY b.doc_id"
+        ),
+        # BFS over the exact kNN edge set: same kNN CTE as knn_graph
+        # (ties: cosine DESC, neighbor_id ASC — certified 1.4e-6
+        # adjacent-gap margin), then 3 unrolled MATERIALIZED min-dist
+        # rounds (each d_k references d_{k-1} twice, so plain CTEs
+        # would re-scan exponentially — CLAUDE.md).
+        "knn_hop_distance": (
+            "WITH knn AS MATERIALIZED (SELECT vec_id AS src, "
+            "neighbor_id AS dst FROM ("
+            "SELECT e1.vec_id, e2.vec_id AS neighbor_id, "
+            "row_number() OVER (PARTITION BY e1.vec_id ORDER BY "
+            "list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), "
+            "CAST(e2.embedding AS DOUBLE[])) DESC, e2.vec_id ASC) AS rnk "
+            f"FROM embeddings e1 JOIN embeddings e2 "
+            "ON e1.vec_id <> e2.vec_id) WHERE rnk <= " + str(TOPK) + "), "
+            "d0 AS MATERIALIZED (SELECT vec_id AS node, "
+            "CAST(0 AS BIGINT) AS dist FROM embeddings "
+            "WHERE vec_id % 97 = 0), "
+            "d1 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM ("
+            "SELECT * FROM d0 UNION ALL SELECT k.dst, 1 FROM d0 f "
+            "JOIN knn k ON k.src = f.node WHERE f.dist = 0) GROUP BY node), "
+            "d2 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM ("
+            "SELECT * FROM d1 UNION ALL SELECT k.dst, 2 FROM d1 f "
+            "JOIN knn k ON k.src = f.node WHERE f.dist = 1) GROUP BY node), "
+            "d3 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM ("
+            "SELECT * FROM d2 UNION ALL SELECT k.dst, 3 FROM d2 f "
+            "JOIN knn k ON k.src = f.node WHERE f.dist = 2) GROUP BY node) "
+            "SELECT node, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY node"
         ),
         "knn_graph": (
             "WITH s AS (SELECT e1.vec_id, e2.vec_id AS neighbor_id, "

@@ -318,3 +318,93 @@ class TestLabelPropagation:
 
     def test_empty_edges(self):
         assert self.run([], 3) == []
+
+
+class TestHopDistance:
+    def _graph(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        # two components: a chain 0->1->2->3->4 (with a back-edge
+        # 2->0) and 10->11; 20 is isolated/unreachable
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([0, 1, 2, 3, 10, 2], pa.int64()),
+                    "dst": pa.array([1, 2, 3, 4, 11, 0], pa.int64()),
+                }
+            )
+        )
+        seeds = rd.from_arrow(
+            pa.table({"node": pa.array([0, 10], pa.int64())})
+        )
+        return edges, seeds
+
+    def test_hand_graph_small_path(self):
+        from textalyzer_ray.pipelines.graph import hop_distance
+
+        edges, seeds = self._graph()
+        got = {
+            r["node"]: r["dist"]
+            for r in hop_distance(edges, seeds, n_rounds=3).take_all()
+        }
+        # 4 is 4 hops away -> omitted at n_rounds=3; 20 never appears
+        assert got == {0: 0, 10: 0, 1: 1, 11: 1, 2: 2, 3: 3}
+
+    def test_distributed_equals_small(self):
+        from textalyzer_ray.pipelines.graph import hop_distance
+
+        edges, seeds = self._graph()
+        small = hop_distance(edges, seeds, n_rounds=4).take_all()
+        dist = hop_distance(
+            edges, seeds, n_rounds=4, small_threshold=0
+        ).take_all()
+        assert sorted((r["node"], r["dist"]) for r in small) == sorted(
+            (r["node"], r["dist"]) for r in dist
+        )
+        assert {r["node"]: r["dist"] for r in small}[4] == 4
+
+    def test_min_dist_not_first_visit(self):
+        """A node reachable two ways gets the MIN distance even when
+        the longer path's round also emits it."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.graph import hop_distance
+
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([0, 0, 1, 2], pa.int64()),
+                    # 0->3 direct AND 0->1->2->3
+                    "dst": pa.array([3, 1, 2, 3], pa.int64()),
+                }
+            )
+        )
+        seeds = rd.from_arrow(pa.table({"node": pa.array([0], pa.int64())}))
+        for thr in (2_000_000, 0):
+            got = {
+                r["node"]: r["dist"]
+                for r in hop_distance(
+                    edges, seeds, n_rounds=3, small_threshold=thr
+                ).take_all()
+            }
+            assert got == {0: 0, 1: 1, 3: 1, 2: 2}, (thr, got)
+
+    def test_empty_frontier_stops(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.graph import hop_distance
+
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([5], pa.int64()),
+                    "dst": pa.array([6], pa.int64()),
+                }
+            )
+        )
+        seeds = rd.from_arrow(pa.table({"node": pa.array([0], pa.int64())}))
+        got = hop_distance(edges, seeds, n_rounds=5).take_all()
+        assert [(r["node"], r["dist"]) for r in got] == [(0, 0)]

@@ -967,3 +967,195 @@ def label_propagation(
         ),
         batch_format="pyarrow",
     ).sort("node")
+
+
+def hop_distance(
+    edges: Dataset,
+    seeds: Dataset,
+    n_rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    small_threshold: int = 2_000_000,
+) -> Dataset:
+    """Multi-source BFS over the DIRECTED edge list: (node, dist) for
+    every node reachable from the seed set within ``n_rounds`` hops,
+    dist = minimum hop count (seeds at 0), unreached nodes omitted —
+    the semantic-neighborhood expansion step (seed docs -> kNN-graph
+    closure) a decontamination or topic-harvest pass runs before
+    filtering. Exactly ``n_rounds`` rounds, so a SQL oracle unrolls the
+    same chain as MATERIALIZED CTEs (integer-only output; the edge set
+    itself carries any float-margin certification, e.g. knn_graph's
+    measured 1.4e-6 adjacent-cosine gap).
+
+    Measured-size switch (the kcore/LPA/triangles pattern): below
+    ``small_threshold`` edges the whole BFS runs in ONE remote numpy
+    task over the edge block refs (an iterative Dataset loop pays
+    shuffle-actor startup every round — CLAUDE.md); larger graphs run
+    per round ONE union-tag frontier lookup keyed by ``src_col`` plus
+    ONE key-aligned min-dist merge keyed by node, both sized to the
+    measured edge count. The merge re-ships the known dist table each
+    round (node-sized, orders below the edge volume)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from textalyzer_ray.pipelines.joins import union_tag_lookup
+    from textalyzer_ray.stages.groups import grouped_apply, partitions_for
+
+    node_t = _node_field(edges, src_col)
+    out_schema = pa.schema(
+        [pa.field(node_col, node_t), pa.field("dist", pa.int64())]
+    )
+    edge_schema = pa.schema(
+        [pa.field("src", node_t), pa.field("dst", node_t)]
+    )
+
+    def norm_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": t[src_col], "dst": t[dst_col]}, schema=edge_schema
+        )
+
+    es = edges.map_batches(
+        norm_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    m = es.count()
+
+    seed_schema = pa.schema([pa.field(node_col, node_t)])
+
+    def norm_seeds(t: pa.Table) -> pa.Table:
+        return t.select([node_col]).cast(seed_schema)
+
+    sd = seeds.map_batches(norm_seeds, batch_format="pyarrow").materialize()
+    if m <= small_threshold:
+
+        @ray.remote
+        def bfs_task(n_seed_blocks: int, *blocks: pa.Table) -> pa.Table:
+            seed_nodes = np.unique(
+                np.concatenate(
+                    [
+                        b[node_col].to_numpy(zero_copy_only=False)
+                        for b in blocks[:n_seed_blocks]
+                    ]
+                    or [np.empty(0, np.int64)]
+                )
+            )
+            eb = blocks[n_seed_blocks:]
+            src = np.concatenate(
+                [b["src"].to_numpy(zero_copy_only=False) for b in eb]
+                or [np.empty(0, np.int64)]
+            )
+            dst = np.concatenate(
+                [b["dst"].to_numpy(zero_copy_only=False) for b in eb]
+                or [np.empty(0, np.int64)]
+            )
+            order = np.argsort(src, kind="stable")
+            S, D = src[order], dst[order]
+            known = seed_nodes
+            dists = np.zeros(len(known), dtype=np.int64)
+            frontier = seed_nodes
+            for k in range(1, n_rounds + 1):
+                if len(frontier) == 0:
+                    break
+                lo = np.searchsorted(S, frontier, side="left")
+                hi = np.searchsorted(S, frontier, side="right")
+                cnt = hi - lo
+                tot = int(cnt.sum())
+                if tot == 0:
+                    break
+                starts = np.repeat(lo, cnt)
+                within = np.arange(tot) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt
+                )
+                neigh = np.unique(D[starts + within])
+                new = neigh[~np.isin(neigh, known)]
+                known = np.concatenate([known, new])
+                dists = np.concatenate(
+                    [dists, np.full(len(new), k, dtype=np.int64)]
+                )
+                frontier = new
+            o = np.argsort(known, kind="stable")
+            return pa.table(
+                {
+                    node_col: pa.array(known[o]).cast(node_t),
+                    "dist": pa.array(dists[o], pa.int64()),
+                },
+                schema=out_schema,
+            )
+
+        seed_refs = sd.to_arrow_refs()
+        edge_refs = es.to_arrow_refs()
+        return rd.from_arrow_refs(
+            [bfs_task.remote(len(seed_refs), *seed_refs, *edge_refs)]
+        )
+
+    # ---- distributed rounds (edge-count-sized exchanges) ----
+    n_parts = partitions_for(m)
+    dist_schema = pa.schema(
+        [pa.field(node_col, node_t), pa.field("dist", pa.int64())]
+    )
+
+    def seed_dist(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                node_col: t[node_col],
+                "dist": pa.array(
+                    np.zeros(t.num_rows, np.int64), pa.int64()
+                ),
+            },
+            schema=dist_schema,
+        )
+
+    dist_ds = sd.map_batches(seed_dist, batch_format="pyarrow").materialize()
+
+    def min_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return dist_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by(node_col)
+            .agg(pl.col("dist").min())
+            .to_arrow()
+            .cast(dist_schema)
+        )
+
+    for k in range(1, n_rounds + 1):
+        frontier = dist_ds.map_batches(
+            lambda t, _k=k: t.filter(
+                pc.equal(t["dist"], _k - 1)
+            ).select([node_col]),
+            batch_format="pyarrow",
+        )
+        reached = union_tag_lookup(
+            es,
+            frontier.map_batches(
+                lambda t: pa.table(
+                    {"src": t[node_col], "one": pa.array([1] * t.num_rows, pa.int64())},
+                ),
+                batch_format="pyarrow",
+            ),
+            key_col="src",
+            value_col="one",
+            out_col="__hit",
+            num_partitions=n_parts,
+        )
+        cand = reached.map_batches(
+            lambda t, _k=k: pa.table(
+                {
+                    node_col: t["dst"],
+                    "dist": pa.array(
+                        np.full(t.num_rows, _k, np.int64), pa.int64()
+                    ),
+                },
+                schema=dist_schema,
+            ),
+            batch_format="pyarrow",
+        )
+        dist_ds = grouped_apply(
+            dist_ds.union(cand),
+            [node_col],
+            min_block,
+            num_partitions=n_parts,
+        ).materialize()
+
+    return dist_ds.sort(node_col)
