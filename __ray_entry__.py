@@ -147,6 +147,21 @@ def _q_lexical_profile(sf_dir: str):
     )
 
 
+def _q_decayed_counts(sf_dir: str):
+    """Frecency: exponentially time-decayed per-user activity score
+    with age quantized to whole halflives (1 day, horizon 25) — every
+    weight is a dyadic rational, the per-user sum rides as an exact
+    BIGINT (score_units = sum 2^(K-k)), and score = score_units/2^K is
+    one exact power-of-two division, so the DOUBLE hash-matches DuckDB
+    bit-for-bit with zero float margin."""
+    from textalyzer_ray.pipelines.analytics import decayed_counts
+    from textalyzer_ray.sources.tables import read_table
+
+    return decayed_counts(
+        read_table(sf_dir, "events", columns=["user_id", "ts"])
+    )
+
+
 def _q_lang_rollup(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -3348,7 +3363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill": _q_events_gapfill,
         "chunk_windows": _q_chunk_windows,
         "decontaminate": _q_decontaminate,
-        "scrub_pii": _q_scrub_pii,
+        "decayed_counts": _q_decayed_counts,
         "bloom_url_seen": _q_bloom_url_seen,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
         "word_kcore": _q_word_kcore,
@@ -3387,9 +3402,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # here, still locally gated), and knn_hop_distance (multi-source
         # BFS graph traversal, a new family) took the slot of the
         # r3-green readability (readability_components stays locally
-        # gated; the family keeps its r03 driver row).
+        # gated; the family keeps its r03 driver row), and
+        # decayed_counts (exact dyadic time-decay scoring, a new
+        # family) took the slot of the r3-green scrub_pii (curation
+        # keeps decontaminate + dup_span_removal + funnel in-window).
         "zorder_layout": _q_zorder_layout,
         "readability": _q_readability,
+        "scrub_pii": _q_scrub_pii,
         "simhash_pairs": _q_simhash_pairs,
         "chars_quantiles": _q_chars_quantiles,
         "langid": _q_langid,
@@ -3734,6 +3753,23 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0 "
             "ELSE a.n_types / a.n_tokens END AS ttr "
             "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+        ),
+        # dyadic decay: k = whole halflives of age (µs integer floor
+        # division, identical in Python and DuckDB), weight = 2^(25-k)
+        # as a BIGINT bit shift; sum(BIGINT) is HUGEINT in DuckDB so
+        # cast back; score = units / 2^25 is an exact power-of-two
+        # division (both engines produce the same double bit pattern).
+        "decayed_counts": (
+            "WITH tref AS (SELECT max(ts) AS t FROM events), "
+            "k AS (SELECT user_id, "
+            "date_diff('microsecond', ts, (SELECT t FROM tref)) "
+            "// 86400000000 AS kk FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(1 AS BIGINT) << (25 - kk)) AS BIGINT) "
+            "AS score_units, "
+            "CAST(sum(CAST(1 AS BIGINT) << (25 - kk)) AS BIGINT) "
+            "/ 33554432.0 AS score "
+            "FROM k WHERE kk <= 25 GROUP BY user_id ORDER BY user_id"
         ),
         "lang_rollup": (
             "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "

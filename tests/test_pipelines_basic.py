@@ -578,3 +578,82 @@ class TestLexicalProfile:
         assert rows[0]["n_types"] == len(set(toks))
         counts = frequency_map(txt)
         assert rows[0]["n_hapax"] == sum(1 for v in counts.values() if v == 1)
+
+
+class TestDecayedCounts:
+    def _events(self, rows):
+        """rows = [(user_id, ts_us), ...]"""
+        import pyarrow as pa
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us")
+                    ),
+                }
+            )
+        )
+
+    def test_hand_computed(self):
+        from textalyzer_ray.pipelines.analytics import decayed_counts
+
+        hl = 1_000_000  # 1 s halflife for hand math
+        base = 10_000_000
+        ev = self._events(
+            [
+                (1, base),          # age 0   -> k=0 -> 2^5
+                (1, base - 1_000_000),   # k=1 -> 2^4
+                (1, base - 1_500_000),   # k=1 -> 2^4
+                (2, base - 5_000_000),   # k=5 -> 2^0
+                (2, base - 6_000_000),   # k=6 > K -> dropped
+            ]
+        )
+        got = {
+            r["user_id"]: (r["n_events"], r["score_units"], r["score"])
+            for r in decayed_counts(
+                ev, halflife_s=1, max_halflives=5
+            ).take_all()
+        }
+        assert got[1] == (3, 32 + 16 + 16, (32 + 16 + 16) / 32)
+        assert got[2] == (1, 1, 1 / 32)
+
+    def test_all_out_of_horizon_key_omitted(self):
+        from textalyzer_ray.pipelines.analytics import decayed_counts
+
+        base = 10_000_000
+        ev = self._events([(1, base), (2, base - 50_000_000)])
+        got = decayed_counts(ev, halflife_s=1, max_halflives=5).take_all()
+        assert [(r["user_id"], r["score_units"]) for r in got] == [(1, 32)]
+
+    def test_exactness_guard(self):
+        import pytest as _pytest
+
+        from textalyzer_ray.pipelines.analytics import decayed_counts
+
+        base = 10_000_000
+        # 2^53 units would need max_halflives=53 and one k=0 event
+        ev = self._events([(1, base), (1, base)])
+        with _pytest.raises(Exception, match="2\\^53"):
+            decayed_counts(ev, halflife_s=1, max_halflives=53).take_all()
+
+    def test_dyadic_sum_is_exact_double(self):
+        """score equals the Fraction-exact value, not merely close."""
+        from fractions import Fraction
+
+        from textalyzer_ray.pipelines.analytics import decayed_counts
+
+        base = 99_000_000
+        rows = [(7, base - i * 333_333) for i in range(40)]
+        got = decayed_counts(
+            self._events(rows), halflife_s=1, max_halflives=20
+        ).take_all()[0]
+        K = 20
+        exact = sum(
+            Fraction(1, 2 ** min((base - ts) // 1_000_000, K + 1))
+            for _, ts in rows
+            if (base - ts) // 1_000_000 <= K
+        )
+        assert Fraction(got["score"]) == exact
+        assert got["score_units"] == int(exact * 2**K)

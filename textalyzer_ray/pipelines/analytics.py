@@ -1229,3 +1229,100 @@ def events_gapfill_rolling(
     return grouped_apply(
         grid.union(reps), ["hr"], merge_block, num_partitions=n_parts
     ).sort("hr")
+
+
+def decayed_counts(
+    ds_events: Dataset,
+    halflife_s: int = 86_400,
+    max_halflives: int = 25,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> Dataset:
+    """Exponentially time-decayed activity score per key — the
+    "frecency" signal a crawl scheduler / trending rollup ranks on —
+    made EXACT across engines by quantizing age to whole halflives:
+    each event's weight is 2^-k with k = floor(age / halflife), so
+    every weight is a dyadic rational and the per-key sum, carried as
+    ``score_units`` = sum(2^(K-k)) in BIGINT (K = ``max_halflives``),
+    is integer-exact; events older than K halflives fall outside the
+    horizon and count zero. ``score`` = score_units / 2^K is one exact
+    power-of-two division, so the DOUBLE hash-matches any engine that
+    computes the same integers (guarded: score_units must stay below
+    2^53). Reference for the decay shape: exponentially-decayed counters
+    (Cormode et al. forward decay, VLDB 2009) — the quantization is
+    what makes it oracle-exact.
+
+    Two streaming passes: per-block max(ts) + an O(blocks) driver
+    reduce for the reference time, then one vectorized weight pass
+    feeding stages.groups.key_counts (per-block partial sums, tree or
+    key-aligned merge — never a corpus-wide groupby). Output:
+    (key_col, n_events, score_units, score), keys with no in-horizon
+    event omitted, sorted by key."""
+    import numpy as np
+
+    from textalyzer_ray.stages.groups import key_counts
+
+    hl_us = int(halflife_s) * 1_000_000
+    K = int(max_halflives)
+
+    def block_max(t: pa.Table) -> pa.Table:
+        m = pc.max(t[ts_col]).value  # µs since epoch, None on empty
+        return pa.table(
+            {"m": pa.array([m if m is not None else -(2**62)], pa.int64())}
+        )
+
+    maxes = ds_events.select_columns([ts_col]).map_batches(
+        block_max, batch_format="pyarrow"
+    ).take_all()
+    if not maxes:
+        return_schema = pa.schema(
+            [
+                pa.field(key_col, pa.int64()),
+                pa.field("n_events", pa.int64()),
+                pa.field("score_units", pa.int64()),
+                pa.field("score", pa.float64()),
+            ]
+        )
+        import ray.data as rd
+
+        return rd.from_arrow(return_schema.empty_table())
+    t_ref = max(r["m"] for r in maxes)
+
+    def weights(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k = (t_ref - ts) // hl_us
+        keep = k <= K
+        w = np.zeros(len(ts), dtype=np.int64)
+        w[keep] = np.int64(1) << (K - k[keep])
+        return pa.table(
+            {
+                key_col: t[key_col].filter(pa.array(keep)),
+                "w_units": pa.array(w[keep], pa.int64()),
+            }
+        )
+
+    counted = key_counts(
+        ds_events.select_columns([key_col, ts_col]).map_batches(
+            weights, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        [key_col],
+        sum_cols=["w_units"],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        su = t["sum_w_units"].to_numpy(zero_copy_only=False)
+        if len(su) and int(su.max()) >= 2**53:
+            raise ValueError(
+                "score_units exceeds 2^53: exact-double contract broken; "
+                "lower max_halflives"
+            )
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "n_events": t["count"],
+                "score_units": t["sum_w_units"],
+                "score": pa.array(su / float(1 << K), pa.float64()),
+            }
+        )
+
+    return counted.map_batches(finalize, batch_format="pyarrow").sort(key_col)
