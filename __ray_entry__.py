@@ -147,6 +147,18 @@ def _q_lexical_profile(sf_dir: str):
     )
 
 
+def _q_trending_terms(sf_dir: str):
+    """Crawl-monitor trending: top-3 words per crawl-minute window over
+    the synthesized pages' extracted text. warc_ts is pure doc_id
+    arithmetic (webgen: epoch 1.6e9 s + doc_id seconds), so the SQL
+    oracle re-derives every window bucket with the same integer µs
+    floor division; counts/ranks are integer-exact, ties (count desc,
+    word asc) engineered identically."""
+    from textalyzer_ray.pipelines.frequency import trending_terms
+
+    return trending_terms(_pages(sf_dir), window_s=60, k=3)
+
+
 def _q_decayed_counts(sf_dir: str):
     """Frecency: exponentially time-decayed per-user activity score
     with age quantized to whole halflives (1 day, horizon 25) — every
@@ -3325,7 +3337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": _q_cdc_chunks,
         "table_profile": _q_table_profile,
         "srp_pairs": _q_srp_pairs,
-        "stream_windows": _q_stream_windows,
+        "trending_terms": _q_trending_terms,
         "inverted_index": _q_inverted_index,
         "cohort_retention": _q_cohort_retention,
         "hits_doc_host": _q_hits_doc_host,
@@ -3406,9 +3418,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decayed_counts (exact dyadic time-decay scoring, a new
         # family) took the slot of the r3-green scrub_pii (curation
         # keeps decontaminate + dup_span_removal + funnel in-window).
+        # ...and trending_terms (windowed top-k, a new family) took the
+        # slot of the r3-green stream_windows (streaming keeps
+        # stream_range_join in-window).
         "zorder_layout": _q_zorder_layout,
         "readability": _q_readability,
         "scrub_pii": _q_scrub_pii,
+        "stream_windows": _q_stream_windows,
         "simhash_pairs": _q_simhash_pairs,
         "chars_quantiles": _q_chars_quantiles,
         "langid": _q_langid,
@@ -3753,6 +3769,24 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0 "
             "ELSE a.n_types / a.n_tokens END AS ttr "
             "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+        ),
+        # crawl-minute windows: warc_ts = (1.6e9 + doc_id) seconds
+        # (webgen arithmetic), so window_start = ((1.6e9 + doc_id)
+        # // 60) * 60 — the same integer floor division the pipeline
+        # applies to the µs timestamp.
+        "trending_terms": (
+            f"WITH tok AS ({tokens_cte}), "
+            "w AS (SELECT ((1600000000 + d.doc_id) // 60) * 60 "
+            "AS window_start, t.word FROM tok t "
+            "JOIN documents d USING (doc_id)), "
+            "h AS (SELECT window_start, word, "
+            "CAST(count(*) AS BIGINT) AS count FROM w GROUP BY 1, 2), "
+            "r AS (SELECT window_start, word, count, "
+            "CAST(row_number() OVER (PARTITION BY window_start "
+            "ORDER BY count DESC, word) AS BIGINT) AS rank FROM h) "
+            "SELECT CAST(window_start AS BIGINT) AS window_start, word, "
+            "count, rank FROM r WHERE rank <= 3 "
+            "ORDER BY window_start, rank"
         ),
         # dyadic decay: k = whole halflives of age (µs integer floor
         # division, identical in Python and DuckDB), weight = 2^(25-k)

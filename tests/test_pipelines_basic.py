@@ -657,3 +657,61 @@ class TestDecayedCounts:
         )
         assert Fraction(got["score"]) == exact
         assert got["score_units"] == int(exact * 2**K)
+
+
+class TestTrendingTerms:
+    def test_hand_computed(self):
+        import pyarrow as pa
+
+        from textalyzer_ray.pipelines.frequency import trending_terms
+
+        us = 1_000_000
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "warc_ts": pa.array(
+                        # two windows: [0, 60) and [60, 120) seconds
+                        [5 * us, 30 * us, 59 * us, 61 * us, 119 * us],
+                        pa.timestamp("us"),
+                    ),
+                    "text": pa.array(
+                        [
+                            "apple apple banana",
+                            "apple cherry",
+                            "banana",
+                            "cherry cherry",
+                            "apple",
+                        ]
+                    ),
+                }
+            )
+        )
+        got = [
+            (r["window_start"], r["word"], r["count"], r["rank"])
+            for r in trending_terms(ds, window_s=60, k=2).take_all()
+        ]
+        assert got == [
+            (0, "apple", 3, 1),
+            (0, "banana", 2, 2),
+            (60, "cherry", 2, 1),
+            (60, "apple", 1, 2),
+        ]
+
+    def test_tie_breaks_word_asc(self):
+        import pyarrow as pa
+
+        from textalyzer_ray.pipelines.frequency import trending_terms
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "warc_ts": pa.array([0], pa.timestamp("us")),
+                    "text": pa.array(["zebra apple zebra apple"]),
+                }
+            )
+        )
+        got = [
+            (r["word"], r["rank"])
+            for r in trending_terms(ds, window_s=60, k=2).take_all()
+        ]
+        assert got == [("apple", 1), ("zebra", 2)]

@@ -685,3 +685,105 @@ def count_min_words(
         )
 
     return counts.map_batches(estimate, batch_format="pyarrow").sort("word")
+
+
+def trending_terms(
+    ds: Dataset,
+    window_s: int = 60,
+    k: int = 3,
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> Dataset:
+    """Top-k terms per crawl-time window: (window_start, word, count,
+    rank) — what a crawl monitor surfaces as "trending now". The window
+    key is epoch SECONDS floored to the window (integer µs division, so
+    any engine reproduces the bucket exactly); counts are corpus word
+    counts inside the window; rank breaks ties (count desc, word asc).
+
+    Shape: the partial stage tokenizes and pre-aggregates
+    (window, word) counts inside each block (hot windows collapse
+    before any exchange), the merge is stages.groups.key_counts, and
+    the per-window top-k runs key-aligned on the window
+    (grouped_apply), so no window's histogram ever funnels through a
+    single block or the driver."""
+    import numpy as np
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import grouped_apply, key_counts
+    from textalyzer_ray.stages.tokenize import _flat_tokens
+
+    win_us = int(window_s) * 1_000_000
+    part_schema = pa.schema(
+        [
+            pa.field("window_start", pa.int64()),
+            pa.field("word", pa.string()),
+            pa.field("count", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        tokens, parents = _flat_tokens(t, text_col)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ws = (ts // win_us) * np.int64(window_s)
+        tbl = pa.table(
+            {
+                "window_start": pa.array(ws, pa.int64()).take(parents),
+                "word": tokens,
+            }
+        )
+        return (
+            pl.from_arrow(tbl)
+            .group_by(["window_start", "word"])
+            .len()
+            .rename({"len": "count"})
+            .with_columns(pl.col("count").cast(pl.Int64))
+            .to_arrow()
+            .cast(part_schema)
+        )
+
+    p = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    hist = key_counts(p, ["window_start", "word"], sum_cols=["count"]).map_batches(
+        lambda t: pa.table(
+            {
+                "window_start": t["window_start"],
+                "word": t["word"],
+                "count": t["sum_count"],
+            },
+            schema=part_schema,
+        ),
+        batch_format="pyarrow",
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("window_start", pa.int64()),
+            pa.field("word", pa.string()),
+            pa.field("count", pa.int64()),
+            pa.field("rank", pa.int64()),
+        ]
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .sort(
+                ["window_start", "count", "word"],
+                descending=[False, True, False],
+            )
+            .with_columns(
+                pl.col("word")
+                .cum_count()
+                .over("window_start")
+                .cast(pl.Int64)
+                .alias("rank")
+            )
+            .filter(pl.col("rank") <= k)
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return grouped_apply(
+        hist, ["window_start"], topk, num_partitions=4
+    ).sort(["window_start", "rank"])
