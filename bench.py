@@ -334,6 +334,23 @@ def run_bench() -> dict:
         lambda: contract._q_sorted_neighborhood(sf_dir).count(),
     )
 
+    # r4 late-session additions: robots-frontier filtering (key-aligned
+    # URL distinct + broadcast longest-prefix match), crawl-minute
+    # trending terms (windowed histogram + key-aligned top-k), and
+    # exact dyadic time-decay scoring over the events stream.
+    timed(
+        "robots",
+        lambda: contract._q_robots_filter(sf_dir).count(),
+    )
+    timed(
+        "trending",
+        lambda: contract._q_trending_terms(sf_dir).count(),
+    )
+    timed(
+        "decayed",
+        lambda: contract._q_decayed_counts(sf_dir).count(),
+    )
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     # In-run hardware control: this shared VM intermittently loses 2-20x
