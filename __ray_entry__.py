@@ -595,6 +595,7 @@ def _pagerank_oracle_sql(
     prelude: str | None = None,
     edge_cte: str | None = None,
     node_col: str = "host",
+    seeds_in: str | None = None,
 ) -> str:
     """Unrolled k-iteration PageRank in pure SQL over any edge set.
     Every CTE is MATERIALIZED: a plain CTE is inlined at each
@@ -605,7 +606,13 @@ def _pagerank_oracle_sql(
 
     ``prelude`` + ``edge_cte`` override the default host link graph:
     edge_cte must define ``e(s, t, w DOUBLE)``. ``node_col`` names the
-    output node column."""
+    output node column.
+
+    ``seeds_in`` (a SQL IN-list like ``('a', 'b')``) switches to the
+    SEEDED restart (TrustRank / topic-sensitive TextRank —
+    links.host_pagerank(seeds=...)): pr0 = r and each round computes
+    (1-d)*r + d*(c + m*r) with r = 1/|seed nodes| on seeds else 0 —
+    the same float-op grouping as the pipeline's numpy/polars kernels."""
     if prelude is None:
         prelude = _LINKS_CTE
         edge_cte = (
@@ -618,10 +625,36 @@ def _pagerank_oracle_sql(
         "nodes AS MATERIALIZED (SELECT s AS host FROM e UNION SELECT t FROM e), ",
         "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), ",
         "outw AS MATERIALIZED (SELECT s, sum(w) AS ow FROM e GROUP BY s), ",
-        "pr0 AS MATERIALIZED (SELECT host, 1.0/(SELECT n FROM nn) AS pr FROM nodes)",
     ]
+    if seeds_in is None:
+        p.append(
+            "pr0 AS MATERIALIZED (SELECT host, 1.0/(SELECT n FROM nn) "
+            "AS pr FROM nodes)"
+        )
+    else:
+        p.append(
+            "ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n "
+            f"FROM nodes WHERE host IN {seeds_in}), "
+            "pr0 AS MATERIALIZED (SELECT host, "
+            f"CASE WHEN host IN {seeds_in} THEN 1.0/(SELECT n FROM ns) "
+            "ELSE 0.0 END AS pr FROM nodes)"
+        )
     for k in range(1, n_iter + 1):
         prev = f"pr{k-1}"
+        if seeds_in is None:
+            upd = (
+                f"(1.0 - {d!r})/(SELECT n FROM nn) + {d!r} * "
+                f"(coalesce(c.c, 0.0) + (SELECT m FROM d{k})/(SELECT n FROM nn))"
+            )
+        else:
+            r = (
+                f"CASE WHEN n.host IN {seeds_in} "
+                "THEN 1.0/(SELECT n FROM ns) ELSE 0.0 END"
+            )
+            upd = (
+                f"(1.0 - {d!r}) * ({r}) + {d!r} * "
+                f"(coalesce(c.c, 0.0) + (SELECT m FROM d{k}) * ({r}))"
+            )
         p.append(
             f", d{k} AS MATERIALIZED (SELECT coalesce(sum(p.pr), 0.0) AS m "
             f"FROM {prev} p LEFT JOIN outw o ON o.s = p.host WHERE o.s IS NULL)"
@@ -629,8 +662,7 @@ def _pagerank_oracle_sql(
             f"sum(p.pr * (e.w / o.ow)) AS c FROM e JOIN {prev} p "
             f"ON p.host = e.s JOIN outw o ON o.s = e.s GROUP BY e.t)"
             f", pr{k} AS MATERIALIZED (SELECT n.host, "
-            f"(1.0 - {d!r})/(SELECT n FROM nn) + {d!r} * "
-            f"(coalesce(c.c, 0.0) + (SELECT m FROM d{k})/(SELECT n FROM nn)) AS pr "
+            f"{upd} AS pr "
             f"FROM nodes n LEFT JOIN c{k} c ON c.host = n.host)"
         )
     p.append(
@@ -2983,6 +3015,24 @@ def _zorder_spread_ctes(n_shards: int = 16) -> str:
     return ", ".join(p)
 
 
+_SEED_WORDS = ["join", "hash", "merge"]
+
+
+def _q_seeded_textrank(sf_dir: str):
+    """Topic-sensitive TextRank (the TrustRank restart, Gyongyi 2004 /
+    Haveliwala 2002, over the word graph): restart + dangling mass go
+    only to the seed words, so pr ranks words by graph proximity to
+    the seed topic. Same unrolled-chain oracle with the seeded pr0 and
+    (1-d)*r + d*(c + m*r) update; pr double hash safety measured and
+    pinned in tests/test_pipelines_graph.py (seeded margins certified
+    separately from the uniform chain)."""
+    from textalyzer_ray.pipelines.graph import textrank_keywords
+
+    return textrank_keywords(
+        _docs(sf_dir, columns=["text"]), min_count=5, seeds=_SEED_WORDS
+    )
+
+
 def _q_textrank_keywords(sf_dir: str):
     """TextRank keyword scoring: weighted PageRank over the
     symmetrized bigram word graph (edges = unordered pairs with summed
@@ -3342,7 +3392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "hits_doc_host": _q_hits_doc_host,
         "lexical_profile": _q_lexical_profile,
-        "exact_dedup_distributed": _q_exact_dedup_distributed,
+        "seeded_textrank": _q_seeded_textrank,
         "single_line_dups": _q_single_line_dups,
         "count_min_words": _q_count_min_words,
         "vector_index_topk": _q_vector_index_topk,
@@ -3421,10 +3471,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ...and trending_terms (windowed top-k, a new family) took the
         # slot of the r3-green stream_windows (streaming keeps
         # stream_range_join in-window).
+        # ...and seeded_textrank (TrustRank-restart topic-sensitive
+        # ranking, a new variant family) took the slot of the r3-green
+        # exact_dedup_distributed (exact-dedup keeps dedup_keep_best,
+        # single_line_dups and the whole near-dup tier in-window).
         "zorder_layout": _q_zorder_layout,
         "readability": _q_readability,
         "scrub_pii": _q_scrub_pii,
         "stream_windows": _q_stream_windows,
+        "exact_dedup_distributed": _q_exact_dedup_distributed,
         "simhash_pairs": _q_simhash_pairs,
         "chars_quantiles": _q_chars_quantiles,
         "langid": _q_langid,
@@ -4609,6 +4664,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(zval AS BIGINT) AS zval, "
             "CAST(rk * 16 // n AS BIGINT) AS shard_id "
             "FROM r ORDER BY event_id"
+        ),
+        "seeded_textrank": _pagerank_oracle_sql(
+            prelude=(
+                "w AS MATERIALIZED (SELECT list_filter("
+                f"regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'), "
+                "x -> x <> '') AS ws FROM documents), "
+                "bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS c "
+                "FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i "
+                "FROM w WHERE len(ws) >= 2) GROUP BY 1, 2), "
+                "und AS (SELECT least(w1, w2) AS a, greatest(w1, w2) AS b, "
+                "sum(c) AS cw FROM bg WHERE w1 <> w2 GROUP BY 1, 2 "
+                "HAVING sum(c) >= 5)"
+            ),
+            edge_cte=(
+                "e AS MATERIALIZED (SELECT a AS s, b AS t, "
+                "CAST(cw AS DOUBLE) AS w FROM und "
+                "UNION ALL SELECT b, a, CAST(cw AS DOUBLE) FROM und)"
+            ),
+            node_col="word",
+            seeds_in="('" + "', '".join(_SEED_WORDS) + "')",
         ),
         "textrank_keywords": _pagerank_oracle_sql(
             prelude=(

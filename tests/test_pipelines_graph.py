@@ -408,3 +408,138 @@ class TestHopDistance:
         seeds = rd.from_arrow(pa.table({"node": pa.array([0], pa.int64())}))
         got = hop_distance(edges, seeds, n_rounds=5).take_all()
         assert [(r["node"], r["dist"]) for r in got] == [(0, 0)]
+
+
+class TestSeededTextrank:
+    def test_seed_restart_semantics(self):
+        """Restart mass goes only to seeds: words unreachable from the
+        seed set get pr exactly 0, and a seed out-ranks a structurally
+        identical non-seed."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.graph import textrank_keywords
+
+        # two disjoint word components: {alpha,beta} and {gamma,delta}
+        docs = rd.from_arrow(
+            pa.table(
+                {
+                    "text": pa.array(
+                        ["alpha beta " * 6, "gamma delta " * 6]
+                    ),
+                }
+            )
+        )
+        got = {
+            r["word"]: r["pr"]
+            for r in textrank_keywords(
+                docs, min_count=5, seeds=["alpha"]
+            ).take_all()
+        }
+        assert got["gamma"] == 0.0 and got["delta"] == 0.0
+        assert got["alpha"] > got["beta"] > 0.0
+
+    def test_small_equals_distributed(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.links import host_pagerank
+
+        rows = [
+            ("a", "b", 2), ("a", "c", 1), ("b", "c", 3),
+            ("c", "a", 1), ("d", "a", 5), ("b", "d", 1),
+        ]
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "src_host": pa.array([r[0] for r in rows]),
+                    "dst_host": pa.array([r[1] for r in rows]),
+                    "n_links": pa.array(
+                        [r[2] for r in rows], pa.int64()
+                    ),
+                }
+            )
+        )
+        small = {
+            r["host"]: (r["pr"], r["pr_rank"])
+            for r in host_pagerank(
+                edges, n_iter=6, seeds=["a", "d"]
+            ).take_all()
+        }
+        edges2 = rd.from_arrow(
+            pa.table(
+                {
+                    "src_host": pa.array([r[0] for r in rows]),
+                    "dst_host": pa.array([r[1] for r in rows]),
+                    "n_links": pa.array(
+                        [r[2] for r in rows], pa.int64()
+                    ),
+                }
+            )
+        )
+        big = {
+            r["host"]: (r["pr"], r["pr_rank"])
+            for r in host_pagerank(
+                edges2, n_iter=6, seeds=["a", "d"], small_threshold=0
+            ).take_all()
+        }
+        assert set(small) == set(big)
+        for h in small:
+            assert small[h][1] == big[h][1]
+            assert abs(small[h][0] - big[h][0]) < 1e-14
+        # restart mass conserved
+        assert abs(sum(v[0] for v in small.values()) - 1.0) < 1e-12
+
+    def test_disjoint_seeds_raise(self):
+        import pyarrow as pa
+        import pytest as _pytest
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.links import host_pagerank
+
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "src_host": pa.array(["a"]),
+                    "dst_host": pa.array(["b"]),
+                    "n_links": pa.array([1], pa.int64()),
+                }
+            )
+        )
+        with _pytest.raises(Exception, match="intersect"):
+            host_pagerank(edges, seeds=["zzz"]).take_all()
+
+    def test_sf001_margins_vs_duckdb(self):
+        """Seeded-chain float-hash certification (separate from the
+        uniform chain: zero-pr plateaus and seed spikes change the
+        margin structure): cross-engine maxdiff far below the minimum
+        POSITIVE adjacent pr gap and the minimum 9-decimal boundary
+        distance over nonzero prs."""
+        import duckdb
+        import numpy as np
+
+        import __ray_entry__ as contract
+
+        sf = "/root/testdata/sf0.001"
+        got = contract._q_seeded_textrank(sf).take_all()
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        want = con.sql(contract.oracle_sql()["seeded_textrank"]).fetchall()
+        gm = {r["word"]: (r["pr"], r["pr_rank"]) for r in got}
+        wm = {r[0]: (r[1], r[2]) for r in want}
+        assert set(gm) == set(wm) and len(gm) > 10
+        maxdiff = max(abs(gm[k][0] - wm[k][0]) for k in gm)
+        assert all(gm[k][1] == wm[k][1] for k in gm)
+        prs = sorted((v[0] for v in gm.values()), reverse=True)
+        pos_gaps = [a - b for a, b in zip(prs, prs[1:]) if a != b]
+        min_gap = min(pos_gaps)
+        bdist = min(
+            abs((p * 1e9) - np.floor(p * 1e9) - 0.5) * 1e-9
+            for p in prs
+            if p > 0.0
+        )
+        assert maxdiff < 1e-14
+        assert min_gap > 1e3 * maxdiff, (min_gap, maxdiff)
+        assert bdist > 1e3 * maxdiff, (bdist, maxdiff)

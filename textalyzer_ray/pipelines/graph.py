@@ -512,13 +512,17 @@ def textrank_keywords(
     damping: float = 0.85,
     n_iter: int = 10,
     text_col: str = "text",
+    seeds: list[str] | None = None,
 ) -> Dataset:
     """TextRank keyword scoring (Mihalcea & Tarau 2004): weighted
     PageRank over the symmetrized bigram word graph -> (word, pr,
     pr_rank) by (pr desc, word). Composes symmetric_word_edges with
     the existing host_pagerank operator (identical float-op order, so
     the measured cross-engine parity of the PageRank chain carries
-    over)."""
+    over). ``seeds`` switches to the topic-sensitive variant
+    (restart/dangling mass to the seed words only — the TrustRank
+    restart, links.host_pagerank(seeds=...)): scores rank words by
+    graph proximity to the seed topic instead of global centrality."""
     from textalyzer_ray.pipelines.links import host_pagerank
 
     edges = symmetric_word_edges(ds_docs, min_count, text_col).map_batches(
@@ -531,7 +535,7 @@ def textrank_keywords(
         ),
         batch_format="pyarrow",
     )
-    pr = host_pagerank(edges, damping=damping, n_iter=n_iter)
+    pr = host_pagerank(edges, damping=damping, n_iter=n_iter, seeds=seeds)
     return pr.map_batches(
         # rebuild by NAME (host -> word), not positionally, so a column
         # reorder in host_pagerank can never silently mislabel output

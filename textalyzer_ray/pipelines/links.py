@@ -214,6 +214,7 @@ def host_pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     small_threshold: int = 2_000_000,
+    seeds: list[str] | None = None,
 ) -> Dataset:
     """Weighted PageRank over a host-level edge rollup
     (src_host, dst_host, n_links) -> (host, pr: double, pr_rank:
@@ -225,6 +226,20 @@ def host_pagerank(
 
     ``pr_rank`` orders by (pr DESC, host ASC) — a total order, so the
     int column is oracle-safe even where pr floats are not.
+
+    ``seeds`` switches to the SEEDED restart (personalized PageRank /
+    TrustRank, Gyongyi-Garcia-Molina-Pedersen VLDB 2004; topic-
+    sensitive TextRank when run over the word graph): restart and
+    dangling mass go to the seed set only —
+
+        pr' = (1-d)*r + d * (sum_in pr[s]*w/W[s] + dangling*r)
+
+    with r_i = 1/|seeds ∩ nodes| for seed nodes, else 0 (pr0 = r).
+    ``seeds`` is a curated trust list — driver-sized by definition —
+    shipped to workers inside the stage closures; seed nodes absent
+    from the graph are ignored, and an empty intersection raises. The
+    uniform path's float-op grouping is untouched, so existing
+    host_pagerank/textrank oracles stay bit-identical.
 
     Mechanism sized to the MEASURED edge count (the
     connected_components pattern):
@@ -275,13 +290,34 @@ def host_pagerank(
             outw = np.zeros(n)
             np.add.at(outw, src, w)
             dangling = outw == 0.0
-            pr = np.full(n, 1.0 / n)
             frac = w / outw[src]
+            if seeds is None:
+                r = None
+                pr = np.full(n, 1.0 / n)
+            else:
+                sset = set(seeds)
+                mask = np.fromiter(
+                    (1.0 if h in sset else 0.0 for h in hosts), float, n
+                )
+                ns = int(mask.sum())
+                if ns == 0:
+                    raise ValueError(
+                        "seeds do not intersect the graph's node set"
+                    )
+                r = mask / ns
+                pr = r.copy()
             for _ in range(n_iter):
                 contrib = np.zeros(n)
                 np.add.at(contrib, dst, pr[src] * frac)
                 dang = pr[dangling].sum()
-                pr = (1.0 - damping) / n + damping * (contrib + dang / n)
+                if seeds is None:
+                    pr = (1.0 - damping) / n + damping * (
+                        contrib + dang / n
+                    )
+                else:
+                    pr = (1.0 - damping) * r + damping * (
+                        contrib + dang * r
+                    )
             order = np.lexsort((np.array(hosts), -pr))
             rank = np.empty(n, np.int64)
             rank[order] = np.arange(1, n + 1)
@@ -338,6 +374,27 @@ def host_pagerank(
         num_partitions=n_parts,
     ).materialize()
     n_nodes = nodes.count()
+
+    n_seeds = 0
+    if seeds is not None:
+        # |seeds ∩ nodes| via per-block membership sums (O(blocks) on
+        # the driver; the seed list itself is driver-sized by contract)
+        seed_list = list(seeds)
+        parts = nodes.map_batches(
+            lambda t: pa.table(
+                {
+                    "s": [
+                        pl.from_arrow(t)
+                        .filter(pl.col("host").is_in(seed_list))
+                        .height
+                    ]
+                }
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        n_seeds = int(sum(r["s"] for r in parts))
+        if n_seeds == 0:
+            raise ValueError("seeds do not intersect the graph's node set")
 
     # transition fractions w/W[src], computed inside each key-aligned
     # block (all of a src's edges land together, so the per-src sum is
@@ -398,12 +455,22 @@ def host_pagerank(
             }
         ).cast(mark_schema)
 
+    if seeds is None:
+        init_pr_expr = pl.lit(1.0 / n_nodes)
+    else:
+        seed_list = list(seeds)
+        init_pr_expr = (
+            pl.when(pl.col("host").is_in(seed_list))
+            .then(1.0 / n_seeds)
+            .otherwise(0.0)
+        )
+
     def init_block(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
         return (
             df.group_by("host")
             .agg((~pl.col("is_src").any()).alias("dangling"))
-            .with_columns(pl.lit(1.0 / n_nodes).alias("pr"))
+            .with_columns(init_pr_expr.alias("pr"))
             .select("host", "pr", "dangling")
             .to_arrow()
             .cast(pr_schema)
@@ -530,8 +597,24 @@ def host_pagerank(
             num_partitions=n_parts,
         )
 
+        if seeds is None:
+            # uniform restart — float-op grouping unchanged (oracles
+            # mirror base + d*(c + dang/N) exactly)
+            new_pr_expr = base + damping * (pl.col("c") + dang_term)
+        else:
+            # seeded restart: r per row; same expression shape as the
+            # small path's (1-d)*r + d*(c + dang*r)
+            r_expr = (
+                pl.when(pl.col("host").is_in(list(seeds)))
+                .then(1.0 / n_seeds)
+                .otherwise(0.0)
+            )
+            new_pr_expr = (1.0 - damping) * r_expr + damping * (
+                pl.col("c") + dang * r_expr
+            )
+
         def update_block(
-            t: pa.Table, base=base, dang_term=dang_term
+            t: pa.Table, new_pr_expr=new_pr_expr
         ) -> pa.Table:
             df = pl.from_arrow(t)
             struct = df.filter(pl.col("dangling").is_not_null()).select(
@@ -547,9 +630,7 @@ def host_pagerank(
             return (
                 struct.join(csum, on="host", how="left")
                 .with_columns(pl.col("c").fill_null(0.0))
-                .with_columns(
-                    (base + damping * (pl.col("c") + dang_term)).alias("pr")
-                )
+                .with_columns(new_pr_expr.alias("pr"))
                 .select("host", "pr", "dangling")
                 .to_arrow()
                 .cast(pr_schema)
