@@ -860,6 +860,186 @@ def main() -> dict:
     jn.shutdown()
     assert out["sj_peak_state_rows"] < (n_events * sw_repl) // 2
 
+    # ---- robots-frontier soak (r4 late session) ----
+    # Candidate URLs synthesized by pure arithmetic (the webgen target
+    # shape) with a 4x duplication factor, so the key-aligned distinct
+    # exchange does real collapsing work; the invariant is the exact
+    # closed-form allowed count re-derived vectorized on the driver
+    # from the same longest-prefix rule.
+    from textalyzer_ray.pipelines.robots import (
+        frontier_robots_filter,
+        robots_rules_for_sites,
+    )
+
+    rb_n = arg("--robots-urls", 2_000_000)
+    rb_dup = 4
+
+    def synth_urls(tt: pa.Table) -> pa.Table:
+        import numpy as np
+        import polars as pl_
+
+        ids = tt["id"].to_numpy(zero_copy_only=False) % rb_n
+        df = pl_.DataFrame({"t": ids})
+        return (
+            df.select(
+                (
+                    pl_.lit("https://site")
+                    + (pl_.col("t") % 50).cast(pl_.String)
+                    + pl_.lit(".example/page/")
+                    + pl_.col("t").cast(pl_.String)
+                ).alias("url")
+            )
+            .to_arrow()
+            .cast(pa.schema([pa.field("url", pa.string())]))
+        )
+
+    cand = (
+        rd.range(rb_n * rb_dup, override_num_blocks=num_cpus * 4)
+        .map_batches(synth_urls, batch_format="pyarrow")
+        .materialize()
+    )
+    t0 = time.monotonic()
+    verdicts = frontier_robots_filter(
+        cand, robots_rules_for_sites(50)
+    ).materialize()
+    n_verdicts = verdicts.count()
+    n_allowed = verdicts.map_batches(
+        lambda t: pa.table(
+            {"s": pa.array([int(pa.compute.sum(t["allowed"]).as_py() or 0)], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).sum("s")
+    out["robots_sec"] = round(time.monotonic() - t0, 3)
+    out["robots_input_urls"] = rb_n * rb_dup
+    out["robots_distinct"] = n_verdicts
+    out["robots_urls_per_sec"] = round(rb_n * rb_dup / out["robots_sec"], 1)
+    assert n_verdicts == rb_n, (n_verdicts, rb_n)
+    import numpy as np
+
+    tvals = np.arange(rb_n, dtype=np.int64)
+    h = tvals % 50
+    tstr = tvals.astype("U")
+    starts_1 = np.char.startswith(tstr, "1")
+    starts_12 = np.char.startswith(tstr, "12")
+    # longest match wins: /page/12 > /page/1 > /page/
+    allow = np.where(
+        starts_12, h % 2 == 0, np.where(starts_1, h % 3 == 0, h % 3 != 0)
+    )
+    expected_allowed = int(allow.sum())
+    assert n_allowed == expected_allowed, (n_allowed, expected_allowed)
+    out["robots_allowed"] = int(n_allowed)
+
+    # ---- BFS hop-distance soak (r4 late session) ----
+    # Functional graph by id arithmetic (3 affine out-edges per node);
+    # the pipeline takes the DISTRIBUTED round loop (edges > the
+    # measured-size threshold) and the invariant is exact (node, dist)
+    # equality vs a driver numpy BFS over the same arithmetic.
+    from textalyzer_ray.pipelines.graph import hop_distance
+
+    bfs_n = arg("--bfs-nodes", 4_000_000)
+    bfs_rounds = 8
+
+    def synth_edges(tt: pa.Table) -> pa.Table:
+        ids = tt["id"].to_numpy(zero_copy_only=False)
+        srcs = np.concatenate([ids, ids, ids])
+        dsts = np.concatenate(
+            [
+                (ids * 2 + 1) % bfs_n,
+                (ids * 3 + 7) % bfs_n,
+                (ids * 5 + 11) % bfs_n,
+            ]
+        )
+        return pa.table(
+            {
+                "src": pa.array(srcs, pa.int64()),
+                "dst": pa.array(dsts, pa.int64()),
+            }
+        )
+
+    bfs_edges = (
+        rd.range(bfs_n, override_num_blocks=num_cpus * 2)
+        .map_batches(synth_edges, batch_format="pyarrow")
+        .materialize()
+    )
+    bfs_seeds = rd.from_arrow(
+        pa.table({"node": pa.array([0, 1], pa.int64())})
+    )
+    t0 = time.monotonic()
+    got_bfs = hop_distance(
+        bfs_edges, bfs_seeds, n_rounds=bfs_rounds, small_threshold=2_000_000
+    ).take_all()
+    out["bfs_sec"] = round(time.monotonic() - t0, 3)
+    out["bfs_edges"] = bfs_n * 3
+    out["bfs_reached"] = len(got_bfs)
+    out["bfs_edges_per_sec"] = round(bfs_n * 3 / out["bfs_sec"], 1)
+    # driver numpy reference BFS (arithmetic graph, no edge table)
+    dist_ref = {0: 0, 1: 0}
+    frontier = np.array([0, 1], dtype=np.int64)
+    for k in range(1, bfs_rounds + 1):
+        neigh = np.unique(
+            np.concatenate(
+                [
+                    (frontier * 2 + 1) % bfs_n,
+                    (frontier * 3 + 7) % bfs_n,
+                    (frontier * 5 + 11) % bfs_n,
+                ]
+            )
+        )
+        new = np.array(
+            [v for v in neigh.tolist() if v not in dist_ref], dtype=np.int64
+        )
+        for v in new.tolist():
+            dist_ref[v] = k
+        frontier = new
+    assert {r["node"]: r["dist"] for r in got_bfs} == dist_ref, (
+        len(got_bfs),
+        len(dist_ref),
+    )
+
+    # ---- decayed-counts soak (r4 late session) ----
+    # Replicas offset user ids only (ts untouched, so t_ref and every
+    # age bucket are unchanged); invariant: each replica user's
+    # (n_events, score_units) equals the single-copy run exactly.
+    from textalyzer_ray.pipelines.analytics import decayed_counts
+
+    dc_repl = sw_repl
+    ev_dc = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def replicate_users_only(tt: pa.Table) -> pa.Table:
+        parts = []
+        for r in range(dc_repl):
+            parts.append(
+                tt.set_column(
+                    tt.schema.get_field_index("user_id"),
+                    "user_id",
+                    pa.compute.add(tt["user_id"], r * 10_000_000),
+                )
+            )
+        return pa.concat_tables(parts)
+
+    big_dc = (
+        ev_dc.map_batches(replicate_users_only, batch_format="pyarrow")
+        .repartition(num_cpus)
+        .materialize()
+    )
+    t0 = time.monotonic()
+    dc = decayed_counts(big_dc).take_all()
+    out["decay_sec"] = round(time.monotonic() - t0, 3)
+    out["decay_events"] = n_events * dc_repl
+    out["decay_events_per_sec"] = round(
+        n_events * dc_repl / out["decay_sec"], 1
+    )
+    single_dc = {
+        r["user_id"]: (r["n_events"], r["score_units"])
+        for r in decayed_counts(ev_dc).take_all()
+    }
+    got_dc = {
+        r["user_id"]: (r["n_events"], r["score_units"]) for r in dc
+    }
+    assert len(got_dc) == len(single_dc) * dc_repl
+    for uid, v in got_dc.items():
+        assert v == single_dc[uid % 10_000_000], (uid, v)
+
     stop.set()
     t.join(timeout=2)
     if samples and total_store:
@@ -879,7 +1059,10 @@ def main() -> dict:
         + out["bpe_sec"]
         + out["lsh_sec"]
         + out["sw_sec"]
-        + out["sj_sec"],
+        + out["sj_sec"]
+        + out["robots_sec"]
+        + out["bfs_sec"]
+        + out["decay_sec"],
         3,
     )
     return out
