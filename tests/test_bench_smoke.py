@@ -61,5 +61,8 @@ def test_bench_emits_single_json_line():
         "strat_split",
         "weighted_sample",
         "snm",
+        "robots",
+        "trending",
+        "decayed",
     }
     assert data["n_docs"] == 500
