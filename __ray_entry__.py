@@ -174,6 +174,81 @@ def _q_decayed_counts(sf_dir: str):
     )
 
 
+def _q_score_deciles(sf_dir: str):
+    """Exact global NTILE(10) over doc length — the "cut the bottom
+    decile" curation primitive, distributed as one global sort + the
+    repo's block-head prefix scan (zorder/token_shards pattern). rank
+    and tile are pure integers; the tile formula is the SQL-standard
+    NTILE bucket rule, pinned against DuckDB in tests."""
+    from textalyzer_ray.pipelines.rank import score_deciles
+
+    return score_deciles(
+        _docs(sf_dir, columns=["doc_id", "n_chars"]), "n_chars", n_tiles=10
+    )
+
+
+def _q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009; k=60) of two
+    depth-200 global rankings — longest-docs and most-tokens — the
+    multi-signal retrieval/curation merge. Each rank list is a
+    distributed sort + prefix scan; the fused set is <= 2 x depth rows
+    BY DEFINITION (RRF is specified over truncated lists), so the
+    driver-side fuse is bounded at any corpus size. rrf = one IEEE
+    division per term + one commutative addition -> bit-identical to
+    the SQL sum of the same two doubles (2-list case only; >2 lists
+    would need a measured margin)."""
+    from textalyzer_ray.pipelines.analytics import token_counts
+    from textalyzer_ray.pipelines.rank import global_rank, rrf_fusion
+
+    ra = global_rank(
+        _docs(sf_dir, columns=["doc_id", "n_chars"]), ["n_chars"], [True]
+    )
+    rb = global_rank(
+        token_counts(_docs(sf_dir, columns=["doc_id", "text"])),
+        ["n_tokens"],
+        [True],
+    )
+    return rrf_fusion([ra, rb], depth=200, k=60, topn=100)
+
+
+def _q_source_outliers(sf_dir: str):
+    """Robust per-source length anomalies (Hampel rule |x - med| >
+    3 * MAD) with DISCRETE lower medians (sorted[(n-1)//2] == DuckDB
+    quantile_disc == polars quantile 'lower', pinned in tests) — all
+    columns integer-exact. One key-aligned exchange on source +
+    vectorized per-block window pass."""
+    from textalyzer_ray.pipelines.analytics import source_outliers
+
+    return source_outliers(
+        _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+    )
+
+
+def _q_crawl_schedule(sf_dir: str):
+    """Politeness scheduler over the allowed frontier (Mercator-shape
+    per-host FIFO): robots verdicts (longest-prefix match) -> per-host
+    URL rank -> fetch_wave = rank * crawl_delay, crawl_delay = 1 +
+    site_index % 3 (deterministic per-host metadata). Two key-aligned
+    exchanges (url distinct, host ranking); ranks/waves are pure
+    integers and the whole chain re-derives in SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from textalyzer_ray.pipelines.links import extract_outlinks
+    from textalyzer_ray.pipelines.robots import (
+        crawl_schedule,
+        robots_rules_for_sites,
+    )
+
+    cand = extract_outlinks(_pages(sf_dir)).map_batches(
+        lambda t: pa.table(
+            {"url": t.filter(pc.not_equal(t["out_host"], "docs.example"))["out_url"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return crawl_schedule(cand, robots_rules_for_sites(50))
+
+
 def _q_lang_rollup(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -3375,6 +3450,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # family) displaced the r3-green image_dhash_groups (multimodal
     # family holds THREE r03 driver rows — image/audio/video — and all
     # three stay locally gated below the cap).
+    #
+    # Third r4 rotation (this session): four NEW families entered the
+    # window — crawl_schedule (politeness scheduling), score_deciles
+    # (distributed global rank / exact NTILE), rrf_fusion (rank
+    # fusion), source_outliers (robust MAD stats). Displaced, all
+    # r03-driver-green with their family still covered in-window:
+    # warc_extract (extraction by extract_text), kmeans_clusters
+    # (clustering by lpa_communities + pq_codes), cosine_pairs (exact
+    # similarity by vector_index_topk + setjoin_pairs), anchor_rollup
+    # (links by hits_doc_host + host_cocitation), decontaminate
+    # (curation by dup_span_removal + funnel_stages + resumable_funnel).
+    # bloom_url_seen sits first past the cap (r03 row stands).
     return {
         # SQL-oracled — one per family, strongest evidence first
         "word_histogram": _q_word_histogram,
@@ -3401,6 +3488,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": _q_funnel_stages,
         "host_cocitation": _q_host_cocitation,
         "robots_filter": _q_robots_filter,
+        "crawl_schedule": _q_crawl_schedule,
+        "score_deciles": _q_score_deciles,
+        "rrf_fusion": _q_rrf_fusion,
+        "source_outliers": _q_source_outliers,
         "session_transitions": _q_session_transitions,
         "lm_surprisal": _q_lm_surprisal,
         "hll_service_distinct": _q_hll_service_distinct,
@@ -3408,14 +3499,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_split": _q_stratified_split,
         "pivot_counts": _q_pivot_counts,
         "extract_text": _q_extract_text,
-        "warc_extract": _q_warc_extract,
         "skyline_docs": _q_skyline_docs,
         "nfc_clean": _q_nfc_clean,
         "knn_hop_distance": _q_knn_hop_distance,
         "lpa_communities": _q_lpa_communities,
         "resumable_funnel": _q_resumable_funnel,
         "grouping_sets": _q_grouping_sets,
-        "kmeans_clusters": _q_kmeans_clusters,
         "stream_range_join": _q_stream_range_join,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "textrank_keywords": _q_textrank_keywords,
@@ -3424,7 +3513,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": _q_pq_codes,
         "events_gapfill": _q_events_gapfill,
         "chunk_windows": _q_chunk_windows,
-        "decontaminate": _q_decontaminate,
         "decayed_counts": _q_decayed_counts,
         "bloom_url_seen": _q_bloom_url_seen,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
@@ -3433,8 +3521,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "hash_split": _q_hash_split,
         "line_dedup_rebuild": _q_line_dedup_rebuild,
-        "cosine_pairs": _q_cosine_pairs,
-        "anchor_rollup": _q_anchor_rollup,
         "rep_signals": _q_rep_signals,
         # SQL-oracled, redundant coverage (same families as entries
         # above) — first to fall past a driver cap. r4 rotation parked
@@ -3475,6 +3561,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ranking, a new variant family) took the slot of the r3-green
         # exact_dedup_distributed (exact-dedup keeps dedup_keep_best,
         # single_line_dups and the whole near-dup tier in-window).
+        "decontaminate": _q_decontaminate,
+        "warc_extract": _q_warc_extract,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "cosine_pairs": _q_cosine_pairs,
+        "anchor_rollup": _q_anchor_rollup,
         "zorder_layout": _q_zorder_layout,
         "readability": _q_readability,
         "scrub_pii": _q_scrub_pii,
@@ -5375,5 +5466,82 @@ def oracle_sql() -> dict[str, str]:
         "AS BIGINT) AS n_purchase "
         "FROM events WHERE event_type IN ('view', 'click', 'purchase') "
         "GROUP BY user_id ORDER BY user_id"
+    )
+    # Global-rank family (pipelines/rank.py): rank/tile are pure
+    # integers under the (value DESC, doc_id ASC) total order; the tile
+    # formula is the SQL-standard NTILE bucket rule.
+    d["score_deciles"] = (
+        "SELECT doc_id, n_chars, "
+        "CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 "
+        "AS BIGINT) AS rank, "
+        "CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) "
+        "AS tile FROM documents ORDER BY doc_id"
+    )
+    # RRF: each term is one exactly-rounded IEEE division; per doc at
+    # most TWO terms, and a 2-element float sum is order-independent
+    # (addition is commutative), so the DOUBLE hash-matches raw.
+    d["rrf_fusion"] = (
+        f"WITH tok AS ({tokens_cte}), "
+        "tc AS (SELECT d.doc_id, coalesce(t.n, 0) AS n_tokens "
+        "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n "
+        "FROM tok GROUP BY doc_id) t USING (doc_id)), "
+        "ra AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY n_chars DESC, doc_id) - 1 AS r FROM documents), "
+        "rb AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY n_tokens DESC, doc_id) - 1 AS r FROM tc), "
+        "u AS (SELECT doc_id, r FROM ra WHERE r < 200 "
+        "UNION ALL SELECT doc_id, r FROM rb WHERE r < 200) "
+        "SELECT doc_id, sum(1.0 / (60 + r + 1)) AS rrf, "
+        "CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY doc_id "
+        "ORDER BY rrf DESC, doc_id LIMIT 100"
+    )
+    # Robust per-source MAD outliers: DISCRETE lower medians
+    # (quantile_disc == sorted[(n-1)//2] == polars 'lower'), so every
+    # column is integer-exact — no quantile interpolation floats.
+    d["source_outliers"] = (
+        "WITH m AS (SELECT source, quantile_disc(n_chars, 0.5) AS med "
+        "FROM documents GROUP BY source), "
+        "a AS (SELECT d.doc_id, d.source, d.n_chars, m.med, "
+        "abs(d.n_chars - m.med) AS dev FROM documents d "
+        "JOIN m USING (source)), "
+        "md AS (SELECT source, quantile_disc(dev, 0.5) AS mad "
+        "FROM a GROUP BY source) "
+        "SELECT a.doc_id, a.source, a.n_chars, "
+        "CAST(a.med AS BIGINT) AS med, CAST(md.mad AS BIGINT) AS mad, "
+        "CAST(CASE WHEN a.dev > 3 * md.mad THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_outlier FROM a JOIN md USING (source) ORDER BY a.doc_id"
+    )
+    # Politeness scheduler: the robots verdict chain (same CTEs as
+    # robots_filter) restricted to allowed URLs, then a per-host
+    # row_number FIFO and wave = rank * (1 + site_index % 3).
+    d["crawl_schedule"] = (
+        f"WITH {_LINKS_CTE}, "
+        "cand AS (SELECT DISTINCT out_url AS url, out_host AS host "
+        "FROM links WHERE out_host <> 'docs.example'), "
+        "rules AS (SELECT 'site' || CAST(h AS VARCHAR) || '.example' "
+        "AS host, p.prefix, "
+        "CASE WHEN p.k = 0 THEN 1 "
+        "WHEN p.k = 1 THEN CASE WHEN h % 3 <> 0 THEN 1 ELSE 0 END "
+        "WHEN p.k = 2 THEN CASE WHEN h % 3 = 0 THEN 1 ELSE 0 END "
+        "ELSE CASE WHEN h % 2 = 0 THEN 1 ELSE 0 END END AS allow "
+        "FROM range(50) t(h) CROSS JOIN (VALUES (0, '/'), "
+        "(1, '/page/'), (2, '/page/1'), (3, '/page/12')) "
+        "p(k, prefix)), "
+        "m AS (SELECT c.url, c.host, r.allow, "
+        "row_number() OVER (PARTITION BY c.url ORDER BY "
+        "length(r.prefix) DESC, r.allow DESC, r.prefix) AS rn "
+        "FROM cand c JOIN rules r ON r.host = c.host "
+        "WHERE starts_with(regexp_extract(c.url, "
+        "'^https?://[^/]+(/.*)$', 1), r.prefix)), "
+        "a AS (SELECT url, host, CAST(regexp_extract(host, "
+        "'^site(\\d+)\\.', 1) AS BIGINT) AS h FROM m "
+        "WHERE rn = 1 AND allow = 1) "
+        "SELECT url, host, "
+        "CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1 "
+        "AS BIGINT) AS host_rank, "
+        "CAST(1 + h % 3 AS BIGINT) AS crawl_delay, "
+        "CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1) "
+        "* (1 + h % 3) AS BIGINT) AS fetch_wave "
+        "FROM a ORDER BY url"
     )
     return d

@@ -351,6 +351,25 @@ def run_bench() -> dict:
         lambda: contract._q_decayed_counts(sf_dir).count(),
     )
 
+    # this-session additions: distributed global rank / exact NTILE
+    # (one sort + block-head prefix scan), RRF rank fusion (two rank
+    # lists, depth-bounded fuse), robust per-source MAD outliers (one
+    # key-aligned exchange + window pass), and the politeness
+    # scheduler (robots verdicts -> per-host FIFO waves).
+    timed(
+        "deciles",
+        lambda: contract._q_score_deciles(sf_dir).count(),
+    )
+    timed("rrf", lambda: contract._q_rrf_fusion(sf_dir).count())
+    timed(
+        "outliers",
+        lambda: contract._q_source_outliers(sf_dir).count(),
+    )
+    timed(
+        "crawl_schedule",
+        lambda: contract._q_crawl_schedule(sf_dir).count(),
+    )
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     # In-run hardware control: this shared VM intermittently loses 2-20x

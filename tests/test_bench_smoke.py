@@ -64,5 +64,9 @@ def test_bench_emits_single_json_line():
         "robots",
         "trending",
         "decayed",
+        "deciles",
+        "rrf",
+        "outliers",
+        "crawl_schedule",
     }
     assert data["n_docs"] == 500

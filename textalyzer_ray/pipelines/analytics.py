@@ -1326,3 +1326,80 @@ def decayed_counts(
         )
 
     return counted.map_batches(finalize, batch_format="pyarrow").sort(key_col)
+
+
+def source_outliers(
+    ds_docs: Dataset,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    c: int = 3,
+) -> Dataset:
+    """Robust per-group outlier flags via median absolute deviation
+    (MAD, Hampel's rule |x - med| > c * MAD) — the per-source length
+    anomaly scan a crawl-ingest monitor runs to catch truncated or
+    boilerplate-exploded feeds. Both statistics use the DISCRETE lower
+    median (sorted[(n-1)//2], == DuckDB quantile_disc(0.5) and polars
+    quantile(0.5, 'lower'), pinned in tests), so every output column is
+    integer-exact across engines — no float quantile interpolation.
+
+    Scale shape: ONE key-aligned hash exchange on ``group_col``
+    (stages.groups.grouped_apply — every group wholly in one block),
+    then a vectorized polars window pass per block (two lower-median
+    windows + per-row arithmetic). Output: (id_col, group_col,
+    value_col, med, mad, is_outlier), BIGINT stats, sorted by id_col.
+
+    Groups must individually fit a block (true for per-source/per-host
+    metadata groups; a corpus-sized single group needs the sketch-based
+    variant instead — not this operator's contract)."""
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field(group_col, pa.string()),
+            pa.field(value_col, pa.int64()),
+            pa.field("med", pa.int64()),
+            pa.field("mad", pa.int64()),
+            pa.field("is_outlier", pa.int64()),
+        ]
+    )
+
+    def flag_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = (
+            pl.from_arrow(t)
+            .with_columns(
+                pl.col(value_col)
+                .quantile(0.5, interpolation="lower")
+                .over(group_col)
+                .cast(pl.Int64)
+                .alias("med")
+            )
+            .with_columns(
+                (pl.col(value_col) - pl.col("med")).abs().alias("_dev")
+            )
+            .with_columns(
+                pl.col("_dev")
+                .quantile(0.5, interpolation="lower")
+                .over(group_col)
+                .cast(pl.Int64)
+                .alias("mad")
+            )
+            .with_columns(
+                (pl.col("_dev") > c * pl.col("mad"))
+                .cast(pl.Int64)
+                .alias("is_outlier")
+            )
+            .select([id_col, group_col, value_col, "med", "mad", "is_outlier"])
+        )
+        return df.to_arrow().cast(out_schema)
+
+    return grouped_apply(
+        ds_docs.select_columns([id_col, group_col, value_col]),
+        [group_col],
+        flag_block,
+    ).sort(id_col)
