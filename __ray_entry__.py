@@ -249,6 +249,66 @@ def _q_crawl_schedule(sf_dir: str):
     return crawl_schedule(cand, robots_rules_for_sites(50))
 
 
+def _q_url_templates(sf_dir: str):
+    """URL path-template mining (crawl structure census): digit runs
+    in the path collapse to {n}; links + distinct URLs counted per
+    (host, template). [0-9]+ on BOTH engines (polars \\d is Unicode,
+    RE2 \\d is ASCII — CLAUDE.md tokenizer-class trap). One vectorized
+    pass + one key-aligned exchange; distinct counts are exact because
+    each (host, template) group sits wholly in one block."""
+    import pyarrow as pa
+
+    from textalyzer_ray.pipelines.links import extract_outlinks, url_templates
+
+    urls = extract_outlinks(_pages(sf_dir)).map_batches(
+        lambda t: pa.table({"url": t["out_url"]}),
+        batch_format="pyarrow",
+    )
+    return url_templates(urls)
+
+
+def _q_redirect_resolution(sf_dir: str):
+    """Redirect-chain resolution by pointer jumping (Wyllie list
+    ranking): synthetic functional redirect map from doc_id arithmetic
+    (url t -> t-1 unless t % 8 == 0, so chains of length <= 7), every
+    node resolved to (root, hops) in 4 doubling rounds (covers chains
+    <= 16). The SQL oracle unrolls the IDENTICAL ptr' = ptr[ptr],
+    hops' = hops + hops[ptr] recurrence as MATERIALIZED CTEs — all
+    integer/string columns, bit-exact. Measured-size switch: one
+    remote numpy task below the edge threshold, else one union-tag
+    hash exchange per round."""
+    import polars as pl
+
+    from textalyzer_ray.pipelines.links import resolve_redirects
+
+    def edges(t):
+        import pyarrow as pa
+
+        df = pl.from_arrow(t.select(["doc_id"])).filter(
+            pl.col("doc_id") % 8 != 0
+        )
+        out = df.select(
+            pl.format(
+                "https://site{}.example/r/{}",
+                pl.col("doc_id") % 50,
+                pl.col("doc_id"),
+            ).alias("src"),
+            pl.format(
+                "https://site{}.example/r/{}",
+                (pl.col("doc_id") - 1) % 50,
+                pl.col("doc_id") - 1,
+            ).alias("dst"),
+        )
+        return out.to_arrow().cast(
+            pa.schema([pa.field("src", pa.string()), pa.field("dst", pa.string())])
+        )
+
+    es = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    return resolve_redirects(es, n_rounds=4)
+
+
 def _q_lang_rollup(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -3483,15 +3543,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "single_line_dups": _q_single_line_dups,
         "count_min_words": _q_count_min_words,
         "vector_index_topk": _q_vector_index_topk,
-        "bm25_topk": _q_bm25_topk,
         "weighted_sample": _q_weighted_sample,
-        "funnel_stages": _q_funnel_stages,
         "host_cocitation": _q_host_cocitation,
         "robots_filter": _q_robots_filter,
         "crawl_schedule": _q_crawl_schedule,
         "score_deciles": _q_score_deciles,
         "rrf_fusion": _q_rrf_fusion,
         "source_outliers": _q_source_outliers,
+        "url_templates": _q_url_templates,
+        "redirect_resolution": _q_redirect_resolution,
         "session_transitions": _q_session_transitions,
         "lm_surprisal": _q_lm_surprisal,
         "hll_service_distinct": _q_hll_service_distinct,
@@ -3561,6 +3621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ranking, a new variant family) took the slot of the r3-green
         # exact_dedup_distributed (exact-dedup keeps dedup_keep_best,
         # single_line_dups and the whole near-dup tier in-window).
+        "bm25_topk": _q_bm25_topk,
+        "funnel_stages": _q_funnel_stages,
         "decontaminate": _q_decontaminate,
         "warc_extract": _q_warc_extract,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -5543,5 +5605,45 @@ def oracle_sql() -> dict[str, str]:
         "CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1) "
         "* (1 + h % 3) AS BIGINT) AS fetch_wave "
         "FROM a ORDER BY url"
+    )
+    # URL template census over the raw outlink stream ([0-9]+ on both
+    # engines; '' path for URLs without one, same fill as the pipeline).
+    d["url_templates"] = (
+        f"WITH {_LINKS_CTE}, "
+        "t AS (SELECT out_host AS host, "
+        "regexp_replace(regexp_extract(out_url, "
+        "'^https?://[^/]+(/.*)$', 1), '[0-9]+', '{n}', 'g') "
+        "AS template, out_url AS url FROM links) "
+        "SELECT host, template, CAST(count(*) AS BIGINT) AS n_links, "
+        "CAST(count(DISTINCT url) AS BIGINT) AS n_urls "
+        "FROM t GROUP BY host, template ORDER BY host, template"
+    )
+    # Pointer-jumping redirect resolution: the SAME doubling recurrence
+    # the pipeline runs, unrolled 4 MATERIALIZED rounds (chains <= 16;
+    # the synthetic map's chains are <= 7 by construction).
+    _redir_url = (
+        "'https://site' || CAST(({t}) % 50 AS VARCHAR) || "
+        "'.example/r/' || CAST({t} AS VARCHAR)"
+    )
+    d["redirect_resolution"] = (
+        "WITH e AS MATERIALIZED (SELECT "
+        + _redir_url.format(t="doc_id")
+        + " AS src, "
+        + _redir_url.format(t="doc_id - 1")
+        + " AS dst FROM documents WHERE doc_id % 8 <> 0), "
+        "n AS MATERIALIZED (SELECT src AS node FROM e "
+        "UNION SELECT dst FROM e), "
+        "r0 AS MATERIALIZED (SELECT n.node, "
+        "coalesce(e.dst, n.node) AS ptr, "
+        "CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS hops "
+        "FROM n LEFT JOIN e ON e.src = n.node), "
+        + " ".join(
+            f"r{k} AS MATERIALIZED (SELECT a.node, b.ptr, "
+            f"a.hops + b.hops AS hops FROM r{k-1} a "
+            f"JOIN r{k-1} b ON b.node = a.ptr),"
+            for k in range(1, 5)
+        ).rstrip(",")
+        + " SELECT node, ptr AS root, CAST(hops AS BIGINT) AS hops "
+        "FROM r4 ORDER BY node"
     )
     return d

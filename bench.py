@@ -369,6 +369,12 @@ def run_bench() -> dict:
         "crawl_schedule",
         lambda: contract._q_crawl_schedule(sf_dir).count(),
     )
+    # URL path-template census over the raw outlink stream (one
+    # vectorized replace pass + one key-aligned exchange).
+    timed(
+        "url_templates",
+        lambda: contract._q_url_templates(sf_dir).count(),
+    )
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)

@@ -68,5 +68,6 @@ def test_bench_emits_single_json_line():
         "rrf",
         "outliers",
         "crawl_schedule",
+        "url_templates",
     }
     assert data["n_docs"] == 500

@@ -1253,3 +1253,295 @@ def host_cocitation(
     return with_b.map_batches(
         add_jaccard, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def url_templates(ds_urls: Dataset, url_col: str = "url") -> Dataset:
+    """Frequent URL path-template mining: collapse ASCII digit runs in
+    the path to ``{n}`` and count links + distinct URLs per (host,
+    template) — the crawl-side structure census that finds calendar
+    traps, pagination families and parameter explosions before they
+    eat the frontier. ``[0-9]+`` (NOT ``\\d``: polars' Rust regex
+    would match Unicode digits, DuckDB's RE2 would not).
+
+    One vectorized per-block pass (host/path extract + replace) into
+    ONE key-aligned exchange on (host, template); the distinct-URL
+    count is per-block exact because grouped_apply holds each group
+    wholly in one block. Output (host, template, n_links, n_urls),
+    sorted."""
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    out_schema = pa.schema(
+        [
+            pa.field("host", pa.string()),
+            pa.field("template", pa.string()),
+            pa.field("n_links", pa.int64()),
+            pa.field("n_urls", pa.int64()),
+        ]
+    )
+    mid_schema = pa.schema(
+        [
+            pa.field("host", pa.string()),
+            pa.field("template", pa.string()),
+            pa.field(url_col, pa.string()),
+        ]
+    )
+
+    def to_template(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mid_schema.empty_table()
+        df = pl.from_arrow(t.select([url_col])).select(
+            pl.col(url_col)
+            .str.extract(r"^https?://([^/]+)", 1)
+            .fill_null("")
+            .alias("host"),
+            pl.col(url_col)
+            .str.extract(r"^https?://[^/]+(/.*)$", 1)
+            .fill_null("")
+            .str.replace_all(r"[0-9]+", "{n}")
+            .alias("template"),
+            pl.col(url_col),
+        )
+        return df.to_arrow().cast(mid_schema)
+
+    def count_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = (
+            pl.from_arrow(t)
+            .group_by(["host", "template"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_links"),
+                pl.col(url_col).n_unique().cast(pl.Int64).alias("n_urls"),
+            )
+            .select(["host", "template", "n_links", "n_urls"])
+        )
+        return df.to_arrow().cast(out_schema)
+
+    mid = ds_urls.map_batches(to_template, batch_format="pyarrow")
+    return grouped_apply(mid, ["host", "template"], count_block).sort(
+        ["host", "template"]
+    )
+
+
+def resolve_redirects(
+    edges: Dataset,
+    n_rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    small_threshold: int = 2_000_000,
+) -> Dataset:
+    """Redirect-chain resolution by POINTER JUMPING: given a functional
+    redirect map (each ``src`` redirects to exactly one ``dst``),
+    resolve every node in the edge set to (node, root, hops) — root =
+    the chain's fixpoint, hops = chain length. ``n_rounds`` doubling
+    rounds resolve any chain of length <= 2**n_rounds (the classic
+    parallel list-ranking recurrence: ptr' = ptr[ptr], hops' = hops +
+    hops[ptr] — Wyllie 1979), so a SQL oracle unrolls the SAME
+    recurrence as MATERIALIZED CTEs and every output is
+    integer/string-exact.
+
+    Scale shape: state is node-sized (node, ptr, hops). Below
+    ``small_threshold`` edges the whole resolution runs in ONE remote
+    numpy task (searchsorted jump tables); larger maps run per round
+    ONE union-tag hash exchange keyed by the probe pointer (each
+    block joins its probe rows against its state rows — the
+    host_pagerank union-tag pattern, no acero, string keys fine).
+    Roots (dst-only nodes) enter as (node, node, 0) fixpoints, so the
+    jump recurrence is uniform — no per-row branching.
+
+    Precondition (asserted): ``src`` values unique — a src with two
+    redirect targets is not a functional map."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from textalyzer_ray.stages.groups import grouped_apply, partitions_for
+
+    node_t = pa.string() if edges.schema() is None else (
+        edges.schema().base_schema.field(src_col).type
+    )
+    out_schema = pa.schema(
+        [
+            pa.field("node", node_t),
+            pa.field("root", node_t),
+            pa.field("hops", pa.int64()),
+        ]
+    )
+    edge_schema = pa.schema(
+        [pa.field("src", node_t), pa.field("dst", node_t)]
+    )
+
+    es = edges.map_batches(
+        lambda t: pa.table(
+            {"src": t[src_col], "dst": t[dst_col]}, schema=edge_schema
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    m = es.count()
+    if m == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    if m <= small_threshold:
+
+        @ray.remote
+        def resolve_task(*blocks: pa.Table) -> pa.Table:
+            t = pa.concat_tables(blocks)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            su = np.unique(src)
+            if len(su) != len(src):
+                raise ValueError("redirect map is not functional (dup src)")
+            nodes = np.unique(np.concatenate([src, dst]))
+            # init: ptr[node] = dst for srcs, node for roots
+            ptr = nodes.copy()
+            hops = np.zeros(len(nodes), dtype=np.int64)
+            si = np.searchsorted(nodes, src)  # unique (src unique)
+            ptr[si] = dst
+            hops[si] = 1
+            for _ in range(n_rounds):
+                j = np.searchsorted(nodes, ptr)
+                hops = hops + hops[j]
+                ptr = ptr[j]
+            return pa.table(
+                {
+                    "node": pa.array(nodes).cast(node_t),
+                    "root": pa.array(ptr).cast(node_t),
+                    "hops": pa.array(hops, pa.int64()),
+                },
+                schema=out_schema,
+            )
+
+        return rd.from_arrow_refs([resolve_task.remote(*es.to_arrow_refs())])
+
+    # ---- distributed pointer jumping ----
+    n_parts = partitions_for(m)
+    state_schema = pa.schema(
+        [
+            pa.field("node", node_t),
+            pa.field("ptr", node_t),
+            pa.field("hops", pa.int64()),
+        ]
+    )
+    # init state: src rows -> (src, dst, 1); dst-only nodes -> (d, d, 0)
+    tag_schema = pa.schema(
+        [pa.field("node", node_t), pa.field("ptr", node_t),
+         pa.field("hops", pa.int64()), pa.field("__side", pa.int8())]
+    )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        srcs = pa.table(
+            {
+                "node": t["src"],
+                "ptr": t["dst"],
+                "hops": pa.array([1] * n, pa.int64()),
+                "__side": pa.array([1] * n, pa.int8()),
+            },
+            schema=tag_schema,
+        )
+        dsts = pa.table(
+            {
+                "node": t["dst"],
+                "ptr": t["dst"],
+                "hops": pa.array([0] * n, pa.int64()),
+                "__side": pa.array([0] * n, pa.int8()),
+            },
+            schema=tag_schema,
+        )
+        return pa.concat_tables([srcs, dsts])
+
+    def init_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return state_schema.empty_table()
+        df = pl.from_arrow(t)
+        srcs = df.filter(pl.col("__side") == 1)
+        if srcs.select(pl.col("node").n_unique()).item() != srcs.height:
+            raise ValueError("redirect map is not functional (dup src)")
+        src_nodes = srcs.select("node")
+        roots = (
+            df.filter(pl.col("__side") == 0)
+            .unique(subset=["node"], maintain_order=False)
+            .join(src_nodes, on="node", how="anti")
+        )
+        return (
+            pl.concat([srcs, roots])
+            .select(["node", "ptr", "hops"])
+            .to_arrow()
+            .cast(state_schema)
+        )
+
+    state = grouped_apply(
+        es.map_batches(tag_edges, batch_format="pyarrow"),
+        ["node"],
+        init_block,
+        num_partitions=n_parts,
+    ).materialize()
+
+    probe_schema = pa.schema(
+        [pa.field("key", node_t), pa.field("node", node_t),
+         pa.field("ptr", node_t), pa.field("hops", pa.int64()),
+         pa.field("__side", pa.int8())]
+    )
+
+    def tag_state(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        probe = pa.table(
+            {
+                "key": t["ptr"],
+                "node": t["node"],
+                "ptr": t["ptr"],
+                "hops": t["hops"],
+                "__side": pa.array([1] * n, pa.int8()),
+            },
+            schema=probe_schema,
+        )
+        table = pa.table(
+            {
+                "key": t["node"],
+                "node": t["node"],
+                "ptr": t["ptr"],
+                "hops": t["hops"],
+                "__side": pa.array([0] * n, pa.int8()),
+            },
+            schema=probe_schema,
+        )
+        return pa.concat_tables([probe, table])
+
+    def jump_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return state_schema.empty_table()
+        df = pl.from_arrow(t)
+        probes = df.filter(pl.col("__side") == 1).select(
+            "key", "node", "hops"
+        )
+        tables = df.filter(pl.col("__side") == 0).select(
+            "key",
+            pl.col("ptr").alias("_tptr"),
+            pl.col("hops").alias("_thops"),
+        )
+        out = (
+            probes.join(tables, on="key", how="inner")
+            .select(
+                "node",
+                pl.col("_tptr").alias("ptr"),
+                (pl.col("hops") + pl.col("_thops")).alias("hops"),
+            )
+        )
+        return out.to_arrow().cast(state_schema)
+
+    for _ in range(n_rounds):
+        state = grouped_apply(
+            state.map_batches(tag_state, batch_format="pyarrow"),
+            ["key"],
+            jump_block,
+            num_partitions=n_parts,
+        ).materialize()
+
+    return state.map_batches(
+        lambda t: pa.table(
+            {"node": t["node"], "root": t["ptr"], "hops": t["hops"]},
+            schema=out_schema,
+        ),
+        batch_format="pyarrow",
+    ).sort("node")
