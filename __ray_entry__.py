@@ -159,6 +159,22 @@ def _q_trending_terms(sf_dir: str):
     return trending_terms(_pages(sf_dir), window_s=60, k=3)
 
 
+def _q_burst_intervals(sf_dir: str):
+    """Sustained term bursts (Kleinberg-2002-shaped, integer-exact):
+    maximal runs of >= 2 consecutive crawl-minute windows where a
+    word's count strictly exceeds 5/4 its corpus-average per-window
+    rate (cross-multiplied — count * W * 4 > 5 * total, no division;
+    5/4 measured: 2 runs at sf0.01 / 9 at sf0.1 surviving from 22 / 56
+    single-window islands, so the min_windows filter is exercised).
+    The gaps-and-islands grouping is the BPE-oracle idiom; one
+    key-aligned exchange on word after the trending-style histogram."""
+    from textalyzer_ray.pipelines.frequency import burst_intervals
+
+    return burst_intervals(
+        _pages(sf_dir), window_s=60, min_windows=2, lift_num=5, lift_den=4
+    )
+
+
 def _q_decayed_counts(sf_dir: str):
     """Frecency: exponentially time-decayed per-user activity score
     with age quantized to whole halflives (1 day, horizon 25) — every
@@ -307,6 +323,29 @@ def _q_redirect_resolution(sf_dir: str):
         edges, batch_format="pyarrow"
     )
     return resolve_redirects(es, n_rounds=4)
+
+
+def _q_rendezvous_shards(sf_dir: str):
+    """Rendezvous / HRW placement (Thaler-Ravishankar 1996): owner =
+    argmax over 16 nodes of hll_hash64(f"{doc_id}:{node}") — the
+    minimal-movement shard routing rule. Zero-shuffle vectorized hash
+    pass; the oracle re-derives every hash with the verified fmix
+    chain and picks the same (hi DESC, lo DESC, node ASC) winner."""
+    from textalyzer_ray.pipelines.layout import rendezvous_shards
+
+    return rendezvous_shards(_docs(sf_dir, columns=["doc_id"]), n_nodes=16)
+
+
+def _q_quota_select(sf_dir: str):
+    """Per-source cumulative byte-budget selection (greedy largest
+    first, running total <= 20000): the mixture-balancing cut. All
+    BIGINT running sums — the SQL window oracle is exact."""
+    from textalyzer_ray.pipelines.curation import quota_select
+
+    return quota_select(
+        _docs(sf_dir, columns=["doc_id", "source", "n_chars"]),
+        budget=20_000,
+    )
 
 
 def _q_lang_rollup(sf_dir: str):
@@ -3522,13 +3561,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (links by hits_doc_host + host_cocitation), decontaminate
     # (curation by dup_span_removal + funnel_stages + resumable_funnel).
     # bloom_url_seen sits first past the cap (r03 row stands).
+    #
+    # Fourth r4 rotation (same session): five MORE new families entered
+    # — url_templates (crawl structure census), redirect_resolution
+    # (pointer jumping), rendezvous_shards (HRW placement),
+    # quota_select (budgeted selection), burst_intervals (windowed
+    # burst runs). Parked in exchange (all r03-driver-green, family
+    # still represented or r03 row standing): bm25_topk (retrieval by
+    # inverted_index), funnel_stages (by resumable_funnel +
+    # cohort_retention), lsh_index_dedup (near-dup by minhash_pairs +
+    # setjoin_pairs + sorted_neighborhood; service tier by
+    # vector_index_topk + hll_service_distinct), stream_range_join
+    # (r03 row stands; trending_terms + events window family below the
+    # cap), dup_span_removal (r03 row stands; duplication by
+    # cdc_chunks + single_line_dups).
     return {
         # SQL-oracled — one per family, strongest evidence first
         "word_histogram": _q_word_histogram,
         "line_length_histogram": _q_line_length_histogram,
         "pmi_collocations": _q_pmi_collocations,
         "minhash_pairs": _q_minhash_pairs,
-        "lsh_index_dedup": _q_lsh_index_dedup,
         "setjoin_pairs": _q_setjoin_pairs,
         "editsim_pairs": _q_editsim_pairs,
         "cdc_chunks": _q_cdc_chunks,
@@ -3552,10 +3604,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_outliers": _q_source_outliers,
         "url_templates": _q_url_templates,
         "redirect_resolution": _q_redirect_resolution,
+        "rendezvous_shards": _q_rendezvous_shards,
+        "quota_select": _q_quota_select,
+        "burst_intervals": _q_burst_intervals,
         "session_transitions": _q_session_transitions,
         "lm_surprisal": _q_lm_surprisal,
         "hll_service_distinct": _q_hll_service_distinct,
-        "dup_span_removal": _q_dup_span_removal,
         "stratified_split": _q_stratified_split,
         "pivot_counts": _q_pivot_counts,
         "extract_text": _q_extract_text,
@@ -3565,7 +3619,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_communities": _q_lpa_communities,
         "resumable_funnel": _q_resumable_funnel,
         "grouping_sets": _q_grouping_sets,
-        "stream_range_join": _q_stream_range_join,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "textrank_keywords": _q_textrank_keywords,
         "bpe_train": _q_bpe_train,
@@ -3621,6 +3674,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ranking, a new variant family) took the slot of the r3-green
         # exact_dedup_distributed (exact-dedup keeps dedup_keep_best,
         # single_line_dups and the whole near-dup tier in-window).
+        "lsh_index_dedup": _q_lsh_index_dedup,
+        "stream_range_join": _q_stream_range_join,
+        "dup_span_removal": _q_dup_span_removal,
         "bm25_topk": _q_bm25_topk,
         "funnel_stages": _q_funnel_stages,
         "decontaminate": _q_decontaminate,
@@ -5645,5 +5701,57 @@ def oracle_sql() -> dict[str, str]:
         ).rstrip(",")
         + " SELECT node, ptr AS root, CAST(hops AS BIGINT) AS hops "
         "FROM r4 ORDER BY node"
+    )
+    # Rendezvous/HRW placement: per-(doc, node) hll_hash64 via the
+    # verified fmix chain, winner = (hi DESC, lo DESC, node ASC).
+    _hrw_chain = _hll_hash64_oracle_ctes("hrw", "k", "pid")
+    d["rendezvous_shards"] = (
+        "WITH RECURSIVE hrw AS (SELECT doc_id, n, "
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(n AS VARCHAR) AS k, "
+        "doc_id * 64 + n AS pid FROM documents CROSS JOIN range(16) t(n)), "
+        f"{_hrw_chain}, "
+        "w AS (SELECT s.doc_id, s.n, b.hi, b.lo, "
+        "row_number() OVER (PARTITION BY s.doc_id "
+        "ORDER BY b.hi DESC, b.lo DESC, s.n) AS rn "
+        "FROM hrw s JOIN bx3 b ON b.pid = s.pid) "
+        "SELECT doc_id, CAST(n AS BIGINT) AS owner, hi AS hash_hi, "
+        "lo AS hash_lo FROM w WHERE rn = 1 ORDER BY doc_id"
+    )
+    # Per-source greedy byte-budget selection: inclusive running total
+    # window, all BIGINT.
+    d["quota_select"] = (
+        "WITH c AS (SELECT doc_id, source, n_chars, "
+        "CAST(sum(n_chars) OVER (PARTITION BY source "
+        "ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) "
+        "AS BIGINT) AS cum FROM documents) "
+        "SELECT doc_id, source, n_chars, cum FROM c "
+        "WHERE cum <= 20000 ORDER BY doc_id"
+    )
+    # Burst intervals: integer rate test by cross-multiplication,
+    # islands via ws//60 - row_number (the gaps-and-islands idiom).
+    d["burst_intervals"] = (
+        f"WITH tok AS ({tokens_cte}), "
+        "w AS (SELECT ((1600000000 + d.doc_id) // 60) * 60 AS ws, "
+        "t.word FROM tok t JOIN documents d USING (doc_id)), "
+        "h AS MATERIALIZED (SELECT ws, word, "
+        "CAST(count(*) AS BIGINT) AS count FROM w GROUP BY 1, 2), "
+        "wt AS (SELECT CAST(count(DISTINCT ws) AS BIGINT) AS nw FROM h), "
+        "tot AS (SELECT word, CAST(sum(count) AS BIGINT) AS total "
+        "FROM h GROUP BY word), "
+        "q AS (SELECT h.ws, h.word, h.count FROM h "
+        "JOIN tot USING (word), wt "
+        "WHERE h.count * wt.nw * 4 > 5 * tot.total), "
+        "i AS (SELECT ws, word, count, ws // 60 - "
+        "row_number() OVER (PARTITION BY word ORDER BY ws) AS island "
+        "FROM q), "
+        "g AS (SELECT word, island, min(ws) AS burst_start, "
+        "max(ws) AS burst_end, CAST(count(*) AS BIGINT) AS n_windows, "
+        "CAST(sum(count) AS BIGINT) AS burst_count, "
+        "CAST(max(count) AS BIGINT) AS peak_count "
+        "FROM i GROUP BY 1, 2) "
+        "SELECT word, CAST(burst_start AS BIGINT) AS burst_start, "
+        "CAST(burst_end AS BIGINT) AS burst_end, n_windows, "
+        "burst_count, peak_count FROM g WHERE n_windows >= 2 "
+        "ORDER BY word, burst_start"
     )
     return d

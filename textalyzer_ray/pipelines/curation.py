@@ -2137,3 +2137,62 @@ def blocklist_audit(
     return ds.select_columns([id_col, text_col]).map_batches(
         audit, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def quota_select(
+    ds_docs: Dataset,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    budget: int = 20_000,
+) -> Dataset:
+    """Per-group cumulative quota selection: within each group order
+    rows by (value DESC, id ASC) and keep rows while the RUNNING total
+    (inclusive of the current row) stays <= ``budget`` — the per-host
+    byte-budget cut a balanced training mixture applies so one giant
+    source cannot dominate. All-integer (running sums of BIGINTs), so
+    the SQL window-function oracle is exact.
+
+    ONE key-aligned exchange on ``group_col`` (each group wholly in a
+    block), then a vectorized polars sort + cum_sum per block. Output
+    (id_col, group_col, value_col, cum) for KEPT rows, sorted by
+    id_col."""
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field(group_col, pa.string()),
+            pa.field(value_col, pa.int64()),
+            pa.field("cum", pa.int64()),
+        ]
+    )
+
+    def select_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = (
+            pl.from_arrow(t)
+            .sort(
+                [group_col, value_col, id_col],
+                descending=[False, True, False],
+            )
+            .with_columns(
+                pl.col(value_col)
+                .cum_sum()
+                .over(group_col)
+                .cast(pl.Int64)
+                .alias("cum")
+            )
+            .filter(pl.col("cum") <= budget)
+            .select([id_col, group_col, value_col, "cum"])
+        )
+        return df.to_arrow().cast(out_schema)
+
+    return grouped_apply(
+        ds_docs.select_columns([id_col, group_col, value_col]),
+        [group_col],
+        select_block,
+    ).sort(id_col)

@@ -30,11 +30,13 @@ with byte-Levenshtein distance <= ``max_dist``, exact by construction:
 Scale shape: strings die into (gram-set blob, len) features in one
 pass; the gram-id space for the default q=2 is bounded by 2^16, so the
 df table is ALWAYS a broadcast-sized small side (ray.put once,
-per-worker cache) no matter the corpus size; prefix rows are 20-byte
-(h, id, len) triples through one key-aligned exchange; candidates
-collapse in a second exchange sized to the measured candidate count;
-verification attaches the (<= 64-byte) strings via two join-free
-union-tag lookups. Kernel limit: strings must be <= 64 bytes (one
+per-worker cache) no matter the corpus size; prefix rows — (h, id,
+len) plus the <= 64-byte string itself — take ONE key-aligned
+exchange on h, and each gram block self-joins, length-filters and
+Myers-VERIFIES its own candidates in chunks (a hot gram bucket never
+materializes its candidate square); only TRUE pairs reach the final
+(id_a, id_b) dedup exchange, sized to the measured verified count.
+Kernel limit: strings must be <= 64 bytes (one
 machine word in the bit-parallel verifier) — asserted at featurize;
 the multi-word Myers extension is the documented growth path.
 
@@ -116,6 +118,7 @@ def _prefix_rows_table(
             pa.field("h", pa.uint64()),
             pa.field(id_col, id_type),
             pa.field("slen", pa.int64()),
+            pa.field("s", pa.string()),
         ]
     )
     if t.num_rows == 0:
@@ -123,6 +126,7 @@ def _prefix_rows_table(
     ids = t[id_col].to_numpy(zero_copy_only=False)
     slens = t["slen"].to_numpy(zero_copy_only=False)
     sizes = t["ng"].to_numpy(zero_copy_only=False)
+    svals = t["s"].combine_chunks() if t["s"].num_chunks > 1 else t["s"]
     blobs = t["grams"].to_pylist()
     flat = (
         np.frombuffer(b"".join(blobs), dtype=np.uint64)
@@ -145,18 +149,21 @@ def _prefix_rows_table(
                     "h": pa.array(flat[sel]),
                     id_col: pa.array(ids[doc_ix[sel]]).cast(id_type),
                     "slen": pa.array(slens[doc_ix[sel]].astype(np.int64)),
+                    "s": svals.take(pa.array(doc_ix[sel])),
                 },
                 schema=schema,
             )
         )
     short = sizes <= plen - 1
     if short.any():
+        short_ix = np.flatnonzero(short)
         parts.append(
             pa.table(
                 {
                     "h": pa.array(np.full(int(short.sum()), _SENTINEL)),
                     id_col: pa.array(ids[short]).cast(id_type),
                     "slen": pa.array(slens[short].astype(np.int64)),
+                    "s": svals.take(pa.array(short_ix)),
                 },
                 schema=schema,
             )
@@ -184,6 +191,42 @@ def _pairs_in_block(
         .unique()
     )
     return out.to_arrow().cast(cand_schema)
+
+
+def _pairs_verified_in_block(
+    t: pa.Table,
+    max_dist: int,
+    id_col: str,
+    pair_schema: pa.Schema,
+    left_chunk: int = 2048,
+):
+    """Candidates AND verification of one key-aligned prefix block:
+    self-join on h (strings ride the prefix rows — <= 64 bytes each by
+    the kernel contract, so the payload is bounded), length filter,
+    in-block pair dedup, then the vectorized Myers verify — only TRUE
+    pairs leave the block (the r4 editsim fix: verifying 10^7
+    candidates AFTER a dedup exchange + two string-attach lookups was
+    the 394 s entry; in-block verify emits ~10^5 true pairs instead).
+    Generator: the left side joins in chunks so a hot gram bucket
+    never materializes its full candidate square."""
+    if t.num_rows == 0:
+        yield pair_schema.empty_table()
+        return
+    df = pl.from_arrow(t)
+    left_all = df.rename({id_col: "id_a", "slen": "la", "s": "sa"})
+    right = df.rename({id_col: "id_b", "slen": "lb", "s": "sb"})
+    for lo in range(0, left_all.height, left_chunk):
+        left = left_all.slice(lo, left_chunk)
+        cand = (
+            left.join(right, on="h", how="inner")
+            .filter(pl.col("id_a") < pl.col("id_b"))
+            .filter((pl.col("la") - pl.col("lb")).abs() <= max_dist)
+            .unique(subset=["id_a", "id_b"], maintain_order=False)
+            .select(["id_a", "id_b", "sa", "sb"])
+        )
+        if cand.height == 0:
+            continue
+        yield _verify_table(cand.to_arrow(), max_dist, pair_schema)
 
 
 def _verify_table(
@@ -227,7 +270,6 @@ def edit_similarity_join(
     import ray
     import ray.data as rd
 
-    from textalyzer_ray.pipelines.joins import union_tag_lookup
     from textalyzer_ray.sources.tables import cluster_cpus
     from textalyzer_ray.stages.groups import (
         _worker_object_cache,
@@ -291,7 +333,7 @@ def edit_similarity_join(
     if vocab > df_broadcast_max:
         # the default q=2 bounds vocab at 2^16; larger q can overflow
         # the broadcast side — refuse loudly rather than ship a skewed
-        # union-tag exchange nobody has measured
+        # distributed df exchange nobody has measured
         raise ValueError(
             f"gram vocabulary {vocab} exceeds df_broadcast_max "
             f"({df_broadcast_max}); lower q (default 2 bounds it at 2^16)"
@@ -365,54 +407,46 @@ def edit_similarity_join(
     if n_prefix == 0:
         return rd.from_arrow(pair_schema.empty_table())
 
-    cands = grouped_apply(
+    # verify INSIDE the gram-aligned block (strings ride the 20-byte
+    # prefix rows, <= 64 B each): only TRUE pairs leave the exchange.
+    # The old shape — candidate dedup exchange + two string-attach
+    # lookups + verify — shipped the full candidate square (measured
+    # 394 s at sf0.1 on warc_url pairs); this one emits ~the true-pair
+    # count and the cross-bucket dedup below is data-sized-small.
+    verified = grouped_apply(
         prefix_rows,
         ["h"],
-        lambda t: _pairs_in_block(t, max_dist, id_col, cand_schema),
+        lambda t: _pairs_verified_in_block(t, max_dist, id_col, pair_schema),
         num_partitions=min(
             max(cluster_cpus(), 2), partitions_for(n_prefix, 2_000_000)
         ),
     ).materialize()
-    n_cand = cands.count()
+    n_ver = verified.count()
     logger.info(
-        "edit_similarity_join: %d prefix rows -> %d candidate rows",
+        "edit_similarity_join: %d prefix rows -> %d verified pair rows",
         n_prefix,
-        n_cand,
+        n_ver,
     )
-    if n_cand == 0:
+    if n_ver == 0:
         return rd.from_arrow(pair_schema.empty_table())
 
     def distinct_block(t: pa.Table) -> pa.Table:
+        # a pair verifies once per shared prefix bucket; dist is
+        # deterministic so keep any one row
         if t.num_rows == 0:
-            return cand_schema.empty_table()
+            return pair_schema.empty_table()
         return (
-            pl.from_arrow(t).unique(["id_a", "id_b"]).to_arrow()
-            .cast(cand_schema)
+            pl.from_arrow(t)
+            .unique(["id_a", "id_b"], maintain_order=False)
+            .to_arrow()
+            .cast(pair_schema)
         )
 
-    pairs = grouped_apply(
-        cands,
+    return grouped_apply(
+        verified,
         ["id_a", "id_b"],
         distinct_block,
         num_partitions=min(
-            max(cluster_cpus(), 2), partitions_for(n_cand, 2_000_000)
+            max(cluster_cpus(), 2), partitions_for(n_ver, 2_000_000)
         ),
-    )
-    n_parts = max(2, min(cluster_cpus() // 2, n_cand // 10_000 + 1))
-    j = pairs
-    for side, out_col in (("id_a", "sa"), ("id_b", "sb")):
-        j = union_tag_lookup(
-            j,
-            feats.map_batches(
-                lambda t, s=side: pa.table({s: t[id_col], "strv": t["s"]}),
-                batch_format="pyarrow",
-            ),
-            key_col=side,
-            value_col="strv",
-            out_col=out_col,
-            num_partitions=n_parts,
-        )
-    return j.map_batches(
-        lambda t: _verify_table(t, max_dist, pair_schema),
-        batch_format="pyarrow",
     )

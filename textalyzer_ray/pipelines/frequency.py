@@ -787,3 +787,155 @@ def trending_terms(
     return grouped_apply(
         hist, ["window_start"], topk, num_partitions=4
     ).sort(["window_start", "rank"])
+
+
+def burst_intervals(
+    ds: Dataset,
+    window_s: int = 60,
+    min_windows: int = 2,
+    lift_num: int = 2,
+    lift_den: int = 1,
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> Dataset:
+    """Sustained term bursts over crawl-time windows: maximal runs of
+    CONSECUTIVE windows where a word's count strictly exceeds
+    ``lift_num/lift_den`` times its corpus-average per-window rate —
+    the practical burst detector a crawl monitor runs (the
+    two-threshold shape of Kleinberg 2002's burst automaton, with the
+    rate test made integer-exact by cross-multiplication:
+    count * W * lift_den > lift_num * total, W = number of DISTINCT
+    windows in the corpus). Runs shorter than ``min_windows`` are
+    noise and dropped.
+
+    Shape: the (window, word) histogram reuses trending_terms'
+    partial + key_counts merge; W is a per-block distinct + driver
+    union (windows are time-range/window_s — driver-bounded by
+    construction); then ONE key-aligned exchange on word puts every
+    word's windows in one block, where totals, the rate test and the
+    gaps-and-islands run grouping (island = window_index - rank, the
+    BPE-oracle idiom) are one vectorized polars pass. Output: (word,
+    burst_start, burst_end, n_windows, burst_count, peak_count),
+    sorted (word, burst_start)."""
+    import numpy as np
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import grouped_apply, key_counts
+    from textalyzer_ray.stages.tokenize import _flat_tokens
+
+    win_us = int(window_s) * 1_000_000
+    part_schema = pa.schema(
+        [
+            pa.field("window_start", pa.int64()),
+            pa.field("word", pa.string()),
+            pa.field("count", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        tokens, parents = _flat_tokens(t, text_col)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ws = (ts // win_us) * np.int64(window_s)
+        tbl = pa.table(
+            {
+                "window_start": pa.array(ws, pa.int64()).take(parents),
+                "word": tokens,
+            }
+        )
+        return (
+            pl.from_arrow(tbl)
+            .group_by(["window_start", "word"])
+            .len()
+            .rename({"len": "count"})
+            .with_columns(pl.col("count").cast(pl.Int64))
+            .to_arrow()
+            .cast(part_schema)
+        )
+
+    p = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    hist = key_counts(p, ["window_start", "word"], sum_cols=["count"]).map_batches(
+        lambda t: pa.table(
+            {
+                "window_start": t["window_start"],
+                "word": t["word"],
+                "count": t["sum_count"],
+            },
+            schema=part_schema,
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # W: distinct windows — per-block unique, driver union (bounded by
+    # time-range / window_s, never corpus-sized)
+    wins = hist.map_batches(
+        lambda t: pa.table(
+            {"w": pa.array(sorted(set(t["window_start"].to_pylist())), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    n_windows_total = len({r["w"] for r in wins})
+    if n_windows_total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    pa.field("word", pa.string()),
+                    pa.field("burst_start", pa.int64()),
+                    pa.field("burst_end", pa.int64()),
+                    pa.field("n_windows", pa.int64()),
+                    pa.field("burst_count", pa.int64()),
+                    pa.field("peak_count", pa.int64()),
+                ]
+            ).empty_table()
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("word", pa.string()),
+            pa.field("burst_start", pa.int64()),
+            pa.field("burst_end", pa.int64()),
+            pa.field("n_windows", pa.int64()),
+            pa.field("burst_count", pa.int64()),
+            pa.field("peak_count", pa.int64()),
+        ]
+    )
+
+    def islands(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = (
+            pl.from_arrow(t)
+            .with_columns(
+                pl.col("count").sum().over("word").alias("_total")
+            )
+            .filter(
+                pl.col("count") * (n_windows_total * lift_den)
+                > lift_num * pl.col("_total")
+            )
+            .sort(["word", "window_start"])
+            .with_columns(
+                (
+                    pl.col("window_start") // window_s
+                    - pl.col("word").cum_count().over("word").cast(pl.Int64)
+                ).alias("_island")
+            )
+            .group_by(["word", "_island"])
+            .agg(
+                pl.col("window_start").min().alias("burst_start"),
+                pl.col("window_start").max().alias("burst_end"),
+                pl.len().cast(pl.Int64).alias("n_windows"),
+                pl.col("count").sum().alias("burst_count"),
+                pl.col("count").max().alias("peak_count"),
+            )
+            .filter(pl.col("n_windows") >= min_windows)
+            .select(
+                ["word", "burst_start", "burst_end", "n_windows",
+                 "burst_count", "peak_count"]
+            )
+        )
+        return df.to_arrow().cast(out_schema)
+
+    return grouped_apply(hist, ["word"], islands).sort(
+        ["word", "burst_start"]
+    )

@@ -220,3 +220,63 @@ def zone_maps(
         .sort("shard_id")
         .to_arrow()
     )
+
+
+def rendezvous_shards(
+    ds: Dataset,
+    n_nodes: int = 16,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Rendezvous (highest-random-weight) shard assignment — Thaler &
+    Ravishankar 1996, the placement rule consistent routing layers use
+    because removing one node reassigns ONLY that node's keys (1/n of
+    the data moves, vs ~all for mod-N). owner(key) = argmax over nodes
+    of hll_hash64(f"{key}:{node}"); ties (never observed; 2^-64) break
+    to the lowest node, and the SQL oracle re-derives every hash with
+    the verified fmix chain (__ray_entry__._hll_hash64_oracle_ctes).
+
+    Zero-shuffle: one vectorized hash pass per batch (n_nodes hashes
+    per row, numpy uint64), argmax per row. Output (id_col, owner,
+    hash_hi, hash_lo) — the winning hash split into two BIGINT halves
+    — sorted by id_col."""
+    import numpy as np
+
+    from textalyzer_ray.core.fingerprint import hll_hash64_array
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("owner", pa.int64()),
+            pa.field("hash_hi", pa.int64()),
+            pa.field("hash_lo", pa.int64()),
+        ]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        hs = np.stack(
+            [
+                hll_hash64_array([f"{i}:{n}" for i in ids.tolist()])
+                for n in range(n_nodes)
+            ],
+            axis=1,
+        )  # (rows, n_nodes) uint64
+        owner = np.argmax(hs, axis=1)  # first max -> lowest node on tie
+        win = hs[np.arange(len(ids)), owner]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "owner": pa.array(owner.astype(np.int64)),
+                "hash_hi": pa.array((win >> np.uint64(32)).astype(np.int64)),
+                "hash_lo": pa.array(
+                    (win & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(id_col)
