@@ -123,3 +123,30 @@ class TestFrontierFilter:
             "https://site0.example/page/19": 1,
             "https://site1.example/page/7": 1,
         }
+
+    def test_small_path_equals_distributed(self):
+        from textalyzer_ray.pipelines.robots import crawl_schedule
+
+        urls = [
+            f"https://site{h}.example/page/{i}"
+            for h in range(6)
+            for i in range(9)
+        ] + ["https://nosite.other/x"]
+        rules = robots_rules_for_sites(50)
+
+        def key(rows):
+            return sorted(tuple(sorted(r.items())) for r in rows)
+
+        small = frontier_robots_filter(_urls(urls * 3), rules).take_all()
+        dist = frontier_robots_filter(
+            _urls(urls * 3), rules, small_threshold=0
+        ).take_all()
+        assert key(small) == key(dist) and len(small) == len(urls)
+
+        s_sched = crawl_schedule(_urls(urls * 3), rules).take_all()
+        d_sched = crawl_schedule(
+            _urls(urls * 3), rules, small_threshold=0
+        ).take_all()
+        assert key(s_sched) == key(d_sched)
+        # small path preserves the sorted-by-url output contract
+        assert [r["url"] for r in s_sched] == sorted(r["url"] for r in s_sched)

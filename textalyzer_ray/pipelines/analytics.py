@@ -1344,17 +1344,18 @@ def source_outliers(
     integer-exact across engines — no float quantile interpolation.
 
     Scale shape: ONE key-aligned hash exchange on ``group_col``
-    (stages.groups.grouped_apply — every group wholly in one block),
-    then a vectorized polars window pass per block (two lower-median
-    windows + per-row arithmetic). Output: (id_col, group_col,
-    value_col, med, mad, is_outlier), BIGINT stats, sorted by id_col.
+    (stages.groups.grouped_apply — every group wholly in one block)
+    sized to the MEASURED row count, then a vectorized polars window
+    pass per block (two lower-median windows + per-row arithmetic).
+    Output: (id_col, group_col, value_col, med, mad, is_outlier),
+    BIGINT stats, sorted by id_col.
 
     Groups must individually fit a block (true for per-source/per-host
     metadata groups; a corpus-sized single group needs the sketch-based
     variant instead — not this operator's contract)."""
     import polars as pl
 
-    from textalyzer_ray.stages.groups import grouped_apply
+    from textalyzer_ray.stages.groups import grouped_apply, partitions_for
 
     out_schema = pa.schema(
         [
@@ -1398,8 +1399,12 @@ def source_outliers(
         )
         return df.to_arrow().cast(out_schema)
 
+    narrow = ds_docs.select_columns(
+        [id_col, group_col, value_col]
+    ).materialize()
     return grouped_apply(
-        ds_docs.select_columns([id_col, group_col, value_col]),
+        narrow,
         [group_col],
         flag_block,
+        num_partitions=partitions_for(narrow.count()),
     ).sort(id_col)

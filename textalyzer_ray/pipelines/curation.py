@@ -2154,12 +2154,12 @@ def quota_select(
     the SQL window-function oracle is exact.
 
     ONE key-aligned exchange on ``group_col`` (each group wholly in a
-    block), then a vectorized polars sort + cum_sum per block. Output
-    (id_col, group_col, value_col, cum) for KEPT rows, sorted by
-    id_col."""
+    block) sized to the measured row count, then a vectorized polars
+    sort + cum_sum per block. Output (id_col, group_col, value_col,
+    cum) for KEPT rows, sorted by id_col."""
     import polars as pl
 
-    from textalyzer_ray.stages.groups import grouped_apply
+    from textalyzer_ray.stages.groups import grouped_apply, partitions_for
 
     out_schema = pa.schema(
         [
@@ -2191,8 +2191,12 @@ def quota_select(
         )
         return df.to_arrow().cast(out_schema)
 
+    narrow = ds_docs.select_columns(
+        [id_col, group_col, value_col]
+    ).materialize()
     return grouped_apply(
-        ds_docs.select_columns([id_col, group_col, value_col]),
+        narrow,
         [group_col],
         select_block,
+        num_partitions=partitions_for(narrow.count()),
     ).sort(id_col)

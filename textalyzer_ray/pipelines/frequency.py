@@ -820,7 +820,11 @@ def burst_intervals(
     import numpy as np
     import polars as pl
 
-    from textalyzer_ray.stages.groups import grouped_apply, key_counts
+    from textalyzer_ray.stages.groups import (
+        grouped_apply,
+        key_counts,
+        partitions_for,
+    )
     from textalyzer_ray.stages.tokenize import _flat_tokens
 
     win_us = int(window_s) * 1_000_000
@@ -936,6 +940,9 @@ def burst_intervals(
         )
         return df.to_arrow().cast(out_schema)
 
-    return grouped_apply(hist, ["word"], islands).sort(
-        ["word", "burst_start"]
-    )
+    return grouped_apply(
+        hist,
+        ["word"],
+        islands,
+        num_partitions=partitions_for(hist.count()),
+    ).sort(["word", "burst_start"])

@@ -82,6 +82,68 @@ def robots_rules_for_sites(n_sites: int = 50) -> pa.Table:
     )
 
 
+def _rules_df(rules: pa.Table) -> pl.DataFrame:
+    return pl.from_arrow(rules).with_columns(
+        pl.col("prefix").str.len_bytes().alias("_plen")
+    )
+
+
+def _match_table(t: pa.Table, rdf: pl.DataFrame, url_col: str) -> pa.Table:
+    """Winning robots verdict per URL row of one batch: polars join +
+    prefix filter + stable sort. Pure (table, rules-df) -> table so the
+    broadcast stage and the one-task small path share it."""
+    out_schema = pa.schema(
+        list(t.schema)
+        + [
+            pa.field("host", pa.string()),
+            pa.field("allowed", pa.int64()),
+            pa.field("rule_prefix", pa.string()),
+        ]
+    )
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    df = pl.from_arrow(t).with_row_index("_rid")
+    parsed = df.select(
+        "_rid",
+        pl.col(url_col).str.extract(_HOST_RE, 1).alias("host"),
+        pl.col(url_col)
+        .str.extract(_PATH_RE, 1)
+        .fill_null("/")
+        .alias("_path"),
+    )
+    hits = (
+        parsed.join(rdf, on="host", how="inner")
+        # prefix match on raw path bytes (RFC 9309 %-encoding parity
+        # is the caller's normalization concern)
+        .filter(
+            pl.col("_path").str.slice(0, pl.col("_plen"))
+            == pl.col("prefix")
+        )
+        .sort(
+            ["_rid", "_plen", "allow", "prefix"],
+            descending=[False, True, True, False],
+        )
+        .group_by("_rid", maintain_order=True)
+        .first()
+        .select("_rid", "allow", "prefix")
+    )
+    out = (
+        df.join(
+            parsed.select("_rid", "host"),
+            on="_rid",
+            how="left",
+            maintain_order="left",
+        )
+        .join(hits, on="_rid", how="left", maintain_order="left")
+        .with_columns(
+            pl.col("allow").fill_null(1).alias("allowed"),
+            pl.col("prefix").fill_null("").alias("rule_prefix"),
+        )
+        .drop("_rid", "allow", "prefix")
+    )
+    return out.to_arrow().cast(out_schema)
+
+
 def robots_match(
     ds_urls: Dataset,
     rules: pa.Table,
@@ -95,9 +157,9 @@ def robots_match(
 
     Longest-prefix-wins with allow-beats-disallow on ties, made a TOTAL
     order (prefix ASC as the final key) so the winner is deterministic
-    even under duplicate rule rows. One polars join + prefix filter +
-    stable sort per batch; the rules ship once per worker process via
-    ``ray.put`` + the per-worker object cache."""
+    even under duplicate rule rows. One ``_match_table`` pass per
+    batch; the rules ship once per worker process via ``ray.put`` +
+    the per-worker object cache."""
     if rules.num_rows > broadcast_max_rules:
         raise ValueError(
             f"rules table has {rules.num_rows} rows > broadcast_max_rules="
@@ -109,59 +171,12 @@ def robots_match(
     def match(t: pa.Table) -> pa.Table:
         from textalyzer_ray.stages.groups import _worker_object_cache
 
-        out_schema = pa.schema(
-            list(t.schema)
-            + [
-                pa.field("host", pa.string()),
-                pa.field("allowed", pa.int64()),
-                pa.field("rule_prefix", pa.string()),
-            ]
-        )
-        if t.num_rows == 0:
-            return out_schema.empty_table()
         cache = _worker_object_cache()
         ck = "robots:" + rules_ref.hex()
         rdf = cache.get(ck)
         if rdf is None:
-            rdf = cache[ck] = (
-                pl.from_arrow(ray.get(rules_ref))
-                .with_columns(pl.col("prefix").str.len_bytes().alias("_plen"))
-            )
-        df = pl.from_arrow(t).with_row_index("_rid")
-        parsed = df.select(
-            "_rid",
-            pl.col(url_col).str.extract(_HOST_RE, 1).alias("host"),
-            pl.col(url_col)
-            .str.extract(_PATH_RE, 1)
-            .fill_null("/")
-            .alias("_path"),
-        )
-        hits = (
-            parsed.join(rdf, on="host", how="inner")
-            # prefix match on raw path bytes (RFC 9309 %-encoding parity
-            # is the caller's normalization concern)
-            .filter(
-                pl.col("_path").str.slice(0, pl.col("_plen"))
-                == pl.col("prefix")
-            )
-            .sort(
-                ["_rid", "_plen", "allow", "prefix"],
-                descending=[False, True, True, False],
-            )
-            .group_by("_rid", maintain_order=True)
-            .first()
-            .select("_rid", "allow", "prefix")
-        )
-        out = (
-            df.join(parsed.select("_rid", "host"), on="_rid", how="left", maintain_order="left")
-            .join(hits, on="_rid", how="left", maintain_order="left")
-            .with_columns(
-                pl.col("allow").fill_null(1).alias("allowed"),
-                pl.col("prefix").fill_null("").alias("rule_prefix"),
-            )
-            .drop("_rid", "allow", "prefix")
-        )
-        return out.to_arrow().cast(out_schema)
+            rdf = cache[ck] = _rules_df(ray.get(rules_ref))
+        return _match_table(t, rdf, url_col)
 
     return ds_urls.map_batches(match, batch_format="pyarrow")
 
@@ -170,14 +185,52 @@ def frontier_robots_filter(
     ds_candidates: Dataset,
     rules: pa.Table,
     url_col: str = "url",
+    small_threshold: int = 2_000_000,
 ) -> Dataset:
     """Frontier step: distinct candidate URLs -> robots verdict per
     URL. Distinctness is fully distributed: ONE key-aligned hash
     exchange on the url (stages.groups.grouped_apply puts every url
     entirely in one block) + a per-block polars ``unique`` — no URL
     set on the driver, dup-heavy frontiers collapse before the match
-    pass. Returns (url, host, allowed, rule_prefix)."""
-    from textalyzer_ray.stages.groups import grouped_apply
+    pass. The exchange is sized to the MEASURED candidate count
+    (partitions_for; defaulting to cluster_cpus multiplied shuffle
+    actor startup ~10x on a 15k-row frontier — CLAUDE.md r2), and a
+    frontier at or below ``small_threshold`` rows skips the exchange
+    entirely: one remote task does unique + match (block refs in,
+    result out, nothing on the driver). Returns
+    (url, host, allowed, rule_prefix)."""
+    import ray.data as rd
+
+    from textalyzer_ray.stages.groups import grouped_apply, partitions_for
+
+    cand = ds_candidates.select_columns([url_col]).materialize()
+    n = cand.count()
+
+    if n <= small_threshold:
+        rules_ref = ray.put(rules)
+
+        @ray.remote
+        def filter_task(rules_tbl: pa.Table, *blocks: pa.Table) -> pa.Table:
+            out_schema = pa.schema(
+                [
+                    pa.field(url_col, pa.string()),
+                    pa.field("host", pa.string()),
+                    pa.field("allowed", pa.int64()),
+                    pa.field("rule_prefix", pa.string()),
+                ]
+            )
+            tables = [b for b in blocks if b.num_rows]
+            if not tables:
+                return out_schema.empty_table()
+            t = (
+                pl.from_arrow(pa.concat_tables(tables))
+                .unique(maintain_order=False)
+                .to_arrow()
+            )
+            return _match_table(t, _rules_df(rules_tbl), url_col)
+
+        refs = cand.to_arrow_refs()
+        return rd.from_arrow_refs([filter_task.remote(rules_ref, *refs)])
 
     def distinct_block(t: pa.Table) -> pa.Table:
         return pl.from_arrow(t).unique(maintain_order=False).to_arrow().cast(
@@ -185,7 +238,7 @@ def frontier_robots_filter(
         )
 
     urls = grouped_apply(
-        ds_candidates.select_columns([url_col]), [url_col], distinct_block
+        cand, [url_col], distinct_block, num_partitions=partitions_for(n)
     )
     return robots_match(urls, rules, url_col=url_col)
 
@@ -195,6 +248,7 @@ def crawl_schedule(
     rules: pa.Table,
     url_col: str = "url",
     base_delay_mod: int = 3,
+    small_threshold: int = 2_000_000,
 ) -> "Dataset":
     """Politeness scheduler over the allowed frontier: distinct
     candidate URLs pass the robots filter, then each HOST's allowed
@@ -208,17 +262,25 @@ def crawl_schedule(
     in for a robots Crawl-delay directive.
 
     Scale shape: the verdict step is frontier_robots_filter (one
-    key-aligned url exchange + broadcast rules); the ranking is ONE
-    more key-aligned exchange on host (grouped_apply — every host's
-    URLs in one block) with a vectorized per-block polars sort +
-    cumcount. No driver materialization; waves are per-row arithmetic.
+    key-aligned url exchange + broadcast rules, measured-size one-task
+    small path); the ranking is ONE more key-aligned exchange on host
+    (grouped_apply — every host's URLs in one block) with a vectorized
+    per-block polars sort + cumcount, sized to the measured verdict
+    count. No driver materialization; waves are per-row arithmetic.
+    A frontier whose verdicts fit ``small_threshold`` skips the host
+    exchange too (the verdict pass already produced one block on the
+    small path, so the schedule is a single map over it).
 
     Output: (url, host, host_rank, crawl_delay, fetch_wave), BIGINT
     ranks/waves, sorted by url.
     """
-    from textalyzer_ray.stages.groups import grouped_apply
+    from textalyzer_ray.stages.groups import grouped_apply, partitions_for
 
-    verdicts = frontier_robots_filter(ds_candidates, rules, url_col=url_col)
+    verdicts = frontier_robots_filter(
+        ds_candidates, rules, url_col=url_col,
+        small_threshold=small_threshold,
+    ).materialize()
+    n_urls = verdicts.count()
     def keep_allowed(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -267,4 +329,23 @@ def crawl_schedule(
         )
         return df.to_arrow().cast(out_schema)
 
-    return grouped_apply(allowed, ["host"], schedule_block).sort(url_col)
+    if n_urls <= small_threshold:
+        import ray.data as rd
+
+        @ray.remote
+        def sched_task(*blocks: pa.Table) -> pa.Table:
+            tables = [b for b in blocks if b.num_rows]
+            if not tables:
+                return out_schema.empty_table()
+            t = keep_allowed(pa.concat_tables(tables))
+            return schedule_block(t).sort_by(url_col)
+
+        refs = verdicts.to_arrow_refs()
+        return rd.from_arrow_refs([sched_task.remote(*refs)])
+
+    return grouped_apply(
+        allowed,
+        ["host"],
+        schedule_block,
+        num_partitions=partitions_for(n_urls),
+    ).sort(url_col)
