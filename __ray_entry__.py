@@ -449,6 +449,34 @@ def _q_events_gapfill(sf_dir: str):
     return events_gapfill_rolling(ev, window_s=600, roll_w=3)
 
 
+def _q_cusum_alarms(sf_dir: str):
+    """Per-type CUSUM drift alarms (Page 1954) over dense hourly
+    windows — sustained-rate-drift detection, self-calibrated against
+    each type's own mean and ALL-INTEGER by cross-multiplication
+    (d_i = W*x_i - T, S via the prefix-sum reflection identity, alarm
+    at S > 4*T). Measured: 2478 alarm windows at sf0.01, 434 at sf0.1
+    — non-trivial at both scales. The SQL oracle replays the identical
+    chain with window functions."""
+    from textalyzer_ray.pipelines.analytics import cusum_alarms
+    from textalyzer_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    return cusum_alarms(ev, window_s=3600, h_mult=4)
+
+
+def _q_theil_sen_trends(sf_dir: str):
+    """Per-type Theil-Sen robust trend over the dense hourly count
+    series: lower median of all pairwise slopes. Slopes are int/int
+    double divisions (IEEE-identical in numpy and DuckDB — the
+    CLAUDE r2 parity rule), the median picks sorted[(n-1)//2] ==
+    quantile_disc(0.5), so the float column hash-matches raw."""
+    from textalyzer_ray.pipelines.analytics import theil_sen_trends
+    from textalyzer_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    return theil_sen_trends(ev, window_s=3600)
+
+
 def _q_events_hopping(sf_dir: str):
     """Overlapping (hopping) windows: 1 h windows advancing by 15 min —
     each event contributes to 4 windows."""
@@ -714,6 +742,20 @@ def _planted_community_edges(sf_dir: str):
         return pa2.table({"src": s, "dst": d, "w": w})
 
     return ids.map_batches(emit_edges, batch_format="pyarrow")
+
+
+def _q_common_neighbors(sf_dir: str):
+    """Common-neighbors link prediction (Liben-Nowell & Kleinberg
+    2003) over the planted residue-class community graph: every
+    non-adjacent pair sharing >= 2 neighbors with the exact shared
+    count — all-integer, zero extra shuffle for adjacency removal
+    (edge rows union-tag into the wedge-merge exchange). 448 pairs at
+    sf0.01 / 5038 at sf0.1 (measured)."""
+    from textalyzer_ray.pipelines.graph import common_neighbors
+
+    return common_neighbors(
+        _planted_community_edges(sf_dir), a_col="src", b_col="dst", min_cn=2
+    )
 
 
 def _q_lpa_communities(sf_dir: str):
@@ -3617,6 +3659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_clean": _q_nfc_clean,
         "knn_hop_distance": _q_knn_hop_distance,
         "lpa_communities": _q_lpa_communities,
+        "common_neighbors": _q_common_neighbors,
         "resumable_funnel": _q_resumable_funnel,
         "grouping_sets": _q_grouping_sets,
         "sorted_neighborhood": _q_sorted_neighborhood,
@@ -3625,6 +3668,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_rollup": _q_props_rollup,
         "pq_codes": _q_pq_codes,
         "events_gapfill": _q_events_gapfill,
+        "cusum_alarms": _q_cusum_alarms,
+        "theil_sen_trends": _q_theil_sen_trends,
         "chunk_windows": _q_chunk_windows,
         "decayed_counts": _q_decayed_counts,
         "bloom_url_seen": _q_bloom_url_seen,
@@ -4120,6 +4165,80 @@ def oracle_sql() -> dict[str, str]:
             "SELECT hr, CAST(n_events AS BIGINT) AS n_events, "
             "CAST(sum(n_events) OVER (ORDER BY hr ROWS BETWEEN 2 PRECEDING "
             "AND CURRENT ROW) AS BIGINT) AS rolling_n FROM d ORDER BY hr"
+        ),
+        # Theil-Sen: pairwise int/int slopes (IEEE-parity doubles),
+        # lower median == quantile_disc(0.5) == sorted[(n-1)//2]
+        "theil_sen_trends": (
+            "WITH b AS (SELECT epoch_us(ts) // 3600000000 AS w, "
+            "event_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "g AS (SELECT unnest(generate_series((SELECT min(w) FROM b), "
+            "(SELECT max(w) FROM b))) AS w), "
+            "ty AS (SELECT DISTINCT event_type FROM b), "
+            "f AS MATERIALIZED (SELECT g.w, ty.event_type, "
+            "coalesce(b.n, 0) AS n FROM g CROSS JOIN ty "
+            "LEFT JOIN b ON b.w = g.w AND b.event_type = ty.event_type), "
+            "s AS (SELECT f1.event_type, (f2.n - f1.n) / (f2.w - f1.w) "
+            "AS slope FROM f f1 JOIN f f2 "
+            "ON f1.event_type = f2.event_type AND f1.w < f2.w) "
+            "SELECT event_type, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM g) AS n_windows, "
+            "CAST(count(*) AS BIGINT) AS n_pairs, "
+            "quantile_disc(slope, 0.5) AS slope "
+            "FROM s GROUP BY 1 ORDER BY 1"
+        ),
+        # CUSUM drift alarms: all-integer cross-multiplied chain
+        # (d_i = W*x_i - T, S_t = P_t - min(0, running min P)), alarm
+        # at S > 4*T; the dense per-type grid replays the pipeline's
+        # numpy scatter exactly
+        "cusum_alarms": (
+            "WITH b AS (SELECT epoch_us(ts) // 3600000000 AS w, "
+            "event_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "g AS (SELECT unnest(generate_series((SELECT min(w) FROM b), "
+            "(SELECT max(w) FROM b))) AS w), "
+            "ty AS (SELECT DISTINCT event_type FROM b), "
+            "f AS (SELECT g.w, ty.event_type, coalesce(b.n, 0) AS n "
+            "FROM g CROSS JOIN ty "
+            "LEFT JOIN b ON b.w = g.w AND b.event_type = ty.event_type), "
+            "wt AS (SELECT CAST(count(*) FILTER (event_type = "
+            "(SELECT min(event_type) FROM ty)) AS BIGINT) AS nw FROM f), "
+            "tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t "
+            "FROM f GROUP BY 1), "
+            "p AS (SELECT f.w, f.event_type, f.n, "
+            "sum(wt.nw * f.n - tot.t) OVER (PARTITION BY f.event_type "
+            "ORDER BY f.w) AS pp FROM f JOIN tot USING (event_type), wt), "
+            "s AS (SELECT w, event_type, n, pp - least(CAST(0 AS HUGEINT), "
+            "min(pp) OVER (PARTITION BY event_type ORDER BY w)) AS s "
+            "FROM p) "
+            "SELECT s.event_type, CAST(s.w * 3600 AS BIGINT) AS "
+            "window_start, s.n, CAST(s.s AS BIGINT) AS cusum "
+            "FROM s JOIN tot USING (event_type) WHERE s.s > 4 * tot.t "
+            "ORDER BY s.event_type, window_start"
+        ),
+        # common-neighbors over the same planted graph: wedge
+        # self-join on the apex, adjacency removed by left-join-null
+        "common_neighbors": (
+            "WITH ids AS MATERIALIZED (SELECT doc_id AS n FROM documents), "
+            "hubs AS MATERIALIZED (SELECT n % 20 AS g, min(n) AS hub "
+            "FROM ids GROUP BY 1), "
+            "mx AS MATERIALIZED (SELECT max(n) AS m FROM ids), "
+            "e AS MATERIALIZED ("
+            "SELECT i.n AS s, h.hub AS t "
+            "FROM ids i JOIN hubs h ON h.g = i.n % 20 WHERE i.n <> h.hub "
+            "UNION ALL SELECT n, n + 20 FROM ids, mx WHERE n + 20 <= m "
+            "UNION ALL SELECT n, n + 1 FROM ids, mx "
+            "WHERE n % 50 = 0 AND n + 1 <= m), "
+            "und AS MATERIALIZED (SELECT DISTINCT least(s, t) AS a, "
+            "greatest(s, t) AS b FROM e WHERE s <> t), "
+            "nbr AS MATERIALIZED (SELECT a AS c, b AS n FROM und "
+            "UNION ALL SELECT b, a FROM und), "
+            "w AS (SELECT n1.n AS a, n2.n AS b, "
+            "CAST(count(*) AS BIGINT) AS cn FROM nbr n1 "
+            "JOIN nbr n2 ON n1.c = n2.c AND n1.n < n2.n GROUP BY 1, 2) "
+            "SELECT w.a AS id_a, w.b AS id_b, w.cn "
+            "FROM w LEFT JOIN und ON und.a = w.a AND und.b = w.b "
+            "WHERE und.a IS NULL AND w.cn >= 2 ORDER BY 1, 2"
         ),
         "lpa_communities": _lpa_oracle_sql(
             n_iter=8,

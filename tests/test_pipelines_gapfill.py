@@ -83,3 +83,73 @@ class TestGapfillRolling:
         for r, (_, e) in zip(got, exp.iterrows()):
             assert r["hr"] == e["hr"] and r["n_events"] == e["n_events"]
             assert r["rolling_n"] == e["rolling_n"]
+
+
+def test_cusum_alarms_hand_case(ray_session):
+    """W=4 dense windows, three types: 'a' bursts then fades
+    (S=[8,16,8,0], alarm only at S=16>12), 'b' is flat (S=0 — CUSUM's
+    whole point: steady rate never alarms), 'c' has gap windows that
+    must count as zeros (S=[16,4,0,8], alarm at 16)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textalyzer_ray.pipelines.analytics import cusum_alarms
+
+    rows = []
+    for w, c in ((0, 5), (1, 5), (2, 1), (3, 1)):
+        rows += [(w * 60 + 1, "a")] * c
+    for w in range(4):
+        rows += [(w * 60 + 2, "b")] * 3
+    for w, c in ((0, 7), (3, 5)):
+        rows += [(w * 60 + 3, "c")] * c
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(
+                    [t * 1_000_000 for t, _ in rows], pa.timestamp("us")
+                ),
+                "event_type": pa.array([ty for _, ty in rows], pa.string()),
+            }
+        )
+    ).repartition(3)
+
+    out = cusum_alarms(ev, window_s=60, h_mult=1).take_all()
+    assert [
+        (r["event_type"], r["window_start"], r["n"], r["cusum"]) for r in out
+    ] == [("a", 60, 5, 16), ("c", 0, 7, 16)]
+
+
+def test_theil_sen_hand_case(ray_session):
+    """'lin' rises 2/window with one huge outlier window that the
+    median ignores (slopes sorted [2,2,2,33.3,49,96] -> lower median
+    2.0); 'gap' has missing windows that must count as zero on the
+    GLOBAL grid (dense [3,0,3,0] over the 4-window span -> slopes
+    [-3,-3,-1,0,0,3] -> lower median -1.0)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textalyzer_ray.pipelines.analytics import theil_sen_trends
+
+    rows = []
+    for w, c in ((0, 0), (1, 2), (2, 4), (3, 100)):
+        rows += [(w * 60 + 1, "lin")] * c
+    for w, c in ((0, 3), (2, 3)):
+        rows += [(w * 60 + 2, "gap")] * c
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(
+                    [t * 1_000_000 for t, _ in rows], pa.timestamp("us")
+                ),
+                "event_type": pa.array([ty for _, ty in rows], pa.string()),
+            }
+        )
+    ).repartition(3)
+
+    out = theil_sen_trends(ev, window_s=60).take_all()
+    got = {r["event_type"]: r for r in out}
+    assert set(got) == {"lin", "gap"}
+    assert got["lin"]["n_windows"] == 4 and got["lin"]["n_pairs"] == 6
+    assert got["lin"]["slope"] == 2.0
+    assert got["gap"]["n_windows"] == 4
+    assert got["gap"]["slope"] == -1.0

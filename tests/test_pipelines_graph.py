@@ -543,3 +543,62 @@ class TestSeededTextrank:
         assert maxdiff < 1e-14
         assert min_gap > 1e3 * maxdiff, (min_gap, maxdiff)
         assert bdist > 1e3 * maxdiff, (bdist, maxdiff)
+
+
+def test_common_neighbors_square(ray_session):
+    """Square 0-1-2-3-0: exactly the two diagonals share 2 neighbors
+    and are non-adjacent; adjacent pairs are suppressed even when they
+    share neighbors (add edge 0-2 -> (0,2) disappears, (1,3) stays)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textalyzer_ray.pipelines.graph import common_neighbors
+
+    def edges(pairs):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([p[0] for p in pairs], pa.int64()),
+                    "b": pa.array([p[1] for p in pairs], pa.int64()),
+                }
+            )
+        ).repartition(2)
+
+    sq = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    out = common_neighbors(edges(sq), min_cn=2).take_all()
+    assert [(r["id_a"], r["id_b"], r["cn"]) for r in out] == [
+        (0, 2, 2),
+        (1, 3, 2),
+    ]
+
+    out2 = common_neighbors(edges(sq + [(0, 2)]), min_cn=2).take_all()
+    assert [(r["id_a"], r["id_b"], r["cn"]) for r in out2] == [(1, 3, 2)]
+
+
+def test_common_neighbors_small_equals_distributed(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textalyzer_ray.pipelines.graph import common_neighbors
+
+    # planted-community-like structure: hub stars + chain, reversed
+    # duplicates and self-loops thrown in
+    pairs = (
+        [(h, n) for h in (0, 1) for n in range(2 + h, 40, 2)]
+        + [(n, n + 1) for n in range(30)]
+        + [(5, 5), (7, 3)]
+    )
+    t = pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs], pa.int64()),
+            "b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+
+    def run(thr):
+        return common_neighbors(
+            rd.from_arrow(t).repartition(3), min_cn=2, small_threshold=thr
+        ).take_all()
+
+    small, dist = run(2_000_000), run(0)
+    assert small == dist and len(small) > 0

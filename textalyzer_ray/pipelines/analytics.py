@@ -1408,3 +1408,281 @@ def source_outliers(
         flag_block,
         num_partitions=partitions_for(narrow.count()),
     ).sort(id_col)
+
+
+def cusum_alarms(
+    ds_events: Dataset,
+    window_s: int = 3600,
+    h_mult: int = 4,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> Dataset:
+    """Per-type CUSUM drift alarms over dense time windows (Page 1954,
+    the one-sided cumulative-sum control chart a crawl/ingest monitor
+    runs to catch sustained rate drift rather than single spikes).
+    Self-calibrating and ALL-INTEGER by cross-multiplication: with W =
+    dense window count and T_g = type g's total events, the per-window
+    drift is d_i = W * x_i - T_g (zero-mean by construction), the
+    CUSUM is its max(0, .)-reflected running sum via the prefix-sum
+    identity S_t = P_t - min(0, min_{j<=t} P_j), and a window alarms
+    when S_t > h_mult * T_g (a sustained excess worth ``h_mult``
+    average windows). No float anywhere, so the SQL window-function
+    oracle is exact.
+
+    Scale shape: per-batch (window, type) partial counts -> ONE
+    key_counts merge -> global [lo, hi] window span via per-block
+    extrema + driver reduce (one row per block) -> ONE key-aligned
+    exchange on type (every type's series wholly in a block; type
+    cardinality is schema-bounded, not corpus-bounded — this is the
+    module's per-key-series contract) -> vectorized numpy scatter +
+    cumsum per type. Gap windows count 0 — the dense grid is arange,
+    never a row explosion through the exchange.
+
+    -> (event_type, window_start, n, cusum) for ALARM windows only,
+    BIGINT everywhere, sorted (event_type, window_start).
+    """
+    import numpy as np
+    import polars as pl
+    import ray.data as rd
+
+    from textalyzer_ray.stages.groups import (
+        grouped_apply,
+        key_counts,
+        partitions_for,
+    )
+
+    win_us = int(window_s) * 1_000_000
+
+    def partials(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t[ts_col], pa.int64())
+        tbl = pa.table(
+            {"w": pc.divide(epoch, win_us), type_col: t[type_col]}
+        )
+        return (
+            pl.from_arrow(tbl)
+            .group_by(["w", type_col])
+            .len()
+            .rename({"len": "n"})
+            .with_columns(pl.col("n").cast(pl.Int64))
+            .to_arrow()
+            .cast(
+                pa.schema(
+                    [
+                        pa.field("w", pa.int64()),
+                        pa.field(type_col, pa.string()),
+                        pa.field("n", pa.int64()),
+                    ]
+                )
+            )
+        )
+
+    counts = key_counts(
+        ds_events.select_columns([ts_col, type_col]).map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["w", type_col],
+        sum_cols=["n"],
+    ).materialize()
+
+    out_schema = pa.schema(
+        [
+            pa.field(type_col, pa.string()),
+            pa.field("window_start", pa.int64()),
+            pa.field("n", pa.int64()),
+            pa.field("cusum", pa.int64()),
+        ]
+    )
+
+    def block_minmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+            )
+        h = t["w"]
+        return pa.table({"lo": [pc.min(h).as_py()], "hi": [pc.max(h).as_py()]})
+
+    mm = counts.map_batches(
+        block_minmax, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    if not mm:
+        return rd.from_arrow(out_schema.empty_table())
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
+    n_windows = int(hi - lo + 1)
+
+    def cusum_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t)
+        parts = []
+        # small loop over the block's types (schema-bounded cardinality
+        # by contract); everything inside is numpy over the dense grid
+        for (ty,), g in df.group_by([type_col]):
+            w = g["w"].to_numpy()
+            n = g["sum_n"].to_numpy().astype(np.int64)
+            dense = np.zeros(n_windows, dtype=np.int64)
+            dense[w - lo] = n
+            total = int(dense.sum())
+            p = np.cumsum(np.int64(n_windows) * dense - total)
+            s = p - np.minimum(np.minimum.accumulate(p), 0)
+            alarm = s > h_mult * total
+            if not alarm.any():
+                continue
+            ix = np.flatnonzero(alarm)
+            parts.append(
+                pa.table(
+                    {
+                        type_col: pa.array([ty] * len(ix), pa.string()),
+                        "window_start": pa.array(
+                            (lo + ix) * window_s, pa.int64()
+                        ),
+                        "n": pa.array(dense[ix], pa.int64()),
+                        "cusum": pa.array(s[ix], pa.int64()),
+                    },
+                    schema=out_schema,
+                )
+            )
+        if not parts:
+            return out_schema.empty_table()
+        return pa.concat_tables(parts)
+
+    return grouped_apply(
+        counts,
+        [type_col],
+        cusum_block,
+        num_partitions=partitions_for(counts.count()),
+    ).sort([type_col, "window_start"])
+
+
+def theil_sen_trends(
+    ds_events: Dataset,
+    window_s: int = 3600,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> Dataset:
+    """Per-type Theil-Sen robust trend (Theil 1950 / Sen 1968): the
+    LOWER median of all pairwise slopes (x_j - x_i)/(j - i) over the
+    dense per-window count series — the rate-trend estimate a crawl
+    monitor trusts because up to ~29% outlier windows cannot move it
+    (vs least squares, which one hot window drags arbitrarily). Slopes
+    are int/int double divisions — IEEE-identical in numpy and DuckDB
+    (CLAUDE r2 parity rule) — and the lower median picks
+    sorted[(n-1)//2], the engine-pinned quantile_disc convention, so
+    the float output is value-hash safe.
+
+    Scale shape: same dense-grid build as cusum_alarms (partial counts
+    -> ONE key_counts merge -> span reduce -> ONE type-keyed
+    exchange); the pairwise slope set is O(W^2) per series in one
+    numpy broadcast — bounded by the WINDOW span, not the corpus (720
+    hourly windows = 259k slopes; a multi-year span needs the
+    repeated-median or sampled variant, documented not implemented).
+
+    -> (event_type, n_windows, n_pairs, slope), sorted by type.
+    Series with fewer than 2 windows emit nothing."""
+    import numpy as np
+    import polars as pl
+    import ray.data as rd
+
+    from textalyzer_ray.stages.groups import (
+        grouped_apply,
+        key_counts,
+        partitions_for,
+    )
+
+    win_us = int(window_s) * 1_000_000
+
+    def partials(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t[ts_col], pa.int64())
+        tbl = pa.table(
+            {"w": pc.divide(epoch, win_us), type_col: t[type_col]}
+        )
+        return (
+            pl.from_arrow(tbl)
+            .group_by(["w", type_col])
+            .len()
+            .rename({"len": "n"})
+            .with_columns(pl.col("n").cast(pl.Int64))
+            .to_arrow()
+            .cast(
+                pa.schema(
+                    [
+                        pa.field("w", pa.int64()),
+                        pa.field(type_col, pa.string()),
+                        pa.field("n", pa.int64()),
+                    ]
+                )
+            )
+        )
+
+    counts = key_counts(
+        ds_events.select_columns([ts_col, type_col]).map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["w", type_col],
+        sum_cols=["n"],
+    ).materialize()
+
+    out_schema = pa.schema(
+        [
+            pa.field(type_col, pa.string()),
+            pa.field("n_windows", pa.int64()),
+            pa.field("n_pairs", pa.int64()),
+            pa.field("slope", pa.float64()),
+        ]
+    )
+
+    def block_minmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+            )
+        h = t["w"]
+        return pa.table({"lo": [pc.min(h).as_py()], "hi": [pc.max(h).as_py()]})
+
+    mm = counts.map_batches(
+        block_minmax, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    if not mm:
+        return rd.from_arrow(out_schema.empty_table())
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
+    n_windows = int(hi - lo + 1)
+    if n_windows < 2:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def trend_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t)
+        types, nw_out, np_out, sl_out = [], [], [], []
+        # schema-bounded type loop; all-pairs slopes are one numpy
+        # broadcast per series
+        for (ty,), g in df.group_by([type_col]):
+            w = g["w"].to_numpy()
+            n = g["sum_n"].to_numpy().astype(np.int64)
+            dense = np.zeros(n_windows, dtype=np.int64)
+            dense[w - lo] = n
+            iu, ju = np.triu_indices(n_windows, k=1)
+            slopes = (dense[ju] - dense[iu]) / (ju - iu)
+            slopes.sort(kind="stable")
+            k = len(slopes)
+            types.append(ty)
+            nw_out.append(n_windows)
+            np_out.append(k)
+            sl_out.append(float(slopes[(k - 1) // 2]))
+        return pa.table(
+            {
+                type_col: pa.array(types, pa.string()),
+                "n_windows": pa.array(nw_out, pa.int64()),
+                "n_pairs": pa.array(np_out, pa.int64()),
+                "slope": pa.array(sl_out, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return grouped_apply(
+        counts,
+        [type_col],
+        trend_block,
+        num_partitions=partitions_for(counts.count()),
+    ).sort(type_col)

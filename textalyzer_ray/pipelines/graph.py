@@ -1163,3 +1163,187 @@ def hop_distance(
         ).materialize()
 
     return dist_ds.sort(node_col)
+
+
+def common_neighbors(
+    edges: Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    min_cn: int = 2,
+    small_threshold: int = 2_000_000,
+) -> Dataset:
+    """Common-neighbors link prediction (Liben-Nowell & Kleinberg 2003,
+    the integer core of the Adamic-Adar family): over the undirected
+    simple graph of (a_col, b_col) — self-loops dropped, duplicates
+    collapsed — return every NON-adjacent unordered pair (id_a < id_b)
+    sharing at least ``min_cn`` neighbors, with the exact shared count.
+    The missing-edge candidates a crawl's site-graph enrichment ranks.
+
+    Scale shape (the triangle_counts machinery re-aimed): one distinct
+    exchange on (a, b); wedge pairs are emitted per APEX block by a
+    polars self-join (one key-aligned exchange on the apex); adjacency
+    removal costs ZERO extra shuffles — edge rows union-tag into the
+    same (a, b)-keyed exchange that merges wedge counts, so a pair is
+    dropped in-block when any side=0 row is present. Wedge volume is
+    sum(deg^2)/2 — inherent to the measure; hubs bound it by their
+    block (a 500-neighbor hub is a 125k-row in-block join, measured
+    fine). At or below ``small_threshold`` distinct edges the whole
+    chain runs in ONE remote task (the _triangles_one_task pattern —
+    fixed exchange startup dwarfs small-graph compute).
+
+    -> (id_a, id_b, cn) BIGINT counts, sorted (id_a, id_b); cross-path
+    equality pytest-pinned."""
+    import ray
+    import ray.data as rd
+
+    from textalyzer_ray.stages.groups import (
+        grouped_apply,
+        key_counts,
+        partitions_for,
+    )
+
+    node_t = _node_field(edges, a_col)
+    und_schema = pa.schema([pa.field("a", node_t), pa.field("b", node_t)])
+    out_schema = pa.schema(
+        [
+            pa.field("id_a", node_t),
+            pa.field("id_b", node_t),
+            pa.field("cn", pa.int64()),
+        ]
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return und_schema.empty_table()
+        df = (
+            pl.from_arrow(t.select([a_col, b_col]))
+            .select(
+                pl.min_horizontal(a_col, b_col).alias("a"),
+                pl.max_horizontal(a_col, b_col).alias("b"),
+            )
+            .filter(pl.col("a") != pl.col("b"))
+        )
+        return df.to_arrow().cast(und_schema)
+
+    dist = (
+        key_counts(
+            edges.map_batches(
+                norm, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["a", "b"],
+        )
+        .map_batches(
+            lambda t: t.select(["a", "b"]).cast(und_schema),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    m = dist.count()
+    if m == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def cn_frame(df: "pl.DataFrame") -> "pl.DataFrame":
+        """und edges -> (id_a, id_b, cn) in one process (small path +
+        per-pair semantics ground truth)."""
+        nbr = pl.concat(
+            [
+                df.select(pl.col("a").alias("c"), pl.col("b").alias("n")),
+                df.select(pl.col("b").alias("c"), pl.col("a").alias("n")),
+            ]
+        )
+        w = (
+            nbr.join(nbr, on="c", suffix="_r")
+            .filter(pl.col("n") < pl.col("n_r"))
+            .group_by(["n", "n_r"])
+            .agg(pl.len().cast(pl.Int64).alias("cn"))
+            .rename({"n": "a", "n_r": "b"})
+        )
+        return (
+            w.join(df, on=["a", "b"], how="anti")
+            .filter(pl.col("cn") >= min_cn)
+            .rename({"a": "id_a", "b": "id_b"})
+            .sort(["id_a", "id_b"])
+        )
+
+    if m <= small_threshold:
+
+        @ray.remote
+        def cn_task(*blocks: pa.Table) -> pa.Table:
+            df = pl.from_arrow(pa.concat_tables(blocks))
+            return cn_frame(df).to_arrow().cast(out_schema)
+
+        refs = dist.to_arrow_refs()
+        return rd.from_arrow_refs([cn_task.remote(*refs)])
+
+    parts = partitions_for(m)
+    tag_schema = pa.schema(
+        [
+            pa.field("a", node_t),
+            pa.field("b", node_t),
+            pa.field("side", pa.int8()),
+        ]
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        nbr = pl.concat(
+            [
+                df.select(pl.col("a").alias("c"), pl.col("b").alias("n")),
+                df.select(pl.col("b").alias("c"), pl.col("a").alias("n")),
+            ]
+        )
+        return nbr.to_arrow().cast(
+            pa.schema([pa.field("c", node_t), pa.field("n", node_t)])
+        )
+
+    nbr_ds = dist.map_batches(both_dirs, batch_format="pyarrow")
+
+    def wedge_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tag_schema.empty_table()
+        df = pl.from_arrow(t)
+        j = (
+            df.join(df, on="c", suffix="_r")
+            .filter(pl.col("n") < pl.col("n_r"))
+            .select(
+                pl.col("n").alias("a"),
+                pl.col("n_r").alias("b"),
+                pl.lit(1, dtype=pl.Int8).alias("side"),
+            )
+        )
+        return j.to_arrow().cast(tag_schema)
+
+    wedges = grouped_apply(nbr_ds, ["c"], wedge_block, parts)
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "a": pc.cast(t["a"], node_t),
+                "b": pc.cast(t["b"], node_t),
+                "side": pa.array([0] * n, pa.int8()),
+            },
+            schema=tag_schema,
+        )
+
+    edge_tags = dist.map_batches(tag_edges, batch_format="pyarrow")
+
+    def merge_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = (
+            pl.from_arrow(t)
+            .group_by(["a", "b"])
+            .agg(
+                (pl.col("side") == 1).sum().cast(pl.Int64).alias("cn"),
+                (pl.col("side") == 0).any().alias("_adj"),
+            )
+            .filter(~pl.col("_adj") & (pl.col("cn") >= min_cn))
+            .rename({"a": "id_a", "b": "id_b"})
+            .select(["id_a", "id_b", "cn"])
+        )
+        return df.to_arrow().cast(out_schema)
+
+    return grouped_apply(
+        wedges.union(edge_tags), ["a", "b"], merge_block, parts
+    ).sort(["id_a", "id_b"])
