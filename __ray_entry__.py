@@ -3636,7 +3636,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_textrank": _q_seeded_textrank,
         "single_line_dups": _q_single_line_dups,
         "count_min_words": _q_count_min_words,
-        "vector_index_topk": _q_vector_index_topk,
         "weighted_sample": _q_weighted_sample,
         "host_cocitation": _q_host_cocitation,
         "robots_filter": _q_robots_filter,
@@ -3719,6 +3718,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ranking, a new variant family) took the slot of the r3-green
         # exact_dedup_distributed (exact-dedup keeps dedup_keep_best,
         # single_line_dups and the whole near-dup tier in-window).
+        # session-2 park: vector_index_topk (r03-green; service tier
+        # repped in-window by hll_service_distinct) made room for
+        # theil_sen_trends at the cap.
+        "vector_index_topk": _q_vector_index_topk,
         "lsh_index_dedup": _q_lsh_index_dedup,
         "stream_range_join": _q_stream_range_join,
         "dup_span_removal": _q_dup_span_removal,
