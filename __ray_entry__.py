@@ -744,6 +744,130 @@ def _planted_community_edges(sf_dir: str):
     return ids.map_batches(emit_edges, batch_format="pyarrow")
 
 
+def _planted_truss_edges(sf_dir: str):
+    """Deterministic truss test graph from doc_id arithmetic: residue
+    cliques (all pairs within each class n % 37 over the LOWER id half
+    n < (mx+1)//2 — a clique of size m is an (m-1)-truss) plus a chain
+    n -> n+1 over all ids (chain edges close zero triangles here, so
+    any truss peel kills them in round 1). Clique pairs cross blocks,
+    so emission is ONE key-aligned exchange on the residue with a
+    per-block polars self-join; the chain is per-row arithmetic."""
+    import numpy as np
+    import pyarrow as pa
+
+    from textalyzer_ray.sources.tables import read_table
+    from textalyzer_ray.stages.groups import grouped_apply
+
+    ids = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def block_max(t):
+        import pyarrow as pa2
+
+        return pa2.table(
+            {"hi": [int(t["doc_id"].to_numpy(zero_copy_only=False).max())]}
+        )
+
+    mx = max(
+        r["hi"]
+        for r in ids.map_batches(
+            block_max, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    )
+    cut = (mx + 1) // 2
+    edge_schema = pa.schema(
+        [pa.field("a", pa.int64()), pa.field("b", pa.int64())]
+    )
+
+    def add_res(t):
+        import pyarrow as pa2
+
+        n = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        low = n < cut
+        return pa2.table({"r": n[low] % 37, "n": n[low]})
+
+    def clique_block(t):
+        import polars as pl
+
+        if t.num_rows == 0:
+            return edge_schema.empty_table()
+        df = pl.from_arrow(t)
+        j = (
+            df.join(df, on="r", suffix="_r")
+            .filter(pl.col("n") < pl.col("n_r"))
+            .select(pl.col("n").alias("a"), pl.col("n_r").alias("b"))
+        )
+        return j.to_arrow().cast(edge_schema)
+
+    cliques = grouped_apply(
+        ids.map_batches(add_res, batch_format="pyarrow"),
+        ["r"],
+        clique_block,
+        num_partitions=4,
+    )
+
+    def chain(t):
+        import pyarrow as pa2
+
+        n = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n + 1 <= mx
+        return pa2.table(
+            {"a": n[keep], "b": n[keep] + 1}, schema=edge_schema
+        )
+
+    return cliques.union(ids.map_batches(chain, batch_format="pyarrow"))
+
+
+def _k_truss_oracle_sql(n_rounds: int, min_sup: int) -> str:
+    """Unrolled k-truss peel over the planted clique+chain graph:
+    e_{i+1} keeps e_i edges whose wedge-count support within e_i is
+    >= min_sup; output is e_R with support recomputed on e_R. All
+    CTEs MATERIALIZED (CLAUDE.md: plain CTEs re-scan exponentially)."""
+    parts = [
+        "WITH ids AS MATERIALIZED (SELECT doc_id AS n FROM documents), "
+        "mx AS MATERIALIZED (SELECT max(n) AS m, (max(n) + 1) // 2 AS cut "
+        "FROM ids), "
+        "e0 AS MATERIALIZED ("
+        "SELECT i.n AS a, j.n AS b FROM ids i "
+        "JOIN ids j ON i.n % 37 = j.n % 37 AND i.n < j.n, mx "
+        "WHERE i.n < mx.cut AND j.n < mx.cut "
+        "UNION ALL SELECT n, n + 1 FROM ids, mx WHERE n + 1 <= mx.m)"
+    ]
+    for i in range(n_rounds + 1):
+        parts.append(
+            f", nb{i} AS MATERIALIZED (SELECT a AS c, b AS n FROM e{i} "
+            f"UNION ALL SELECT b, a FROM e{i}), "
+            f"s{i} AS MATERIALIZED (SELECT n1.n AS a, n2.n AS b, "
+            "CAST(count(*) AS BIGINT) AS cn "
+            f"FROM nb{i} n1 JOIN nb{i} n2 "
+            "ON n1.c = n2.c AND n1.n < n2.n GROUP BY 1, 2)"
+        )
+        if i < n_rounds:
+            parts.append(
+                f", e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e "
+                f"JOIN s{i} s ON s.a = e.a AND s.b = e.b "
+                f"WHERE s.cn >= {min_sup})"
+            )
+    parts.append(
+        f" SELECT e.a AS id_a, e.b AS id_b, s.cn AS support "
+        f"FROM e{n_rounds} e JOIN s{n_rounds} s "
+        "ON s.a = e.a AND s.b = e.b ORDER BY 1, 2"
+    )
+    return "".join(parts)
+
+
+def _q_k_truss(sf_dir: str):
+    """7-truss (every edge closes >= 5 triangles) of the planted
+    residue-clique + chain graph: chains peel in round 1 (zero
+    support), size-6 cliques peel with them at sf0.01 (support 4 < 5)
+    while size-7 cliques survive with support exactly 5 — partial
+    structure-dependent peeling, converged by round 2 at every sf
+    (disjoint cliques cannot cascade; pinned in tests). The SQL oracle
+    unrolls two peel rounds + the final support computation."""
+    from textalyzer_ray.pipelines.graph import k_truss
+
+    return k_truss(_planted_truss_edges(sf_dir), k=7)
+
+
 def _q_common_neighbors(sf_dir: str):
     """Common-neighbors link prediction (Liben-Nowell & Kleinberg
     2003) over the planted residue-class community graph: every
@@ -3649,7 +3773,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_select": _q_quota_select,
         "burst_intervals": _q_burst_intervals,
         "session_transitions": _q_session_transitions,
-        "lm_surprisal": _q_lm_surprisal,
         "hll_service_distinct": _q_hll_service_distinct,
         "stratified_split": _q_stratified_split,
         "pivot_counts": _q_pivot_counts,
@@ -3659,6 +3782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_hop_distance": _q_knn_hop_distance,
         "lpa_communities": _q_lpa_communities,
         "common_neighbors": _q_common_neighbors,
+        "k_truss": _q_k_truss,
         "resumable_funnel": _q_resumable_funnel,
         "grouping_sets": _q_grouping_sets,
         "sorted_neighborhood": _q_sorted_neighborhood,
@@ -3720,7 +3844,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # single_line_dups and the whole near-dup tier in-window).
         # session-2 park: vector_index_topk (r03-green; service tier
         # repped in-window by hll_service_distinct) made room for
-        # theil_sen_trends at the cap.
+        # theil_sen_trends at the cap; lm_surprisal (r03-green) for
+        # k_truss.
+        "lm_surprisal": _q_lm_surprisal,
         "vector_index_topk": _q_vector_index_topk,
         "lsh_index_dedup": _q_lsh_index_dedup,
         "stream_range_join": _q_stream_range_join,
@@ -4219,6 +4345,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM s JOIN tot USING (event_type) WHERE s.s > 4 * tot.t "
             "ORDER BY s.event_type, window_start"
         ),
+        # 7-truss: two unrolled peel rounds (converged by round 2 —
+        # disjoint cliques cannot cascade) + final support; every
+        # round is wedge-count support within the CURRENT edge set
+        "k_truss": _k_truss_oracle_sql(n_rounds=2, min_sup=5),
         # common-neighbors over the same planted graph: wedge
         # self-join on the apex, adjacency removed by left-join-null
         "common_neighbors": (

@@ -602,3 +602,71 @@ def test_common_neighbors_small_equals_distributed(ray_session):
 
     small, dist = run(2_000_000), run(0)
     assert small == dist and len(small) > 0
+
+
+def _edge_ds(pairs):
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.int64()),
+                "b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    ).repartition(2)
+
+
+def test_k_truss_two_cliques(ray_session):
+    """K5 + K4 joined by a chain: at k=4 both cliques survive (support
+    3 and 2), the chain dies; at k=5 only K5 survives."""
+    from itertools import combinations
+
+    from textalyzer_ray.pipelines.graph import k_truss
+
+    k5 = list(combinations(range(5), 2))
+    k4 = list(combinations(range(10, 14), 2))
+    chain = [(4, 7), (7, 10)]
+    edges = k5 + k4 + chain
+
+    out4 = k_truss(_edge_ds(edges), k=4).take_all()
+    assert {(r["id_a"], r["id_b"]) for r in out4} == set(k5) | set(k4)
+    assert all(
+        r["support"] == (3 if r["id_a"] < 5 else 2) for r in out4
+    )
+
+    out5 = k_truss(_edge_ds(edges), k=5).take_all()
+    assert {(r["id_a"], r["id_b"]) for r in out5} == set(k5)
+
+
+def test_k_truss_cascade_to_empty(ray_session):
+    """Two glued triangles (edges 01,02,12,13,23): only edge 12 has
+    support 2, so k=4 peels the rest in round 1, which starves 12 in
+    round 2 — the multi-round cascade must reach the empty fixed
+    point, not stop after one pass."""
+    from textalyzer_ray.pipelines.graph import k_truss
+
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    assert k_truss(_edge_ds(edges), k=4).take_all() == []
+
+
+def test_k_truss_small_equals_distributed(ray_session):
+    from itertools import combinations
+
+    from textalyzer_ray.pipelines.graph import k_truss
+
+    edges = (
+        list(combinations(range(6), 2))
+        + list(combinations(range(20, 25), 2))
+        + [(n, n + 1) for n in range(30)]
+        + [(3, 1), (9, 9)]  # reversed dup + self-loop
+    )
+
+    def run(thr):
+        return k_truss(
+            _edge_ds(edges), k=5, small_threshold=thr
+        ).take_all()
+
+    small, dist = run(2_000_000), run(0)
+    assert small == dist and len(small) > 0

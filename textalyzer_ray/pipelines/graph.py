@@ -1347,3 +1347,241 @@ def common_neighbors(
     return grouped_apply(
         wedges.union(edge_tags), ["a", "b"], merge_block, parts
     ).sort(["id_a", "id_b"])
+
+
+def k_truss(
+    edges: Dataset,
+    k: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 64,
+    small_threshold: int = 2_000_000,
+) -> Dataset:
+    """k-truss of the undirected simple graph (Cohen 2008): the
+    maximal subgraph in which EVERY edge closes at least k-2 triangles
+    — the edge-level cohesion filter link-spam analysis applies where
+    node-level k-core is too blunt (a hub passes any core threshold;
+    its spokes close no triangles and fall out of every truss).
+    Iterative peel: drop all edges with support < k-2, recompute,
+    repeat to fixed point.
+
+    Scale shape: per round, an edge's support is its endpoints'
+    common-neighbor count within the CURRENT edge set — the
+    common_neighbors machinery keyed per edge: wedge pairs per apex
+    block (one key-aligned exchange), then a merge exchange on (a, b)
+    where edge rows union-tag in and only side=0 rows survive with
+    their wedge count. Exchanges are sized to the measured live edge
+    count each round; a fixed point is detected by count. At or below
+    ``small_threshold`` distinct edges the whole peel runs in ONE
+    remote task (iterative Dataset loops pay operator-actor startup
+    per round — CLAUDE.md).
+
+    -> (id_a, id_b, support) for surviving edges, with support
+    computed on the FINAL subgraph; sorted (id_a, id_b). Raises if the
+    peel has not converged after ``max_rounds`` (support peeling
+    removes >= 1 edge per non-final round, so this only fires on a
+    graph with more than max_rounds cascade depth — raise, never
+    return a non-fixed-point)."""
+    import ray
+    import ray.data as rd
+
+    from textalyzer_ray.stages.groups import (
+        grouped_apply,
+        key_counts,
+        partitions_for,
+    )
+
+    if k < 3:
+        raise ValueError("k must be >= 3 (k-2 triangles per edge)")
+    node_t = _node_field(edges, a_col)
+    und_schema = pa.schema([pa.field("a", node_t), pa.field("b", node_t)])
+    out_schema = pa.schema(
+        [
+            pa.field("id_a", node_t),
+            pa.field("id_b", node_t),
+            pa.field("support", pa.int64()),
+        ]
+    )
+    min_sup = k - 2
+
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return und_schema.empty_table()
+        df = (
+            pl.from_arrow(t.select([a_col, b_col]))
+            .select(
+                pl.min_horizontal(a_col, b_col).alias("a"),
+                pl.max_horizontal(a_col, b_col).alias("b"),
+            )
+            .filter(pl.col("a") != pl.col("b"))
+        )
+        return df.to_arrow().cast(und_schema)
+
+    dist = (
+        key_counts(
+            edges.map_batches(
+                norm, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["a", "b"],
+        )
+        .map_batches(
+            lambda t: t.select(["a", "b"]).cast(und_schema),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    m = dist.count()
+    if m == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def support_frame(df: "pl.DataFrame") -> "pl.DataFrame":
+        """(a, b, support) for every edge of df (a<b distinct)."""
+        nbr = pl.concat(
+            [
+                df.select(pl.col("a").alias("c"), pl.col("b").alias("n")),
+                df.select(pl.col("b").alias("c"), pl.col("a").alias("n")),
+            ]
+        )
+        w = (
+            nbr.join(nbr, on="c", suffix="_r")
+            .filter(pl.col("n") < pl.col("n_r"))
+            .group_by(["n", "n_r"])
+            .agg(pl.len().cast(pl.Int64).alias("support"))
+            .rename({"n": "a", "n_r": "b"})
+        )
+        return df.join(w, on=["a", "b"], how="left").with_columns(
+            pl.col("support").fill_null(0)
+        )
+
+    if m <= small_threshold:
+
+        @ray.remote
+        def truss_task(*blocks: pa.Table) -> pa.Table:
+            df = pl.from_arrow(pa.concat_tables(blocks))
+            for _ in range(max_rounds):
+                sup = support_frame(df)
+                kept = sup.filter(pl.col("support") >= min_sup)
+                if kept.height == df.height:
+                    return (
+                        kept.rename({"a": "id_a", "b": "id_b"})
+                        .sort(["id_a", "id_b"])
+                        .to_arrow()
+                        .cast(out_schema)
+                    )
+                df = kept.select(["a", "b"])
+                if df.height == 0:
+                    return out_schema.empty_table()
+            raise RuntimeError(
+                f"k_truss: no fixed point after {max_rounds} rounds"
+            )
+
+        refs = dist.to_arrow_refs()
+        return rd.from_arrow_refs([truss_task.remote(*refs)])
+
+    tag_schema = pa.schema(
+        [
+            pa.field("a", node_t),
+            pa.field("b", node_t),
+            pa.field("side", pa.int8()),
+        ]
+    )
+    sup_schema = pa.schema(
+        [
+            pa.field("a", node_t),
+            pa.field("b", node_t),
+            pa.field("support", pa.int64()),
+        ]
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        nbr = pl.concat(
+            [
+                df.select(pl.col("a").alias("c"), pl.col("b").alias("n")),
+                df.select(pl.col("b").alias("c"), pl.col("a").alias("n")),
+            ]
+        )
+        return nbr.to_arrow().cast(
+            pa.schema([pa.field("c", node_t), pa.field("n", node_t)])
+        )
+
+    def wedge_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tag_schema.empty_table()
+        df = pl.from_arrow(t)
+        j = (
+            df.join(df, on="c", suffix="_r")
+            .filter(pl.col("n") < pl.col("n_r"))
+            .select(
+                pl.col("n").alias("a"),
+                pl.col("n_r").alias("b"),
+                pl.lit(1, dtype=pl.Int8).alias("side"),
+            )
+        )
+        return j.to_arrow().cast(tag_schema)
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "a": pc.cast(t["a"], node_t),
+                "b": pc.cast(t["b"], node_t),
+                "side": pa.array([0] * n, pa.int8()),
+            },
+            schema=tag_schema,
+        )
+
+    def edge_support_block(t: pa.Table) -> pa.Table:
+        # per (a, b): support = side-1 wedge count, kept only when a
+        # side-0 edge row is present (wedges over non-edges drop here)
+        if t.num_rows == 0:
+            return sup_schema.empty_table()
+        df = (
+            pl.from_arrow(t)
+            .group_by(["a", "b"])
+            .agg(
+                (pl.col("side") == 1).sum().cast(pl.Int64).alias("support"),
+                (pl.col("side") == 0).any().alias("_edge"),
+            )
+            .filter(pl.col("_edge"))
+            .select(["a", "b", "support"])
+        )
+        return df.to_arrow().cast(sup_schema)
+
+    cur, n_cur = dist, m
+    for _ in range(max_rounds):
+        parts = partitions_for(n_cur)
+        nbr_ds = cur.map_batches(both_dirs, batch_format="pyarrow")
+        wedges = grouped_apply(nbr_ds, ["c"], wedge_block, parts)
+        edge_tags = cur.map_batches(tag_edges, batch_format="pyarrow")
+        sup = grouped_apply(
+            wedges.union(edge_tags), ["a", "b"], edge_support_block, parts
+        ).materialize()
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.greater_equal(t["support"], min_sup)
+            )
+
+        kept = sup.map_batches(keep, batch_format="pyarrow").materialize()
+        n_kept = kept.count()
+        if n_kept == n_cur:
+            return kept.map_batches(
+                lambda t: pa.table(
+                    {
+                        "id_a": t["a"],
+                        "id_b": t["b"],
+                        "support": t["support"],
+                    },
+                    schema=out_schema,
+                ),
+                batch_format="pyarrow",
+            ).sort(["id_a", "id_b"])
+        if n_kept == 0:
+            return rd.from_arrow(out_schema.empty_table())
+        cur = kept.map_batches(
+            lambda t: t.select(["a", "b"]).cast(und_schema),
+            batch_format="pyarrow",
+        ).materialize()
+        n_cur = n_kept
+    raise RuntimeError(f"k_truss: no fixed point after {max_rounds} rounds")
