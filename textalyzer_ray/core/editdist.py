@@ -43,25 +43,90 @@ def levenshtein_ref(a: bytes, b: bytes) -> int:
 def levenshtein_batch(
     pats: list[bytes], texts: list[bytes]
 ) -> np.ndarray:
-    """Exact Levenshtein distance for each (pats[i], texts[i]) pair,
+    """Exact Levenshtein distance for each (pats[i], texts[i]) pair.
+    List-of-bytes front end for :func:`levenshtein_matrix` (the
+    vectorized Myers core); buffer packing here is a per-pair Python
+    loop, so corpus-scale callers should build the byte matrices
+    vectorized and call the matrix form directly (editsim does).
+    Requires every pattern length <= 64 (one machine word)."""
+    n_pairs = len(pats)
+    if n_pairs != len(texts):
+        raise ValueError("pats and texts must be the same length")
+    if n_pairs == 0:
+        return np.zeros(0, np.int64)
+    m = np.fromiter((len(p) for p in pats), np.int64, n_pairs)
+    n = np.fromiter((len(t) for t in texts), np.int64, n_pairs)
+    if int(m.max(initial=0)) > 64:
+        raise ValueError("pattern length must be <= 64 for the bit kernel")
+    max_n = int(n.max(initial=0))
+    pat_buf = np.zeros((n_pairs, 64), np.uint8)
+    for k, pb in enumerate(pats):
+        pat_buf[k, : len(pb)] = np.frombuffer(pb, np.uint8)
+    txt_buf = np.zeros((n_pairs, max(max_n, 1)), np.uint8)
+    for k, tb in enumerate(texts):
+        txt_buf[k, : len(tb)] = np.frombuffer(tb, np.uint8)
+    return levenshtein_matrix(pat_buf, m, txt_buf, n)
+
+
+def levenshtein_matrix(
+    pat_buf: np.ndarray,
+    m: np.ndarray,
+    txt_buf: np.ndarray,
+    n: np.ndarray,
+) -> np.ndarray:
+    """Exact Levenshtein distance for row-aligned byte matrices,
     vectorized across the pair axis with Myers' bit-vector recurrence:
     the whole batch advances one text byte per step, each step a dozen
     uint64 bitwise ops over all pairs at once — no per-pair Python in
-    the hot path. Requires every pattern length <= 64 (one machine
-    word); pairs where the pattern is empty return len(text) directly.
+    the hot path. ``pat_buf`` is (k, 64) zero-padded pattern bytes with
+    lengths ``m`` (every m <= 64 — one machine word); ``txt_buf`` is
+    (k, >=max(n)) zero-padded text bytes with lengths ``n``. Pairs
+    where the pattern is empty return len(text) directly.
 
     The global-distance boundary condition (D[0][j] = j) is the
     ``Ph = (Ph << 1) | 1`` carry-in; score starts at m and is updated
     by the sign bit at pattern position m-1. Pinned bit-identical to
     ``levenshtein_ref`` by hypothesis tests."""
-    n_pairs = len(pats)
-    if n_pairs != len(texts):
-        raise ValueError("pats and texts must be the same length")
+    peq = build_peq(pat_buf, m)
+    return levenshtein_peq(
+        peq, np.arange(len(m), dtype=np.int64), m, txt_buf, n
+    )
+
+
+def build_peq(pat_buf: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """(k, 256) uint64 Myers Peq[char] match masks for zero-padded
+    pattern rows ``pat_buf`` (k, 64) with lengths ``m``. Build ONCE per
+    distinct pattern set and share across pairs via the ``pat_ix``
+    argument of :func:`levenshtein_peq` — a per-pair Peq table is
+    k*2 KiB and was the measured editsim verify bottleneck."""
+    k = len(m)
+    peq = np.zeros((k, 256), _U64)
+    if k == 0:
+        return peq
+    if int(m.max(initial=0)) > 64:
+        raise ValueError("pattern length must be <= 64 for the bit kernel")
+    rows = np.arange(k)
+    # rows are distinct within each position j -> fancy |= is safe
+    for j in range(int(m.max(initial=0))):
+        has = m > j
+        peq[rows[has], pat_buf[has, j]] |= _ONE << _U64(j)
+    return peq
+
+
+def levenshtein_peq(
+    peq: np.ndarray,
+    pat_ix: np.ndarray,
+    m: np.ndarray,
+    txt_buf: np.ndarray,
+    n: np.ndarray,
+) -> np.ndarray:
+    """Myers bit-vector distances where pair i's pattern is row
+    ``pat_ix[i]`` of the shared ``peq`` table (lengths ``m`` aligned to
+    pairs). See :func:`levenshtein_matrix` for the recurrence notes."""
+    n_pairs = len(m)
     out = np.zeros(n_pairs, np.int64)
     if n_pairs == 0:
         return out
-    m = np.fromiter((len(p) for p in pats), np.int64, n_pairs)
-    n = np.fromiter((len(t) for t in texts), np.int64, n_pairs)
     if int(m.max(initial=0)) > 64:
         raise ValueError("pattern length must be <= 64 for the bit kernel")
     empty_pat = m == 0
@@ -72,20 +137,8 @@ def levenshtein_batch(
     m_l = m[live]
     n_l = n[live]
     max_n = int(n_l.max(initial=0))
-    # pattern byte matrix + per-pair Peq[char] masks (scatter once)
-    pat_buf = np.zeros((live.size, 64), np.uint8)
-    for k, i in enumerate(live):
-        pb = pats[i]
-        pat_buf[k, : len(pb)] = np.frombuffer(pb, np.uint8)
-    txt_buf = np.zeros((live.size, max_n), np.uint8)
-    for k, i in enumerate(live):
-        tb = texts[i]
-        txt_buf[k, : len(tb)] = np.frombuffer(tb, np.uint8)
-    peq = np.zeros((live.size, 256), _U64)
-    rows = np.arange(live.size)
-    for j in range(int(m_l.max())):
-        has = m_l > j
-        peq[rows[has], pat_buf[has, j]] |= _ONE << _U64(j)
+    pix = pat_ix[live]
+    txt_buf = txt_buf[live]
     hibit = _ONE << (m_l.astype(_U64) - _ONE)
     full = np.full(live.size, ~np.uint64(0), _U64)
     pv = np.where(
@@ -95,7 +148,7 @@ def levenshtein_batch(
     score = m_l.copy()
     for step in range(max_n):
         active = n_l > step
-        eq = peq[rows, txt_buf[:, step]]
+        eq = peq[pix, txt_buf[:, step]]
         xv = eq | mv
         xh = (((eq & pv) + pv) ^ pv) | eq
         ph = mv | ~(xh | pv)
