@@ -528,6 +528,64 @@ def _q_extract_text(sf_dir: str):
     return extracted.select_columns(["doc_id", "text"]).sort("doc_id")
 
 
+def _q_page_meta(sf_dir: str):
+    """Head-metadata extraction (title / canonical / meta description /
+    robots / og:site_name) over pages whose head tags are PLANTED from
+    doc_id arithmetic + the doc text (description = first 10 words):
+    the Ray side parses REAL HTML heads with the attribute-aware
+    parser (core.extract.extract_head_meta — entity escaping
+    round-trips renderer -> parser; adversarial cases pytest-pinned),
+    the oracle re-derives every field from the documents table."""
+    from textalyzer_ray.pipelines.extraction import extract_page_meta
+
+    def build(t):
+        import html as _h
+
+        import pyarrow as pa
+
+        from textalyzer_ray.sources.webgen import render_page
+
+        htmls = []
+        for d, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            desc = " ".join(tx.split(" ")[:10])
+            robots = "noindex,nofollow" if d % 13 == 0 else "index,follow"
+            extra = (
+                f'<link rel="canonical" href="https://docs.example/canon/{d}">'
+                f'<meta name="description" content="{_h.escape(desc)}">'
+                f'<meta property="og:site_name" content="site{d % 7}">'
+                f'<meta name="robots" content="{robots}">'
+            )
+            htmls.append(
+                render_page(
+                    tx,
+                    title=f"doc {d}",
+                    words_per_para=None,
+                    head_extra=extra,
+                )
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "html": pa.array(htmls, pa.binary())}
+        )
+
+    pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        build, batch_format="pyarrow"
+    )
+    return (
+        extract_page_meta(pages)
+        .select_columns(
+            [
+                "doc_id",
+                "title",
+                "canonical",
+                "description",
+                "robots",
+                "og_site_name",
+            ]
+        )
+        .sort("doc_id")
+    )
+
+
 def _cached_shard_dir(sf_dir: str, kind: str, n_shards: int, build):
     """Deterministic on-disk shard cache. The key covers the input
     parquet's identity (path + mtime + size), so regenerated testdata
@@ -3777,6 +3835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_split": _q_stratified_split,
         "pivot_counts": _q_pivot_counts,
         "extract_text": _q_extract_text,
+        "page_meta": _q_page_meta,
         "skyline_docs": _q_skyline_docs,
         "nfc_clean": _q_nfc_clean,
         "knn_hop_distance": _q_knn_hop_distance,
@@ -3787,7 +3846,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets": _q_grouping_sets,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "textrank_keywords": _q_textrank_keywords,
-        "bpe_train": _q_bpe_train,
         "props_rollup": _q_props_rollup,
         "pq_codes": _q_pq_codes,
         "events_gapfill": _q_events_gapfill,
@@ -3845,8 +3903,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session-2 park: vector_index_topk (r03-green; service tier
         # repped in-window by hll_service_distinct) made room for
         # theil_sen_trends at the cap; lm_surprisal (r03-green) for
-        # k_truss.
+        # k_truss; session-3: bpe_train (r03-green; family locally
+        # gated + bpe_doc_tokens below) for page_meta.
         "lm_surprisal": _q_lm_surprisal,
+        "bpe_train": _q_bpe_train,
         "vector_index_topk": _q_vector_index_topk,
         "lsh_index_dedup": _q_lsh_index_dedup,
         "stream_range_join": _q_stream_range_join,
@@ -4413,6 +4473,19 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY rank LIMIT {TOPK}"
         ),
         "extract_text": "SELECT doc_id, text FROM documents ORDER BY doc_id",
+        # page_meta: every planted head field re-derived from the
+        # documents table; description = first 10 words (DuckDB list
+        # slice is 1-based inclusive -> [1:10] == Python [:10])
+        "page_meta": (
+            "SELECT doc_id, 'doc ' || doc_id AS title, "
+            "'https://docs.example/canon/' || doc_id AS canonical, "
+            "array_to_string((string_split(text, ' '))[1:10], ' ') "
+            "AS description, "
+            "CASE WHEN doc_id % 13 = 0 THEN 'noindex,nofollow' "
+            "ELSE 'index,follow' END AS robots, "
+            "'site' || (doc_id % 7) AS og_site_name "
+            "FROM documents ORDER BY doc_id"
+        ),
         "warc_extract": "SELECT doc_id, text FROM documents ORDER BY doc_id",
         "cosine_pairs": (
             "SELECT e1.vec_id AS id_a, e2.vec_id AS id_b "

@@ -120,3 +120,87 @@ class TestSynthCorpus:
         pages = pages_from_documents(docs)
         for html, text in zip(pages["html"].to_pylist(), pages["text"].to_pylist()):
             assert extract_main_text(html).text == text
+
+
+class TestHeadMeta:
+    def _page(self, head_extra: str, title: str = "T") -> bytes:
+        from textalyzer_ray.sources.webgen import render_page
+
+        return render_page(
+            "some body words here", title=title, head_extra=head_extra
+        )
+
+    def test_all_fields(self):
+        from textalyzer_ray.core.extract import extract_head_meta
+
+        h = self._page(
+            '<link rel="canonical" href="https://c.example/x">'
+            '<meta name="description" content="a desc">'
+            '<meta property="og:site_name" content="sN">'
+            '<meta property="og:title" content="oT">'
+            '<meta name="robots" content="noindex">'
+        )
+        m = extract_head_meta(h)
+        assert m == {
+            "title": "T",
+            "canonical": "https://c.example/x",
+            "description": "a desc",
+            "robots": "noindex",
+            "og_site_name": "sN",
+            "og_title": "oT",
+        }
+
+    def test_entity_escaping_round_trips(self):
+        import html as _h
+
+        from textalyzer_ray.core.extract import extract_head_meta
+
+        desc = 'quotes " and <tags> & amps \' ok'
+        h = self._page(
+            f'<meta name="description" content="{_h.escape(desc)}">',
+            title="A & B <C>",
+        )
+        m = extract_head_meta(h)
+        assert m["description"] == desc
+        assert m["title"] == "A & B <C>"
+
+    def test_first_occurrence_wins_and_case_insensitive(self):
+        from textalyzer_ray.core.extract import extract_head_meta
+
+        h = self._page(
+            '<META NAME="Description" CONTENT="first">'
+            '<meta name="description" content="second">'
+            '<LINK REL="Canonical" HREF="https://one">'
+            '<link rel="canonical" href="https://two">'
+        )
+        m = extract_head_meta(h)
+        assert m["description"] == "first"
+        assert m["canonical"] == "https://one"
+
+    def test_absent_and_invalid(self):
+        from textalyzer_ray.core.extract import extract_head_meta
+
+        plain = self._page("")
+        m = extract_head_meta(plain)
+        assert m["title"] == "T" and m["canonical"] is None
+        assert m["description"] is None and m["robots"] is None
+        none = {k: None for k in m}
+        assert extract_head_meta(b"\x00junk") == none
+        assert extract_head_meta(b"\xff\xfe bad") == none
+        assert extract_head_meta(b"<p>headless</p>")["title"] is None
+
+    def test_body_meta_beyond_head_slice_ignored(self):
+        from textalyzer_ray.core.extract import extract_head_meta
+
+        h = (
+            b"<html><head><title>t</title></head><body>"
+            b'<meta name="description" content="smuggled">'
+            b"</body></html>"
+        )
+        assert extract_head_meta(h)["description"] is None
+
+    def test_meta_without_content_skipped(self):
+        from textalyzer_ray.core.extract import extract_head_meta
+
+        h = self._page('<meta name="description">')
+        assert extract_head_meta(h)["description"] is None

@@ -398,3 +398,70 @@ def extract_main_text(html: bytes) -> ExtractResult:
     if not text:
         return ExtractResult(False, "", "empty")
     return ExtractResult(True, text, "")
+
+
+_META_NAMES = ("description", "robots")
+_META_PROPS = ("og:site_name", "og:title")
+
+
+def extract_head_meta(html: bytes) -> dict[str, str | None]:
+    """Document-head metadata: ``{title, canonical, description,
+    robots, og_site_name, og_title}`` (absent tags -> None). Validity
+    rules mirror :func:`extract_main_text` (NUL -> binary, invalid
+    UTF-8 -> drop): invalid documents return all-None.
+
+    Parsing is attribute-aware, so it runs the html.parser engine —
+    but only over the bytes up to ``</head>`` (the head slice; a page
+    with no head close tag caps at 64 KiB), so cost is O(head), not
+    O(page). First occurrence wins for every field (browser/crawler
+    convention); name/property matching is case-insensitive and
+    values are entity-unescaped by the parser.
+
+    Reference analogue: none (the reference ingests plain text files,
+    textalyzer/src/file_utils.rs); §2.9 extension surface for the
+    extraction tier."""
+    empty: dict[str, str | None] = {
+        "title": None,
+        "canonical": None,
+        "description": None,
+        "robots": None,
+        "og_site_name": None,
+        "og_title": None,
+    }
+    if b"\x00" in html:
+        return empty
+    try:
+        text = html.decode("utf-8")
+    except UnicodeDecodeError:
+        return empty
+    low = text.lower()
+    cut = low.find("</head>")
+    head = text[: cut + 7] if cut != -1 else text[:65536]
+    root = parse_dom(head, engine="parser")
+    out = dict(empty)
+
+    def walk(node: _Node) -> None:
+        for c in node.children:
+            tag = c.tag
+            if tag == "title" and out["title"] is None:
+                out["title"] = _normalize_ws(_collect_text(c))
+            elif tag == "link":
+                rel = (c.attrs.get("rel") or "").strip().lower()
+                if rel == "canonical" and out["canonical"] is None:
+                    out["canonical"] = (c.attrs.get("href") or "").strip()
+            elif tag == "meta":
+                name = (c.attrs.get("name") or "").strip().lower()
+                prop = (c.attrs.get("property") or "").strip().lower()
+                content = c.attrs.get("content")
+                if content is None:
+                    continue
+                if name in _META_NAMES and out[name] is None:
+                    out[name] = content
+                elif prop in _META_PROPS:
+                    key = prop.replace(":", "_")
+                    if out[key] is None:
+                        out[key] = content
+            walk(c)
+
+    walk(root)
+    return out

@@ -44,6 +44,32 @@ def extract_pages(
     return out
 
 
+def extract_page_meta(
+    ds: Dataset,
+    html_col: str = "html",
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 256,
+) -> Dataset:
+    """html:binary -> head-metadata columns (title, canonical,
+    description, robots, og_site_name, og_title; absent tags null) —
+    the crawl-side page profile (canonical clusters, robots noindex
+    gates, og rollups) that runs BEFORE main-content extraction in a
+    curation funnel. Same actor-pool shape as extract_pages; only the
+    head slice of each page is parsed (core.extract.extract_head_meta),
+    so cost is O(head) per doc."""
+    from textalyzer_ray.stages.extract import MetaExtractor
+
+    if concurrency is None:
+        concurrency = default_pool()
+    return ds.map_batches(
+        MetaExtractor,
+        fn_constructor_kwargs={"html_col": html_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def drop_stats(ds_extracted: Dataset) -> dict[str, int]:
     """Counter metrics for the validity filter (reference drops silently,
     file_utils.rs:176-177; we count): {"", "binary", "invalid_utf8",

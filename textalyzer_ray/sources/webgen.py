@@ -96,6 +96,7 @@ def render_page(
     title: str = "A page",
     words_per_para: int | None = 40,
     extra_links: list[tuple[str, str]] | None = None,
+    head_extra: str = "",
 ) -> bytes:
     """text -> full HTML page whose main-content extraction equals
     ``"\\n".join(paragraphs_for(text, words_per_para))`` byte-for-byte.
@@ -103,7 +104,9 @@ def render_page(
     ``extra_links`` (href, anchor) pairs are injected into the link-
     dense <aside> — boilerplate the Arc90 scorer rejects — so they are
     visible to outlink extraction but can never change the extracted
-    main content."""
+    main content. ``head_extra`` raw tags (pre-escaped by the caller)
+    are injected before ``</head>`` for metadata-extraction corpora;
+    head content never reaches the extracted text either way."""
     paras = "".join(
         f"<p>{_html.escape(p, quote=False)}</p>"
         for p in paragraphs_for(text, words_per_para)
@@ -116,9 +119,12 @@ def render_page(
             for href, anchor in extra_links
         )
         sidebar = sidebar.replace("</ul></aside>", injected + "</ul></aside>")
+    head = _HEAD.format(title=_html.escape(title, quote=False))
+    if head_extra:
+        head = head.replace("</head>", head_extra + "</head>")
     doc = (
         "<!DOCTYPE html><html>"
-        + _HEAD.format(title=_html.escape(title, quote=False))
+        + head
         + "<body>"
         + _NAV
         + f'<div id="content"><article>{paras}</article></div>'

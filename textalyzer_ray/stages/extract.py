@@ -86,3 +86,37 @@ class PdfExtractor:
         out = out.append_column("ok", pa.array(oks, pa.bool_()))
         out = out.append_column("drop_reason", pa.array(reasons, pa.string()))
         return out
+
+
+class MetaExtractor:
+    """html:binary -> head-metadata columns (title, canonical,
+    description, robots, og_site_name, og_title — absent tags are
+    null). Actor-pool stage like HtmlExtractor; parses only the head
+    slice per document (core.extract.extract_head_meta)."""
+
+    _FIELDS = (
+        "title",
+        "canonical",
+        "description",
+        "robots",
+        "og_site_name",
+        "og_title",
+    )
+
+    def __init__(self, html_col: str = "html"):
+        self.html_col = html_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from textalyzer_ray.core.extract import extract_head_meta
+
+        cols: dict[str, list] = {f: [] for f in self._FIELDS}
+        for h in batch[self.html_col].to_pylist():
+            m = extract_head_meta(h if h is not None else b"")
+            for f in self._FIELDS:
+                cols[f].append(m[f])
+        out = batch
+        for f in self._FIELDS:
+            if f in out.column_names:
+                out = out.drop_columns([f])
+            out = out.append_column(f, pa.array(cols[f], pa.string()))
+        return out
