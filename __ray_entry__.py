@@ -586,6 +586,60 @@ def _q_page_meta(sf_dir: str):
     )
 
 
+def _q_phrase_search(sf_dir: str):
+    """Exact positional phrase search (zero-shuffle): every occurrence
+    of three 3-word phrases as (phrase_id, doc_id, pos). Phrases are
+    SELF-CONTAINED — phrase s = tokens [2s, 2s+3) of the doc with
+    doc_id == s — so the SQL oracle re-derives the phrase words from
+    the same corpus and replays the adjacency join positionally."""
+    import pyarrow.parquet as pq
+
+    from textalyzer_ray.core.textmetrics import tokenize
+    from textalyzer_ray.pipelines.retrieval import phrase_search
+
+    seeds = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 3)],
+    )
+    rows = sorted(zip(seeds["doc_id"].to_pylist(), seeds["text"].to_pylist()))
+    phrases = []
+    for s, (d, text) in enumerate(rows):
+        assert d == s, "phrase seeds assume doc_ids 0..2 exist"
+        words = tokenize(text)[2 * s : 2 * s + 3]
+        assert len(words) == 3
+        phrases.append(words)
+    return phrase_search(_docs(sf_dir, ["doc_id", "text"]), phrases)
+
+
+def _phrase_search_oracle_sql(split_re: str) -> str:
+    """Positional-postings phrase oracle: tokenize WITH positions
+    (row_number over the non-empty tokens), re-derive phrase s's words
+    as doc s positions 2s+1..2s+3, then one word-equality join — a
+    start matches iff all 3 offsets land (HAVING count(*) = 3; each
+    (start, j) pins exactly one token row, so the count is exact)."""
+    return (
+        "WITH arrs AS MATERIALIZED (SELECT doc_id, "
+        f"regexp_split_to_array(lower(text), '{split_re}') AS arr "
+        "FROM documents), "
+        "raw0 AS (SELECT doc_id, arr, "
+        "unnest(generate_series(1, len(arr))) AS idx FROM arrs), "
+        "raw AS MATERIALIZED (SELECT doc_id, idx, arr[idx] AS word "
+        "FROM raw0), "
+        "toks AS MATERIALIZED (SELECT doc_id, word, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS pos "
+        "FROM raw WHERE word <> ''), "
+        "ph AS MATERIALIZED (SELECT t.doc_id AS phrase_id, "
+        "t.pos - 2 * t.doc_id AS j, t.word FROM toks t "
+        "WHERE t.doc_id < 3 "
+        "AND t.pos BETWEEN 2 * t.doc_id + 1 AND 2 * t.doc_id + 3) "
+        "SELECT ph.phrase_id, t.doc_id, "
+        "CAST(t.pos - ph.j + 1 AS BIGINT) AS pos "
+        "FROM toks t JOIN ph ON t.word = ph.word "
+        "GROUP BY 1, 2, 3 HAVING count(*) = 3 ORDER BY 1, 2, 3"
+    )
+
+
 def _cached_shard_dir(sf_dir: str, kind: str, n_shards: int, build):
     """Deterministic on-disk shard cache. The key covers the input
     parquet's identity (path + mtime + size), so regenerated testdata
@@ -3786,6 +3840,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (curation by dup_span_removal + funnel_stages + resumable_funnel).
     # bloom_url_seen sits first past the cap (r03 row stands).
     #
+    # Fifth r4 rotation (session 3): phrase_search (exact positional
+    # phrase search — a new retrieval-positional family) entered;
+    # single_line_dups (r03-driver-green G2; exact line-dup semantics
+    # also exercised in-window by line_dedup_rebuild) parked first in
+    # the redundant block so its family keeps local gating.
+    #
     # Fourth r4 rotation (same session): five MORE new families entered
     # — url_templates (crawl structure census), redirect_resolution
     # (pointer jumping), rendezvous_shards (HRW placement),
@@ -3812,11 +3872,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "srp_pairs": _q_srp_pairs,
         "trending_terms": _q_trending_terms,
         "inverted_index": _q_inverted_index,
+        "phrase_search": _q_phrase_search,
         "cohort_retention": _q_cohort_retention,
         "hits_doc_host": _q_hits_doc_host,
         "lexical_profile": _q_lexical_profile,
         "seeded_textrank": _q_seeded_textrank,
-        "single_line_dups": _q_single_line_dups,
         "count_min_words": _q_count_min_words,
         "weighted_sample": _q_weighted_sample,
         "host_cocitation": _q_host_cocitation,
@@ -3905,6 +3965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # theil_sen_trends at the cap; lm_surprisal (r03-green) for
         # k_truss; session-3: bpe_train (r03-green; family locally
         # gated + bpe_doc_tokens below) for page_meta.
+        "single_line_dups": _q_single_line_dups,
         "lm_surprisal": _q_lm_surprisal,
         "bpe_train": _q_bpe_train,
         "vector_index_topk": _q_vector_index_topk,
@@ -6054,6 +6115,7 @@ def oracle_sql() -> dict[str, str]:
     )
     # Burst intervals: integer rate test by cross-multiplication,
     # islands via ws//60 - row_number (the gaps-and-islands idiom).
+    d["phrase_search"] = _phrase_search_oracle_sql(_TOKEN_SPLIT_SQL)
     d["burst_intervals"] = (
         f"WITH tok AS ({tokens_cte}), "
         "w AS (SELECT ((1600000000 + d.doc_id) // 60) * 60 AS ws, "

@@ -251,3 +251,74 @@ class TestInvertedIndex:
             {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
         )
         assert inverted_index(rd.from_arrow(t)).take_all() == []
+
+
+class TestPhraseSearch:
+    def test_occurrences_exact(self):
+        from textalyzer_ray.pipelines.retrieval import phrase_search
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [
+                    "the quick brown fox",
+                    "a quick brown dog, the quick brown cat",
+                    "quick... brown",  # punctuation splits, still adjacent
+                    "quick stop brown",  # intervening token: no match
+                ],
+            }
+        )
+        got = phrase_search(
+            rd.from_arrow(t).repartition(3),
+            [["quick", "brown"], ["the", "quick", "brown", "fox"]],
+        ).take_all()
+        assert [(r["phrase_id"], r["doc_id"], r["pos"]) for r in got] == [
+            (0, 1, 2),
+            (0, 2, 2),
+            (0, 2, 6),
+            (0, 3, 1),
+            (1, 1, 1),
+        ]
+
+    def test_no_cross_doc_match(self):
+        # last token of doc 1 + first of doc 2 form the phrase in the
+        # flat array; the same-parent guard must reject it
+        from textalyzer_ray.pipelines.retrieval import phrase_search
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["ends with alpha", "beta starts"],
+            }
+        )
+        got = phrase_search(rd.from_arrow(t), [["alpha", "beta"]]).take_all()
+        assert got == []
+
+    def test_case_and_empty_phrase(self):
+        from textalyzer_ray.pipelines.retrieval import phrase_search
+
+        t = pa.table(
+            {"doc_id": pa.array([1], pa.int64()), "text": ["Quick BROWN"]}
+        )
+        got = phrase_search(rd.from_arrow(t), [["quick", "brown"]]).take_all()
+        assert [(r["phrase_id"], r["doc_id"], r["pos"]) for r in got] == [
+            (0, 1, 1)
+        ]
+        with pytest.raises(ValueError):
+            phrase_search(rd.from_arrow(t), [])
+        with pytest.raises(ValueError):
+            phrase_search(rd.from_arrow(t), [["a"], []])
+
+    def test_partitioning_invariance_on_testdata(self):
+        from textalyzer_ray.sources.tables import read_table
+        from textalyzer_ray.pipelines.retrieval import phrase_search
+
+        docs = read_table(SF, "documents", columns=["doc_id", "text"])
+        phrases = [["the"], ["of", "the"]]
+        a = phrase_search(docs, phrases).take_all()
+        b = phrase_search(
+            read_table(SF, "documents", columns=["doc_id", "text"]).repartition(7),
+            phrases,
+        ).take_all()
+        assert a == b
+        assert len(a) > 0

@@ -336,3 +336,92 @@ def inverted_index(
         )
 
     return grouped_apply(pairs, ["word"], build_block).sort("word")
+
+
+def phrase_search(
+    ds_docs: Dataset,
+    phrases: list[list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Exact phrase search: every occurrence of each token phrase in
+    the corpus as (phrase_id, doc_id, pos) — pos is the 1-based token
+    position of the phrase's first word within the doc's non-empty
+    token sequence (standard positional-postings phrase semantics:
+    adjacency AFTER empty-token removal, the reference tokenizer's
+    sequence, frequency.rs:34-45).
+
+    Scale shape: ZERO shuffle — the phrase list is tiny and rides the
+    batch closure; tokens are doc-major within a batch so phrase
+    adjacency is adjacency in the flat token array (guarded by a
+    same-doc check), and matching is all-numpy: one unique/inverse
+    pass maps the batch's tokens to dense ids, each phrase word
+    becomes one integer comparison over shifted slices. Output is
+    ~occurrence-count rows; only the final deterministic sort touches
+    them. Reference analogue: none; §2.9 extension surface.
+    """
+    if not phrases or any(not p for p in phrases):
+        raise ValueError("phrases must be a non-empty list of non-empty lists")
+    import numpy as np
+
+    out_schema = pa.schema(
+        [
+            pa.field("phrase_id", pa.int64()),
+            pa.field(id_col, pa.int64()),
+            pa.field("pos", pa.int64()),
+        ]
+    )
+
+    def match_batch(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        tokens, parents = _flat_tokens(t, text_col)
+        ntok = len(tokens)
+        if ntok == 0:
+            return out_schema.empty_table()
+        toks = tokens.to_numpy(zero_copy_only=False)
+        par = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.arange(ntok, dtype=np.int64)
+        change = np.r_[True, par[1:] != par[:-1]]
+        seg_start = np.maximum.accumulate(np.where(change, idx, 0))
+        pos_in_doc = idx - seg_start + 1  # 1-based
+        uniq, inv = np.unique(toks, return_inverse=True)
+        doc_ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols_pid, cols_doc, cols_pos = [], [], []
+        for pid, words in enumerate(phrases):
+            k = len(words)
+            if ntok < k:
+                continue
+            wixs = np.searchsorted(uniq, np.array(words, dtype=object))
+            if any(
+                w >= len(uniq) or uniq[w] != words[j]
+                for j, w in enumerate(wixs)
+            ):
+                continue  # a phrase word absent from this batch
+            n_start = ntok - k + 1
+            hit = inv[:n_start] == wixs[0]
+            for j in range(1, k):
+                hit = hit & (inv[j : n_start + j] == wixs[j])
+            # same-doc guard: first and last phrase token share a parent
+            hit = hit & (par[:n_start] == par[k - 1 : n_start + k - 1])
+            at = np.flatnonzero(hit)
+            if len(at):
+                cols_pid.append(np.full(len(at), pid, np.int64))
+                cols_doc.append(doc_ids[par[at]])
+                cols_pos.append(pos_in_doc[at])
+        if not cols_pid:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "phrase_id": np.concatenate(cols_pid),
+                id_col: np.concatenate(cols_doc),
+                "pos": np.concatenate(cols_pos),
+            },
+            schema=out_schema,
+        )
+
+    return ds_docs.map_batches(
+        match_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["phrase_id", id_col, "pos"])
