@@ -586,6 +586,45 @@ def _q_page_meta(sf_dir: str):
     )
 
 
+def _q_sequence_pack(sf_dir: str):
+    """Cross-doc fixed-length training-sequence packing (128-slot
+    sequences over the EOS-joined id-ordered token stream); each
+    sequence summarized by exact integer aggregates + two
+    position-weighted checksums the oracle recomputes."""
+    from textalyzer_ray.pipelines.chunking import sequence_pack
+
+    return sequence_pack(_docs(sf_dir, ["doc_id", "text"]), seq_len=128)
+
+
+def _sequence_pack_oracle_sql(split_re: str, seq_len: int) -> str:
+    """Replay the packing in SQL: per-doc tokens + one EOS slot (v =
+    octet_length + 1, EOS v = 1), global position = row_number over
+    (doc_id, j), seq = p // L; aggregate the same integer moments."""
+    return (
+        "WITH arrs AS MATERIALIZED (SELECT doc_id, "
+        f"list_filter(regexp_split_to_array(lower(text), '{split_re}'), "
+        "x -> x <> '') AS ws FROM documents), "
+        "tok AS (SELECT doc_id, ws, "
+        "unnest(generate_series(1, len(ws) + 1)) AS j FROM arrs), "
+        "slots AS MATERIALIZED (SELECT doc_id, j, "
+        "CASE WHEN j <= len(ws) THEN octet_length(encode(ws[j])) + 1 ELSE 1 END "
+        "AS v FROM tok), "
+        "g AS MATERIALIZED (SELECT doc_id, v, "
+        "row_number() OVER (ORDER BY doc_id, j) - 1 AS p FROM slots), "
+        f"s AS (SELECT p // {seq_len} AS seq_id, "
+        f"p % {seq_len} + 1 AS slot1, doc_id, v FROM g) "
+        "SELECT CAST(seq_id AS BIGINT) AS seq_id, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_slots, "
+        "CAST(count(*) FILTER (WHERE v = 1) AS BIGINT) AS n_eos, "
+        "CAST(min(doc_id) AS BIGINT) AS first_doc, "
+        "CAST(max(doc_id) AS BIGINT) AS last_doc, "
+        "CAST(sum(slot1 * v) AS BIGINT) AS cksum1, "
+        "CAST(sum(slot1 * slot1 * v) AS BIGINT) AS cksum2 "
+        "FROM s GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _q_phrase_search(sf_dir: str):
     """Exact positional phrase search (zero-shuffle): every occurrence
     of three 3-word phrases as (phrase_id, doc_id, pos). Phrases are
@@ -3844,7 +3883,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # phrase search — a new retrieval-positional family) entered;
     # single_line_dups (r03-driver-green G2; exact line-dup semantics
     # also exercised in-window by line_dedup_rebuild) parked first in
-    # the redundant block so its family keeps local gating.
+    # the redundant block so its family keeps local gating. Then
+    # sequence_pack (cross-doc fixed-length LLM sequence packing, a
+    # new family) entered; extract_text (r03-driver-green; extraction
+    # family keeps page_meta in-window + warc_extract's r03 row)
+    # parked beside it.
     #
     # Fourth r4 rotation (same session): five MORE new families entered
     # — url_templates (crawl structure census), redirect_resolution
@@ -3873,6 +3916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_terms": _q_trending_terms,
         "inverted_index": _q_inverted_index,
         "phrase_search": _q_phrase_search,
+        "sequence_pack": _q_sequence_pack,
         "cohort_retention": _q_cohort_retention,
         "hits_doc_host": _q_hits_doc_host,
         "lexical_profile": _q_lexical_profile,
@@ -3894,7 +3938,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_service_distinct": _q_hll_service_distinct,
         "stratified_split": _q_stratified_split,
         "pivot_counts": _q_pivot_counts,
-        "extract_text": _q_extract_text,
         "page_meta": _q_page_meta,
         "skyline_docs": _q_skyline_docs,
         "nfc_clean": _q_nfc_clean,
@@ -3965,6 +4008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # theil_sen_trends at the cap; lm_surprisal (r03-green) for
         # k_truss; session-3: bpe_train (r03-green; family locally
         # gated + bpe_doc_tokens below) for page_meta.
+        "extract_text": _q_extract_text,
         "single_line_dups": _q_single_line_dups,
         "lm_surprisal": _q_lm_surprisal,
         "bpe_train": _q_bpe_train,
@@ -6116,6 +6160,7 @@ def oracle_sql() -> dict[str, str]:
     # Burst intervals: integer rate test by cross-multiplication,
     # islands via ws//60 - row_number (the gaps-and-islands idiom).
     d["phrase_search"] = _phrase_search_oracle_sql(_TOKEN_SPLIT_SQL)
+    d["sequence_pack"] = _sequence_pack_oracle_sql(_TOKEN_SPLIT_SQL, 128)
     d["burst_intervals"] = (
         f"WITH tok AS ({tokens_cte}), "
         "w AS (SELECT ((1600000000 + d.doc_id) // 60) * 60 AS ws, "
