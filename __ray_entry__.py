@@ -477,6 +477,30 @@ def _q_theil_sen_trends(sf_dir: str):
     return theil_sen_trends(ev, window_s=3600)
 
 
+def _q_range_splitters(sf_dir: str):
+    """Exact range-partition splitters of a 64-bit hash key with NO
+    global sort: 4 radix counting rounds (16 bits each), driver state
+    bounded by (n_shards-1) x 65536 counters. splitter j = the key at
+    rank (j*n + 7) // 8, the same integer rank arithmetic the oracle
+    applies to row_number() over the SQL-recomputed fmix hash chain."""
+    from textalyzer_ray.pipelines.layout import range_splitters
+
+    return range_splitters(_docs(sf_dir, columns=["doc_id"]), n_shards=8)
+
+
+def _q_ols_trends(sf_dir: str):
+    """Per-type least-squares rate trend over the same dense hourly
+    grid as theil_sen: slope AND intercept are each ONE int/int double
+    division of exact integer sums (numerators/denominator asserted
+    < 2^53 so DuckDB's HUGEINT->DOUBLE operand cast is exact), so both
+    float columns hash-match raw."""
+    from textalyzer_ray.pipelines.analytics import ols_trends
+    from textalyzer_ray.sources.tables import read_table
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    return ols_trends(ev, window_s=3600)
+
+
 def _q_events_hopping(sf_dir: str):
     """Overlapping (hopping) windows: 1 h windows advancing by 15 min —
     each event contributes to 4 windows."""
@@ -3954,6 +3978,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill": _q_events_gapfill,
         "cusum_alarms": _q_cusum_alarms,
         "theil_sen_trends": _q_theil_sen_trends,
+        "ols_trends": _q_ols_trends,
+        "range_splitters": _q_range_splitters,
         "chunk_windows": _q_chunk_windows,
         "decayed_counts": _q_decayed_counts,
         "bloom_url_seen": _q_bloom_url_seen,
@@ -4480,6 +4506,46 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_pairs, "
             "quantile_disc(slope, 0.5) AS slope "
             "FROM s GROUP BY 1 ORDER BY 1"
+        ),
+        # OLS trend: slope/intercept are single int/int double
+        # divisions of exact HUGEINT sums over the same dense grid
+        # (operands < 2^53, asserted in the pipeline, so the
+        # HUGEINT->DOUBLE operand casts are exact)
+        "ols_trends": (
+            "WITH b AS (SELECT epoch_us(ts) // 3600000000 AS w, "
+            "event_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "g AS (SELECT unnest(generate_series((SELECT min(w) FROM b), "
+            "(SELECT max(w) FROM b))) AS w), "
+            "ty AS (SELECT DISTINCT event_type FROM b), "
+            "f AS MATERIALIZED (SELECT g.w - (SELECT min(w) FROM b) AS x, "
+            "ty.event_type, coalesce(b.n, 0) AS y FROM g CROSS JOIN ty "
+            "LEFT JOIN b ON b.w = g.w AND b.event_type = ty.event_type), "
+            "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS wn, "
+            "sum(x) AS sx, sum(x * x) AS sxx, sum(y) AS sy, "
+            "sum(x * y) AS sxy FROM f GROUP BY 1) "
+            "SELECT event_type, wn AS n_windows, "
+            "(wn * sxy - sx * sy) / (wn * sxx - sx * sx) AS slope, "
+            "(sy * sxx - sx * sxy) / (wn * sxx - sx * sx) AS intercept "
+            "FROM s ORDER BY event_type"
+        ),
+        # range splitters: rank arithmetic over row_number() of the
+        # SQL-recomputed hll_hash64(str(doc_id)) — ceil(j*n/8) as the
+        # integer form (j*n + 7) // 8, matching the radix walk exactly
+        "range_splitters": (
+            "WITH RECURSIVE spl AS (SELECT doc_id AS sid, "
+            "CAST(doc_id AS VARCHAR) AS sk FROM documents), "
+            + _hll_hash64_oracle_ctes("spl", "sk", "sid")
+            + ", rv AS (SELECT CAST(hi AS HUGEINT) * 4294967296 + lo "
+            "AS v FROM bx3), "
+            "o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, "
+            "count(*) OVER () AS n FROM rv), "
+            "js AS (SELECT unnest(generate_series(1, 7)) AS splitter) "
+            "SELECT CAST(js.splitter AS BIGINT) AS splitter, "
+            "CAST(o.v // 4294967296 AS BIGINT) AS hi, "
+            "CAST(o.v % 4294967296 AS BIGINT) AS lo "
+            "FROM js JOIN o ON o.rn = (js.splitter * o.n + 7) // 8 "
+            "ORDER BY splitter"
         ),
         # CUSUM drift alarms: all-integer cross-multiplied chain
         # (d_i = W*x_i - T, S_t = P_t - min(0, running min P)), alarm

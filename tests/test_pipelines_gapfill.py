@@ -153,3 +153,57 @@ def test_theil_sen_hand_case(ray_session):
     assert got["lin"]["slope"] == 2.0
     assert got["gap"]["n_windows"] == 4
     assert got["gap"]["slope"] == -1.0
+
+
+def test_ols_trends_hand_case(ray_session):
+    """'lin' is exactly linear y = 2x + 1 over 4 windows (slope 2,
+    intercept 1 recovered exactly by the integer closed form); 'gap'
+    has zero-count windows on the GLOBAL grid (dense [3,0,3,0] ->
+    Sy=6, Sxy=6 -> slope (4*6 - 6*6)/(4*14 - 36) = -12/20 = -0.6,
+    intercept (6*14 - 6*6)/20 = 48/20 = 2.4)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textalyzer_ray.pipelines.analytics import ols_trends
+
+    rows = []
+    for w, c in ((0, 1), (1, 3), (2, 5), (3, 7)):
+        rows += [(w * 60 + 1, "lin")] * c
+    for w, c in ((0, 3), (2, 3)):
+        rows += [(w * 60 + 2, "gap")] * c
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(
+                    [t * 1_000_000 for t, _ in rows], pa.timestamp("us")
+                ),
+                "event_type": pa.array([ty for _, ty in rows], pa.string()),
+            }
+        )
+    ).repartition(3)
+
+    out = ols_trends(ev, window_s=60).take_all()
+    got = {r["event_type"]: r for r in out}
+    assert set(got) == {"lin", "gap"}
+    assert got["lin"]["n_windows"] == 4
+    assert got["lin"]["slope"] == 2.0
+    assert got["lin"]["intercept"] == 1.0
+    assert got["gap"]["slope"] == -0.6
+    assert got["gap"]["intercept"] == 2.4
+
+
+def test_ols_trends_single_window_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from textalyzer_ray.pipelines.analytics import ols_trends
+
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([1_000_000, 2_000_000], pa.timestamp("us")),
+                "event_type": pa.array(["a", "b"], pa.string()),
+            }
+        )
+    )
+    assert ols_trends(ev, window_s=60).take_all() == []

@@ -148,3 +148,44 @@ class TestZOrderProperties:
         assert (np.diff(zz) > 0).all()
         zz2 = zorder_value(fixed, xs)
         assert (np.diff(zz2) > 0).all()
+
+
+class TestRangeSplitters:
+    def _brute(self, ids, n_shards):
+        from textalyzer_ray.core.fingerprint import hll_hash64_array
+
+        ks = sorted(hll_hash64_array([str(i) for i in ids]).tolist())
+        n = len(ks)
+        return [
+            ks[(j * n + n_shards - 1) // n_shards - 1]
+            for j in range(1, n_shards)
+        ]
+
+    def _run(self, ids, n_shards):
+        from textalyzer_ray.pipelines.layout import range_splitters
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64())})
+        ).repartition(4)
+        t = range_splitters(ds, n_shards=n_shards)
+        return [
+            (h << 32) | lo
+            for h, lo in zip(
+                t["hi"].to_pylist(), t["lo"].to_pylist()
+            )
+        ]
+
+    def test_matches_sorted_selection(self, ray_session):
+        ids = list(range(500))
+        for n_shards in (2, 4, 8, 13):
+            assert self._run(ids, n_shards) == self._brute(ids, n_shards)
+
+    def test_fewer_rows_than_shards(self, ray_session):
+        ids = [3, 11, 42]
+        assert self._run(ids, 8) == self._brute(ids, 8)
+
+    def test_empty(self, ray_session):
+        from textalyzer_ray.pipelines.layout import range_splitters
+
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+        assert range_splitters(ds, n_shards=8).num_rows == 0

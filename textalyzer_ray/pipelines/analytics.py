@@ -1686,3 +1686,155 @@ def theil_sen_trends(
         trend_block,
         num_partitions=partitions_for(counts.count()),
     ).sort(type_col)
+
+
+def ols_trends(
+    ds_events: Dataset,
+    window_s: int = 3600,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> Dataset:
+    """Per-type least-squares rate trend over the dense per-window
+    count series — the classical companion to ``theil_sen_trends``
+    (same grid, same exchange shape): slope and intercept of the OLS
+    line fitted to (window index, event count). Exactness is
+    engineered, not assumed: with x = 0..W-1 and integer counts y,
+    both closed forms are ratios of INTEGER sums —
+
+        slope     = (W*Sxy - Sx*Sy) / (W*Sxx - Sx*Sx)
+        intercept = (Sy*Sxx - Sx*Sxy) / (W*Sxx - Sx*Sx)
+
+    — accumulated as Python ints (arbitrary precision, matching
+    DuckDB's HUGEINT sums bit-for-bit), then ONE int/int double
+    division each (IEEE-identical across engines, CLAUDE.md r2 rule).
+    Both operands are asserted < 2^53 so DuckDB's HUGEINT->DOUBLE
+    operand cast is exact; beyond that the window span, not the
+    corpus, is what grew — re-window before re-scaling.
+
+    Scale shape: identical to cusum_alarms — per-batch (window, type)
+    partials -> ONE key_counts merge -> per-block extrema + driver
+    reduce for the global span -> ONE type-keyed exchange (type
+    cardinality is schema-bounded) -> per-type numpy scatter and six
+    integer sums. Gap windows count 0 via the dense grid.
+
+    -> (event_type, n_windows, slope, intercept), sorted by type.
+    Fewer than 2 windows -> empty (no line through one point)."""
+    import numpy as np
+    import polars as pl
+    import ray.data as rd
+
+    from textalyzer_ray.stages.groups import (
+        grouped_apply,
+        key_counts,
+        partitions_for,
+    )
+
+    win_us = int(window_s) * 1_000_000
+
+    def partials(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t[ts_col], pa.int64())
+        tbl = pa.table(
+            {"w": pc.divide(epoch, win_us), type_col: t[type_col]}
+        )
+        return (
+            pl.from_arrow(tbl)
+            .group_by(["w", type_col])
+            .len()
+            .rename({"len": "n"})
+            .with_columns(pl.col("n").cast(pl.Int64))
+            .to_arrow()
+            .cast(
+                pa.schema(
+                    [
+                        pa.field("w", pa.int64()),
+                        pa.field(type_col, pa.string()),
+                        pa.field("n", pa.int64()),
+                    ]
+                )
+            )
+        )
+
+    counts = key_counts(
+        ds_events.select_columns([ts_col, type_col]).map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["w", type_col],
+        sum_cols=["n"],
+    ).materialize()
+
+    out_schema = pa.schema(
+        [
+            pa.field(type_col, pa.string()),
+            pa.field("n_windows", pa.int64()),
+            pa.field("slope", pa.float64()),
+            pa.field("intercept", pa.float64()),
+        ]
+    )
+
+    def block_minmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+            )
+        h = t["w"]
+        return pa.table({"lo": [pc.min(h).as_py()], "hi": [pc.max(h).as_py()]})
+
+    mm = counts.map_batches(
+        block_minmax, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    if not mm:
+        return rd.from_arrow(out_schema.empty_table())
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
+    n_windows = int(hi - lo + 1)
+    if n_windows < 2:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def ols_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t)
+        types, nw_out, sl_out, ic_out = [], [], [], []
+        # schema-bounded type loop; the series itself is one numpy
+        # scatter, the sums are exact Python ints
+        W = n_windows
+        sx = W * (W - 1) // 2
+        sxx = (W - 1) * W * (2 * W - 1) // 6
+        den = W * sxx - sx * sx
+        for (ty,), g in df.group_by([type_col]):
+            w = g["w"].to_numpy()
+            n = g["sum_n"].to_numpy().astype(np.int64)
+            dense = np.zeros(W, dtype=np.int64)
+            dense[w - lo] = n
+            sy = int(dense.sum())
+            sxy = int((np.arange(W, dtype=np.int64) * dense).sum())
+            num_s = W * sxy - sx * sy
+            num_i = sy * sxx - sx * sxy
+            # DuckDB casts each HUGEINT operand to DOUBLE before the
+            # division; exact only below 2^53.
+            for v in (num_s, num_i, den):
+                if abs(v) >= 1 << 53:
+                    raise ValueError(
+                        "ols_trends: integer sum exceeds exact-double "
+                        f"range ({v}); shrink the window span"
+                    )
+            types.append(ty)
+            nw_out.append(W)
+            sl_out.append(num_s / den)
+            ic_out.append(num_i / den)
+        return pa.table(
+            {
+                type_col: pa.array(types, pa.string()),
+                "n_windows": pa.array(nw_out, pa.int64()),
+                "slope": pa.array(sl_out, pa.float64()),
+                "intercept": pa.array(ic_out, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return grouped_apply(
+        counts,
+        [type_col],
+        ols_block,
+        num_partitions=partitions_for(counts.count()),
+    ).sort(type_col)

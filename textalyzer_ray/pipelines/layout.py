@@ -280,3 +280,123 @@ def rendezvous_shards(
     return ds.map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True
     ).sort(id_col)
+
+
+def range_splitters(
+    ds: Dataset,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """EXACT range-partition boundaries of a 64-bit hash key WITHOUT a
+    global sort: the multi-round radix selection a shuffle planner
+    runs to pick balanced splitters before a range exchange. The
+    column_quantiles histogram trick needs a bounded value domain; a
+    64-bit key has none, so instead each of 4 rounds refines 16 more
+    bits — one zero-shuffle counting pass per round over the needed
+    prefixes only, with driver state bounded by
+    (n_shards-1) x 65536 counters, never by rows. At 10^12 rows this
+    is 4 streaming scans and ~2 MB of driver state where a sort-based
+    splitter pays a full all-to-all exchange.
+
+    key = hll_hash64(str(id)) (the SQL-recomputable fmix chain);
+    splitter j (1..n_shards-1) = the key at 1-based rank
+    ceil(j*n/n_shards) = (j*n + n_shards - 1) // n_shards of the
+    sorted key multiset — the same integer rank arithmetic the DuckDB
+    oracle applies to row_number() over the recomputed hashes.
+
+    Returns an in-memory Arrow table (splitter, hi, lo) — splitters
+    are a scalar summary (the thing you broadcast to a range
+    exchange), not a dataset. hi/lo are the u64 key's two BIGINT
+    halves (driver contract: no u64 column crosses engines whole)."""
+    import numpy as np
+
+    from textalyzer_ray.core.fingerprint import hll_hash64_array
+
+    if n_shards < 2:
+        raise ValueError("n_shards must be >= 2")
+
+    def to_keys(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ks = hll_hash64_array([str(i) for i in ids.tolist()])
+        return pa.table({"k": pa.array(ks.view(np.int64))})
+
+    keys = ds.select_columns([id_col]).map_batches(
+        to_keys, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n = keys.count()
+    out_schema = pa.schema(
+        [
+            pa.field("splitter", pa.int64()),
+            pa.field("hi", pa.int64()),
+            pa.field("lo", pa.int64()),
+        ]
+    )
+    if n == 0:
+        return out_schema.empty_table()
+
+    # splitter j -> [running 16-bit-refined prefix, residual rank]
+    state = {
+        j: [np.uint64(0), (j * n + n_shards - 1) // n_shards]
+        for j in range(1, n_shards)
+    }
+
+    for rnd in range(4):
+        shift = np.uint64(48 - 16 * rnd)
+        needed = np.unique(
+            np.array([p for p, _ in state.values()], dtype=np.uint64)
+        )
+
+        def count_pass(
+            t: pa.Table, _shift=shift, _needed=needed, _rnd=rnd
+        ) -> pa.Table:
+            k = t["k"].to_numpy(zero_copy_only=False).view(np.uint64)
+            if _rnd == 0:
+                sel = k
+            else:
+                prev = k >> np.uint64(64 - 16 * _rnd)
+                sel = k[np.isin(prev, _needed)]
+            # (prefix << 16 | bucket) == the key's top 16*(rnd+1) bits
+            pb, cnt = np.unique(sel >> _shift, return_counts=True)
+            return pa.table(
+                {
+                    "pb": pa.array(pb.view(np.int64)),
+                    "n": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+        # tiny: <= (n_shards-1) x 65536 (prefix, bucket) rows total
+        agg: dict[int, int] = {}
+        for r in keys.map_batches(
+            count_pass, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all():
+            pb = int(np.int64(r["pb"]).view(np.uint64))
+            agg[pb] = agg.get(pb, 0) + int(r["n"])
+
+        by_prefix: dict[int, list[tuple[int, int]]] = {}
+        for pb, c in agg.items():
+            by_prefix.setdefault(pb >> 16, []).append((pb & 0xFFFF, c))
+        for buckets in by_prefix.values():
+            buckets.sort()
+        for j, (prefix, rank) in state.items():
+            cum = 0
+            for b, c in by_prefix[int(prefix)]:
+                if cum + c >= rank:
+                    state[j] = [
+                        (prefix << np.uint64(16)) | np.uint64(b),
+                        rank - cum,
+                    ]
+                    break
+                cum += c
+            else:  # pragma: no cover - rank <= prefix count by invariant
+                raise AssertionError("rank exceeded prefix population")
+
+    vals = [int(state[j][0]) for j in sorted(state)]
+    assert vals == sorted(vals)
+    return pa.table(
+        {
+            "splitter": pa.array(sorted(state), pa.int64()),
+            "hi": pa.array([v >> 32 for v in vals], pa.int64()),
+            "lo": pa.array([v & 0xFFFFFFFF for v in vals], pa.int64()),
+        },
+        schema=out_schema,
+    )
