@@ -477,6 +477,28 @@ def _q_theil_sen_trends(sf_dir: str):
     return theil_sen_trends(ev, window_s=3600)
 
 
+def _q_source_overlap(sf_dir: str):
+    """Pairwise cross-source distinct-3-gram contamination matrix.
+    containment = n_shared / min(n_a, n_b) is one int/int double
+    division (hash-safe raw); grams form per document, never across
+    docs of a source."""
+    from textalyzer_ray.pipelines.curation import source_overlap
+
+    return source_overlap(
+        _docs(sf_dir, columns=["doc_id", "source", "text"]), n=3
+    )
+
+
+def _q_novelty_scores(sf_dir: str):
+    """Per-doc first-seen 3-gram fraction in corpus (crawl) order:
+    first owner of a gram = min doc_id. novelty = n_new / n_distinct
+    is one int/int double division (hash-safe raw); docs with < 3
+    tokens are excluded by definition."""
+    from textalyzer_ray.pipelines.curation import novelty_scores
+
+    return novelty_scores(_docs(sf_dir, columns=["doc_id", "text"]), n=3)
+
+
 def _q_range_splitters(sf_dir: str):
     """Exact range-partition splitters of a 64-bit hash key with NO
     global sort: 4 radix counting rounds (16 bits each), driver state
@@ -3980,6 +4002,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_trends": _q_theil_sen_trends,
         "ols_trends": _q_ols_trends,
         "range_splitters": _q_range_splitters,
+        "novelty_scores": _q_novelty_scores,
+        "source_overlap": _q_source_overlap,
         "chunk_windows": _q_chunk_windows,
         "decayed_counts": _q_decayed_counts,
         "bloom_url_seen": _q_bloom_url_seen,
@@ -5241,6 +5265,50 @@ def oracle_sql() -> dict[str, str]:
             "7*coalesce(t.n_grams, 0) THEN 1 ELSE 0 END AS BIGINT) AS kept "
             "FROM documents d LEFT JOIN tot t USING (doc_id) "
             "LEFT JOIN dup u USING (doc_id) ORDER BY doc_id"
+        ),
+        # cross-source contamination: DISTINCT (source, gram) pairs
+        # (grams per document), self-join on gram for shared counts;
+        # containment = n_shared / least(n_a, n_b) is int/int
+        "source_overlap": (
+            "WITH tok AS (SELECT doc_id, source, list_filter("
+            f"regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'), "
+            "x -> x <> '') AS ws FROM documents), "
+            "g AS (SELECT source, array_to_string(ws[i : i+2], ' ') AS gram "
+            "FROM (SELECT source, ws, unnest(generate_series(1, len(ws)-2)) "
+            "AS i FROM tok WHERE len(ws) >= 3)), "
+            "p AS (SELECT DISTINCT source, gram FROM g), "
+            "tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM p "
+            "GROUP BY source), "
+            "sh AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(count(*) AS BIGINT) AS n_shared FROM p a JOIN p b "
+            "ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT sh.source_a, sh.source_b, sh.n_shared, "
+            "ta.n AS n_a, tb.n AS n_b, "
+            "sh.n_shared / least(ta.n, tb.n) AS containment "
+            "FROM sh JOIN tot ta ON ta.source = sh.source_a "
+            "JOIN tot tb ON tb.source = sh.source_b "
+            "ORDER BY sh.source_a, sh.source_b"
+        ),
+        # novelty: first owner of a gram = min doc_id over DISTINCT
+        # (doc, gram) pairs; novelty = n_new / n_distinct is int/int
+        # (IEEE-parity) so the double hash-matches raw
+        "novelty_scores": (
+            "WITH tok AS (SELECT doc_id, list_filter("
+            f"regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'), "
+            "x -> x <> '') AS ws FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(ws[i : i+2], ' ') AS gram "
+            "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) "
+            "AS i FROM tok WHERE len(ws) >= 3)), "
+            "p AS (SELECT DISTINCT doc_id, gram FROM g), "
+            "fo AS (SELECT gram, min(doc_id) AS first_doc FROM p "
+            "GROUP BY gram) "
+            "SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_distinct, "
+            "CAST(sum(CASE WHEN fo.first_doc = p.doc_id THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_new, "
+            "CAST(sum(CASE WHEN fo.first_doc = p.doc_id THEN 1 ELSE 0 END) "
+            "AS BIGINT) / CAST(count(*) AS BIGINT) AS novelty "
+            "FROM p JOIN fo USING (gram) GROUP BY p.doc_id "
+            "ORDER BY p.doc_id"
         ),
         "kmeans_clusters": _kmeans_oracle_sql(k=8, n_iter=4),
         "cluster_balanced_sample": (

@@ -1138,3 +1138,104 @@ class TestBlocklistAudit:
             {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
         )
         assert blocklist_audit(rd.from_arrow(t), ["x"]).take_all() == []
+
+
+class TestNoveltyScores:
+    def test_first_owner_and_fractions(self, ray_session):
+        """doc0 plants 'a b c d' (grams: 'a b c','b c d' — both new);
+        doc1 repeats 'a b c' and adds 'c d e' -> grams {'a b c','b c d'?
+        no: text 'a b c e' -> grams 'a b c' (old), 'b c e' (new) ->
+        novelty 1/2; doc2 is a pure copy of doc0 -> novelty 0; doc3 is
+        2 tokens -> excluded."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.curation import novelty_scores
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["a b c d", "a b c e", "a b c d", "a b"], pa.string()
+                ),
+            }
+        )
+        out = novelty_scores(rd.from_arrow(t).repartition(3), n=3).take_all()
+        got = {r["doc_id"]: r for r in out}
+        assert set(got) == {0, 1, 2}
+        assert got[0]["n_distinct"] == 2 and got[0]["n_new"] == 2
+        assert got[0]["novelty"] == 1.0
+        assert got[1]["n_distinct"] == 2 and got[1]["n_new"] == 1
+        assert got[1]["novelty"] == 0.5
+        assert got[2]["n_new"] == 0 and got[2]["novelty"] == 0.0
+
+    def test_within_doc_repeats_count_once(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.curation import novelty_scores
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([5], pa.int64()),
+                "text": pa.array(["x y z x y z x y z"], pa.string()),
+            }
+        )
+        out = novelty_scores(rd.from_arrow(t), n=3).take_all()
+        # grams: x y z, y z x, z x y (each repeated) -> 3 distinct, all new
+        assert out == [
+            {"doc_id": 5, "n_distinct": 3, "n_new": 3, "novelty": 1.0}
+        ]
+
+
+class TestSourceOverlap:
+    def test_hand_case(self, ray_session):
+        """srcA docs: 'a b c d' (grams abc,bcd), 'x y z w' (xyz,yzw);
+        srcB: 'a b c q' (abc,bcq); srcC: 'p q r s' (pqr,qrs — disjoint).
+        Pairs: (A,B) share {abc}: n_shared=1, n_a=4, n_b=2,
+        containment 1/2. C pairs with nobody."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.curation import source_overlap
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "source": pa.array(["srcA", "srcA", "srcB", "srcC"]),
+                "text": pa.array(
+                    ["a b c d", "x y z w", "a b c q", "p q r s"]
+                ),
+            }
+        )
+        out = source_overlap(rd.from_arrow(t).repartition(3), n=3).take_all()
+        assert out == [
+            {
+                "source_a": "srcA",
+                "source_b": "srcB",
+                "n_shared": 1,
+                "n_a": 4,
+                "n_b": 2,
+                "containment": 0.5,
+            }
+        ]
+
+    def test_no_cross_doc_grams(self, ray_session):
+        """Two one-gram docs of the same source in ONE batch must not
+        form grams across the doc boundary: 'a b c' + 'd e f' share
+        nothing with a source whose doc is 'c d e' (the cross-doc gram
+        'b c d'/'c d e' must NOT exist for the first source)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.curation import source_overlap
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "source": pa.array(["s1", "s1", "s2"]),
+                "text": pa.array(["a b c", "d e f", "c d e"]),
+            }
+        )
+        out = source_overlap(rd.from_arrow(t), n=3).take_all()
+        assert out == []

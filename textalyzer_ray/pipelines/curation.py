@@ -2200,3 +2200,301 @@ def quota_select(
         select_block,
         num_partitions=partitions_for(narrow.count()),
     ).sort(id_col)
+
+
+def novelty_scores(
+    ds: Dataset,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Per-document content novelty in corpus order: the fraction of a
+    doc's DISTINCT token n-grams whose corpus-wide FIRST owner (min
+    ``id_col``; ids are the crawl order here — webgen's warc_ts is
+    monotone in doc_id) is this doc. The crawl-quality signal a
+    frontier scheduler ranks hosts by: a page that re-serves already-
+    crawled shingles scores ~0, a page contributing fresh content ~1
+    (Olston & Najork, Web Crawling, F&T IR 2010 §6 recrawl/value
+    policies; gram semantics shared with dup_ngram_coverage).
+
+    Scale shape: per-batch DISTINCT (doc, gram) pairs (each doc sits
+    whole in one row, so batch-local dedup is globally exact) -> ONE
+    gram-aligned exchange where first ownership is a vectorized
+    window-min per gram (zero per-group Python; a gram shared by k
+    docs puts k rows in its block — the dup_ngram_coverage hot-gram
+    caveat applies) -> ONE doc-aligned key_counts merge of (distinct,
+    new) credits. Gram strings ride the first exchange (<= ~n tokens
+    each); text dies at featurize.
+
+    -> (doc_id, n_distinct, n_new, novelty) for docs with >= 1 gram
+    (novelty is undefined below ``n`` tokens — callers wanting every
+    doc left-join against the corpus). novelty = n_new / n_distinct is
+    ONE int/int double division — IEEE-identical across engines, so
+    the float column is value-hash safe raw. Sorted by doc_id."""
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import (
+        grouped_apply,
+        key_counts,
+        partitions_for,
+    )
+
+    explode = _ngram_explode(n, id_col, text_col)
+    pairs_schema = pa.schema(
+        [pa.field(id_col, pa.int64()), pa.field("gram", pa.string())]
+    )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        g = explode(t)
+        if g.num_rows == 0:
+            return pairs_schema.empty_table()
+        return (
+            pl.from_arrow(g)
+            .unique([id_col, "gram"])
+            .to_arrow()
+            .cast(pairs_schema)
+        )
+
+    pairs = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(distinct_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    n_pairs = pairs.count()
+
+    credit_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("one", pa.int64()),
+            pa.field("new", pa.int64()),
+        ]
+    )
+
+    def credit_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return credit_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .with_columns(
+                pl.lit(1, dtype=pl.Int64).alias("one"),
+                (pl.col(id_col) == pl.col(id_col).min().over("gram"))
+                .cast(pl.Int64)
+                .alias("new"),
+            )
+            .select([id_col, "one", "new"])
+            .to_arrow()
+            .cast(credit_schema)
+        )
+
+    credits = grouped_apply(
+        pairs,
+        ["gram"],
+        credit_block,
+        num_partitions=partitions_for(n_pairs),
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("n_distinct", pa.int64()),
+            pa.field("n_new", pa.int64()),
+            pa.field("novelty", pa.float64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        nd = t["sum_one"].to_pylist()
+        nn = t["sum_new"].to_pylist()
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_distinct": pa.array(nd, pa.int64()),
+                "n_new": pa.array(nn, pa.int64()),
+                "novelty": pa.array(
+                    [b / a for a, b in zip(nd, nn)], pa.float64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        key_counts(credits, [id_col], sum_cols=["one", "new"])
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(id_col)
+    )
+
+
+def source_overlap(
+    ds: Dataset,
+    n: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> Dataset:
+    """Pairwise cross-source n-gram contamination matrix: for every
+    source pair (a < b), how many DISTINCT token n-grams they share,
+    each side's distinct-gram total, and the containment ratio
+    n_shared / min(n_a, n_b) — the audit a mixture designer runs
+    before weighting sources (a leaked dump shows up as a ~1.0
+    containment edge; same signal family as decontaminate, lifted
+    from train-vs-eval to all-pairs-of-sources).
+
+    Scale shape: per-batch DISTINCT (source, gram) pairs -> ONE
+    gram-aligned exchange; within each key-aligned block a polars
+    self-join on gram emits (a, b) rows (a gram in k sources emits
+    k(k-1)/2 — k is bounded by the schema-bounded source cardinality,
+    the module's per-key contract, NOT by the corpus) -> ONE tiny
+    pair-keyed key_counts merge; totals ride a second key_counts on
+    the same materialized pair set. Containment is int/int (IEEE
+    parity, hash-safe raw).
+
+    -> (source_a, source_b, n_shared, n_a, n_b, containment), sorted;
+    only pairs sharing >= 1 gram appear."""
+    import polars as pl
+
+    from textalyzer_ray.stages.groups import (
+        grouped_apply,
+        key_counts,
+        partitions_for,
+    )
+
+    # grams are formed PER DOCUMENT (never across docs of a source —
+    # that would make the gram set depend on batching), then projected
+    # onto the source label
+    explode = _ngram_explode(n, "doc_id", text_col)
+    pairs_schema = pa.schema(
+        [pa.field(group_col, pa.string()), pa.field("gram", pa.string())]
+    )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        g = explode(t)
+        if g.num_rows == 0:
+            return pairs_schema.empty_table()
+        lab = pl.from_arrow(t.select(["doc_id", group_col]))
+        return (
+            pl.from_arrow(g)
+            .join(lab, on="doc_id")
+            .unique([group_col, "gram"])
+            .select([group_col, "gram"])
+            .to_arrow()
+            .cast(pairs_schema)
+        )
+
+    # batch-local distinct is NOT globally distinct here (a source
+    # spans many docs/batches), so dedup again inside the gram-aligned
+    # block before pairing
+    sg = (
+        ds.select_columns(["doc_id", group_col, text_col])
+        .map_batches(distinct_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    n_sg = sg.count()
+
+    edge_schema = pa.schema(
+        [
+            pa.field("source_a", pa.string()),
+            pa.field("source_b", pa.string()),
+            pa.field("one", pa.int64()),
+        ]
+    )
+
+    def pair_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return edge_schema.empty_table()
+        df = pl.from_arrow(t).unique([group_col, "gram"])
+        j = df.join(df, on="gram", suffix="_b").filter(
+            pl.col(group_col) < pl.col(f"{group_col}_b")
+        )
+        return (
+            j.select(
+                pl.col(group_col).alias("source_a"),
+                pl.col(f"{group_col}_b").alias("source_b"),
+                pl.lit(1, dtype=pl.Int64).alias("one"),
+            )
+            .to_arrow()
+            .cast(edge_schema)
+        )
+
+    edges = key_counts(
+        grouped_apply(
+            sg,
+            ["gram"],
+            pair_block,
+            num_partitions=partitions_for(n_sg),
+        ),
+        ["source_a", "source_b"],
+        sum_cols=["one"],
+    )
+
+    # per-source distinct gram totals: global dedup via the same
+    # gram-aligned exchange shape, keyed on (source, gram)
+    tot_schema = pa.schema(
+        [pa.field(group_col, pa.string()), pa.field("one", pa.int64())]
+    )
+
+    def tot_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tot_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .unique([group_col, "gram"])
+            .select(
+                pl.col(group_col),
+                pl.lit(1, dtype=pl.Int64).alias("one"),
+            )
+            .to_arrow()
+            .cast(tot_schema)
+        )
+
+    totals = {
+        r[group_col]: r["sum_one"]
+        for r in key_counts(
+            grouped_apply(
+                sg,
+                ["gram"],
+                tot_block,
+                num_partitions=partitions_for(n_sg),
+            ),
+            [group_col],
+            sum_cols=["one"],
+        ).take_all()
+    }
+
+    out_schema = pa.schema(
+        [
+            pa.field("source_a", pa.string()),
+            pa.field("source_b", pa.string()),
+            pa.field("n_shared", pa.int64()),
+            pa.field("n_a", pa.int64()),
+            pa.field("n_b", pa.int64()),
+            pa.field("containment", pa.float64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        a = t["source_a"].to_pylist()
+        b = t["source_b"].to_pylist()
+        sh = t["sum_one"].to_pylist()
+        na = [totals[x] for x in a]
+        nb = [totals[x] for x in b]
+        return pa.table(
+            {
+                "source_a": pa.array(a, pa.string()),
+                "source_b": pa.array(b, pa.string()),
+                "n_shared": pa.array(sh, pa.int64()),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nb, pa.int64()),
+                "containment": pa.array(
+                    [s / min(x, y) for s, x, y in zip(sh, na, nb)],
+                    pa.float64(),
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return edges.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["source_a", "source_b"])
