@@ -477,6 +477,61 @@ def _q_theil_sen_trends(sf_dir: str):
     return theil_sen_trends(ev, window_s=3600)
 
 
+def _coverage_oracle_sql(k: int = 6) -> str:
+    """Unrolled greedy max-coverage chain: round r's candidate counts
+    anti-join the covered-gram set c_{r-1} and exclude prior winners;
+    every CTE is MATERIALIZED (each is referenced by two successors —
+    plain CTEs would re-scan exponentially, CLAUDE.md)."""
+    parts = [
+        "WITH tok AS (SELECT doc_id, list_filter("
+        f"regexp_split_to_array(lower(text), '{_TOKEN_SPLIT_SQL}'), "
+        "x -> x <> '') AS ws FROM documents), "
+        "g AS (SELECT doc_id, array_to_string(ws[i : i+2], ' ') AS gram "
+        "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) "
+        "AS i FROM tok WHERE len(ws) >= 3)), "
+        "p AS MATERIALIZED (SELECT DISTINCT doc_id, gram FROM g), "
+        "u1 AS MATERIALIZED (SELECT doc_id, count(*) AS c FROM p "
+        "GROUP BY doc_id), "
+        "s1 AS MATERIALIZED (SELECT doc_id, c FROM u1 "
+        "ORDER BY c DESC, doc_id LIMIT 1), "
+        "c1 AS MATERIALIZED (SELECT DISTINCT gram FROM p "
+        "JOIN s1 USING (doc_id))"
+    ]
+    for r in range(2, k + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT doc_id FROM s{j}" for j in range(1, r)
+        )
+        parts.append(
+            f"u{r} AS MATERIALIZED (SELECT p.doc_id, count(*) AS c "
+            f"FROM p ANTI JOIN c{r - 1} USING (gram) "
+            f"WHERE p.doc_id NOT IN ({prev_sel}) GROUP BY p.doc_id), "
+            f"s{r} AS MATERIALIZED (SELECT doc_id, c FROM u{r} "
+            "ORDER BY c DESC, doc_id LIMIT 1), "
+            f"c{r} AS MATERIALIZED (SELECT gram FROM c{r - 1} "
+            f"UNION SELECT p.gram FROM p JOIN s{r} USING (doc_id))"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, doc_id, c FROM s{r}" for r in range(1, k + 1)
+    )
+    parts.append(f"r AS ({union})")
+    return (
+        ", ".join(parts)
+        + " SELECT CAST(rnd AS BIGINT) AS round, doc_id, "
+        "CAST(c AS BIGINT) AS gain, "
+        "CAST(sum(c) OVER (ORDER BY rnd) AS BIGINT) AS covered "
+        "FROM r ORDER BY rnd"
+    )
+
+
+def _q_coverage_select(sf_dir: str):
+    """Greedy max-coverage selection of 6 docs over distinct 3-grams
+    (Nemhauser greedy); deterministic ties to the lowest doc_id, early
+    stop on zero gain. All-BIGINT output."""
+    from textalyzer_ray.pipelines.curation import coverage_select
+
+    return coverage_select(_docs(sf_dir, columns=["doc_id", "text"]), k=6)
+
+
 def _q_source_overlap(sf_dir: str):
     """Pairwise cross-source distinct-3-gram contamination matrix.
     containment = n_shared / min(n_a, n_b) is one int/int double
@@ -4004,6 +4059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_splitters": _q_range_splitters,
         "novelty_scores": _q_novelty_scores,
         "source_overlap": _q_source_overlap,
+        "coverage_select": _q_coverage_select,
         "chunk_windows": _q_chunk_windows,
         "decayed_counts": _q_decayed_counts,
         "bloom_url_seen": _q_bloom_url_seen,
@@ -5266,6 +5322,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN tot t USING (doc_id) "
             "LEFT JOIN dup u USING (doc_id) ORDER BY doc_id"
         ),
+        "coverage_select": _coverage_oracle_sql(k=6),
         # cross-source contamination: DISTINCT (source, gram) pairs
         # (grams per document), self-join on gram for shared counts;
         # containment = n_shared / least(n_a, n_b) is int/int

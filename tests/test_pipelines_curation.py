@@ -1239,3 +1239,67 @@ class TestSourceOverlap:
         )
         out = source_overlap(rd.from_arrow(t), n=3).take_all()
         assert out == []
+
+
+class TestCoverageSelect:
+    def _corpus(self):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b c d e",      # grams abc bcd cde (3)
+                        "a b c d e f g",  # abc bcd cde def efg (5)
+                        "x y z w",        # xyz yzw (2)
+                        "a b c",          # abc (0 new after doc1)
+                    ]
+                ),
+            }
+        )
+
+    def test_greedy_order_and_early_stop(self, ray_session):
+        """Round 1 picks doc1 (5 grams); round 2 doc2 (+2); round 3:
+        doc0 and doc3 have 0 uncovered -> stop at 2 rows."""
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.curation import coverage_select
+
+        out = coverage_select(
+            rd.from_arrow(self._corpus()).repartition(3), k=6
+        ).take_all()
+        assert out == [
+            {"round": 1, "doc_id": 1, "gain": 5, "covered": 5},
+            {"round": 2, "doc_id": 2, "gain": 2, "covered": 7},
+        ]
+
+    def test_distributed_path_equals_small_path(self, ray_session):
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.curation import coverage_select
+
+        small = coverage_select(
+            rd.from_arrow(self._corpus()).repartition(3), k=6
+        ).take_all()
+        dist = coverage_select(
+            rd.from_arrow(self._corpus()).repartition(3),
+            k=6,
+            small_threshold=0,
+        ).take_all()
+        assert small == dist
+
+    def test_tie_breaks_to_lowest_id(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.curation import coverage_select
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([7, 2], pa.int64()),
+                "text": pa.array(["a b c d", "p q r s"]),
+            }
+        )
+        out = coverage_select(rd.from_arrow(t), k=1).take_all()
+        assert out == [{"round": 1, "doc_id": 2, "gain": 2, "covered": 2}]

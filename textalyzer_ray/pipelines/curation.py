@@ -2498,3 +2498,217 @@ def source_overlap(
     return edges.map_batches(
         finalize, batch_format="pyarrow", zero_copy_batch=True
     ).sort(["source_a", "source_b"])
+
+
+def coverage_select(
+    ds: Dataset,
+    k: int = 6,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    small_threshold: int = 2_000_000,
+) -> Dataset:
+    """Greedy maximum-coverage document selection: pick up to ``k``
+    docs, each round the one adding the most not-yet-covered DISTINCT
+    token n-grams (ties to the lowest id; a round with zero marginal
+    gain stops early) — the Nemhauser-Wolsey-Fisher 1978 greedy
+    (1-1/e guarantee) that submodular data-subset selection uses to
+    squeeze maximal feature coverage into a token budget. Fully
+    deterministic, so the SQL oracle unrolls the identical k rounds
+    as MATERIALIZED CTEs.
+
+    Measured-size switch (the BPE/BFS pattern): below
+    ``small_threshold`` distinct (doc, gram) pairs the whole greedy
+    runs in ONE remote task over the pair block refs. Above it, each
+    round is TWO streaming passes over the materialized pairs — a
+    score pass (per-block per-doc uncovered counts; each doc's grams
+    sit whole in one block since a doc is one featurize row, so block
+    argmax partials reduce exactly on the driver) and a winner-gram
+    fetch — with the covered set broadcast via ray.put + the
+    per-worker object cache (bounded by k x max grams/doc, never
+    corpus-sized).
+
+    -> (round, doc_id, gain, covered), round = 1.., covered = running
+    total; all BIGINT."""
+    import numpy as np
+    import polars as pl
+    import ray
+    import ray.data as rd
+
+    from textalyzer_ray.stages.groups import _worker_object_cache
+
+    explode = _ngram_explode(n, id_col, text_col)
+    pairs_schema = pa.schema(
+        [pa.field(id_col, pa.int64()), pa.field("gram", pa.string())]
+    )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        g = explode(t)
+        if g.num_rows == 0:
+            return pairs_schema.empty_table()
+        return (
+            pl.from_arrow(g)
+            .unique([id_col, "gram"])
+            .to_arrow()
+            .cast(pairs_schema)
+        )
+
+    pairs = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(distinct_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    n_pairs = pairs.count()
+
+    out_schema = pa.schema(
+        [
+            pa.field("round", pa.int64()),
+            pa.field(id_col, pa.int64()),
+            pa.field("gain", pa.int64()),
+            pa.field("covered", pa.int64()),
+        ]
+    )
+
+    def greedy(doc: np.ndarray, gram: np.ndarray) -> pa.Table:
+        rounds, sel, gains = [], [], []
+        alive = np.ones(len(doc), dtype=bool)
+        for r in range(1, k + 1):
+            if not alive.any():
+                break
+            d = doc[alive]
+            order = np.argsort(d, kind="stable")
+            uniq, cnt = np.unique(d[order], return_counts=True)
+            best = np.argmax(cnt)  # first max -> lowest doc_id on tie
+            if cnt[best] == 0:
+                break
+            win = uniq[best]
+            rounds.append(r)
+            sel.append(int(win))
+            gains.append(int(cnt[best]))
+            covered_mask = np.isin(gram, gram[alive & (doc == win)])
+            alive &= ~covered_mask
+        return pa.table(
+            {
+                "round": pa.array(rounds, pa.int64()),
+                id_col: pa.array(sel, pa.int64()),
+                "gain": pa.array(gains, pa.int64()),
+                "covered": pa.array(
+                    np.cumsum(np.array(gains, dtype=np.int64)), pa.int64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    if n_pairs <= small_threshold:
+
+        @ray.remote
+        def greedy_task(*blocks: pa.Table) -> pa.Table:
+            doc = np.concatenate(
+                [b[id_col].to_numpy(zero_copy_only=False) for b in blocks]
+                or [np.empty(0, np.int64)]
+            )
+            gram = np.concatenate(
+                [
+                    b["gram"].to_numpy(zero_copy_only=False).astype(object)
+                    for b in blocks
+                ]
+                or [np.empty(0, object)]
+            )
+            return greedy(doc, gram)
+
+        return rd.from_arrow_refs(
+            [greedy_task.remote(*pairs.to_arrow_refs())]
+        )
+
+    # ---- distributed rounds (two streaming passes per round) ----
+    rounds_out: list[tuple[int, int, int]] = []
+    covered_ref = ray.put(frozenset())
+    selected: set[int] = set()
+    for r in range(1, k + 1):
+
+        def score_pass(
+            t: pa.Table, _cref=covered_ref, _sel=frozenset(selected)
+        ) -> pa.Table:
+            cache = _worker_object_cache()
+            key = _cref.hex() if hasattr(_cref, "hex") else str(_cref)
+            cov = cache.get(key)
+            if cov is None:
+                cov = cache[key] = ray.get(_cref)
+            df = pl.from_arrow(t).filter(
+                ~pl.col(id_col).is_in(list(_sel) or [-1])
+                & ~pl.col("gram").is_in(list(cov) or [""])
+            )
+            if df.height == 0:
+                return pa.table(
+                    {id_col: pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+                )
+            per = (
+                df.group_by(id_col)
+                .len()
+                .rename({"len": "c"})
+                .with_columns(pl.col("c").cast(pl.Int64))
+                .sort(["c", id_col], descending=[True, False])
+                .head(1)
+            )
+            return per.to_arrow().cast(
+                pa.schema([pa.field(id_col, pa.int64()), pa.field("c", pa.int64())])
+            )
+
+        best = pairs.map_batches(
+            score_pass,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,  # doc-whole blocks: argmax partials exact
+        ).take_all()
+        if not best:
+            break
+        best.sort(key=lambda x: (-x["c"], x[id_col]))
+        win, gain = int(best[0][id_col]), int(best[0]["c"])
+        if gain == 0:
+            break
+        rounds_out.append((r, win, gain))
+        selected.add(win)
+
+        def fetch_pass(
+            t: pa.Table, _cref=covered_ref, _win=win
+        ) -> pa.Table:
+            cache = _worker_object_cache()
+            key = _cref.hex() if hasattr(_cref, "hex") else str(_cref)
+            cov = cache.get(key)
+            if cov is None:
+                cov = cache[key] = ray.get(_cref)
+            df = pl.from_arrow(t).filter(
+                (pl.col(id_col) == _win) & ~pl.col("gram").is_in(list(cov) or [""])
+            )
+            return df.select("gram").to_arrow().cast(
+                pa.schema([pa.field("gram", pa.string())])
+            )
+
+        new_grams = {
+            r2["gram"]
+            for r2 in pairs.map_batches(
+                fetch_pass,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
+            ).take_all()
+        }
+        covered_ref = ray.put(frozenset(ray.get(covered_ref) | new_grams))
+
+    gains = [g for _, _, g in rounds_out]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "round": pa.array([r for r, _, _ in rounds_out], pa.int64()),
+                id_col: pa.array([d for _, d, _ in rounds_out], pa.int64()),
+                "gain": pa.array(gains, pa.int64()),
+                "covered": pa.array(
+                    np.cumsum(np.array(gains, dtype=np.int64)).tolist()
+                    if gains
+                    else [],
+                    pa.int64(),
+                ),
+            },
+            schema=out_schema,
+        )
+    )
