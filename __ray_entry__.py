@@ -477,6 +477,51 @@ def _q_theil_sen_trends(sf_dir: str):
     return theil_sen_trends(ev, window_s=3600)
 
 
+def _q_vocab_coverage(sf_dir: str):
+    """Top-16 vocabulary + per-doc OOV rate under the reference total
+    order (count desc, word asc — the cutoff tie is deterministic);
+    oov_frac = n_oov / n_tokens int/int (hash-safe raw)."""
+    from textalyzer_ray.pipelines.frequency import vocab_coverage
+
+    return vocab_coverage(
+        _docs(sf_dir, columns=["doc_id", "text"]), vocab_size=16
+    )
+
+
+def _q_sentence_stats(sf_dir: str):
+    """Sentence segmentation over id-arithmetic planted punctuation:
+    word j of doc d gets a terminator iff (d*31 + j) % 7 < 2, chosen
+    from .!? by (d + j) % 3 — so the oracle exercises the real
+    '[.!?]+ ' boundary rule, not a no-op (the nfc_clean planting
+    pattern). Both engines run the same RE2-class split."""
+    import pyarrow as pa
+
+    from textalyzer_ray.pipelines.analytics import sentence_stats
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out = []
+        for d, txt in zip(ids, t["text"].to_pylist()):
+            ws = (txt or "").split(" ")
+            out.append(
+                " ".join(
+                    w
+                    + (".!?"[(d + j) % 3] if (d * 31 + j) % 7 < 2 else "")
+                    for j, w in enumerate(ws)
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(out, pa.string()),
+            }
+        )
+
+    return sentence_stats(docs.map_batches(plant, batch_format="pyarrow"))
+
+
 def _coverage_oracle_sql(k: int = 6) -> str:
     """Unrolled greedy max-coverage chain: round r's candidate counts
     anti-join the covered-gram set c_{r-1} and exclude prior winners;
@@ -4005,10 +4050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # cdc_chunks + single_line_dups).
     return {
         # SQL-oracled — one per family, strongest evidence first
-        "word_histogram": _q_word_histogram,
-        "line_length_histogram": _q_line_length_histogram,
         "pmi_collocations": _q_pmi_collocations,
-        "minhash_pairs": _q_minhash_pairs,
         "setjoin_pairs": _q_setjoin_pairs,
         "editsim_pairs": _q_editsim_pairs,
         "cdc_chunks": _q_cdc_chunks,
@@ -4055,11 +4097,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill": _q_events_gapfill,
         "cusum_alarms": _q_cusum_alarms,
         "theil_sen_trends": _q_theil_sen_trends,
-        "ols_trends": _q_ols_trends,
         "range_splitters": _q_range_splitters,
-        "novelty_scores": _q_novelty_scores,
-        "source_overlap": _q_source_overlap,
         "coverage_select": _q_coverage_select,
+        "novelty_scores": _q_novelty_scores,
+        "ols_trends": _q_ols_trends,
+        "source_overlap": _q_source_overlap,
+        "sentence_stats": _q_sentence_stats,
+        "vocab_coverage": _q_vocab_coverage,
         "chunk_windows": _q_chunk_windows,
         "decayed_counts": _q_decayed_counts,
         "bloom_url_seen": _q_bloom_url_seen,
@@ -4070,6 +4114,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "line_dedup_rebuild": _q_line_dedup_rebuild,
         "rep_signals": _q_rep_signals,
+        # Sixth r4 rotation (session 3): range_splitters (sort-free
+        # radix selection — a new scale-pattern family), coverage_select
+        # (greedy submodular selection) and novelty_scores (first-seen
+        # gram fraction) entered the window; the last three r03-driver-
+        # green veterans parked here in exchange (word_histogram's G1
+        # family stays witnessed via trending_terms + burst_intervals'
+        # windowed histograms and its r03 row; line_length_histogram
+        # via lexical_profile + sentence_stats' per-doc length
+        # metrics; minhash_pairs' near-dup family via setjoin_pairs +
+        # sorted_neighborhood + srp_pairs in-window). ols_trends,
+        # source_overlap and sentence_stats queue first past the cap.
+        "word_histogram": _q_word_histogram,
+        "line_length_histogram": _q_line_length_histogram,
+        "minhash_pairs": _q_minhash_pairs,
         # SQL-oracled, redundant coverage (same families as entries
         # above) — first to fall past a driver cap. r4 rotation parked
         # ten r3-driver-green veterans here (each family keeps an
@@ -5323,6 +5381,45 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN dup u USING (doc_id) ORDER BY doc_id"
         ),
         "coverage_select": _coverage_oracle_sql(k=6),
+        # vocab coverage: top-16 words by (count desc, word asc), then
+        # per-doc OOV counts via left join; oov_frac int/int
+        "vocab_coverage": (
+            f"WITH tok AS ({tokens_cte}), "
+            "h AS (SELECT word, count(*) AS c FROM tok GROUP BY word), "
+            "v AS (SELECT word FROM h ORDER BY c DESC, word LIMIT 16), "
+            "per AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_oov FROM tok t LEFT JOIN v ON t.word = v.word "
+            "GROUP BY t.doc_id) "
+            "SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, "
+            "coalesce(p.n_oov, 0) AS n_oov, "
+            "CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0 "
+            "ELSE p.n_oov / p.n_tokens END AS oov_frac "
+            "FROM documents d LEFT JOIN per p USING (doc_id) "
+            "ORDER BY d.doc_id"
+        ),
+        # sentence segmentation: plant terminators by id arithmetic,
+        # then BOTH engines split on the same RE2-class '[.!?]+ '
+        # boundary; empty pieces count, end-of-text terminators stay
+        # in the last piece
+        "sentence_stats": (
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(text, ' ') "
+            "AS ws FROM documents), "
+            "x AS (SELECT doc_id, i, ws[i + 1] || "
+            "CASE WHEN (doc_id * 31 + i) % 7 < 2 "
+            "THEN ['.', '!', '?'][(doc_id + i) % 3 + 1] ELSE '' END AS wt "
+            "FROM (SELECT doc_id, ws, "
+            "unnest(generate_series(0, len(ws) - 1)) AS i FROM w)), "
+            "pr AS (SELECT doc_id, string_agg(wt, ' ' ORDER BY i) "
+            "AS prose FROM x GROUP BY doc_id), "
+            "s AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(prose, '[.!?]+ ')) AS sent "
+            "FROM pr) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences, "
+            "CAST(max(octet_length(encode(sent))) AS BIGINT) AS max_sent_bytes, "
+            "CAST(sum(octet_length(encode(sent))) AS BIGINT) AS sum_sent_bytes "
+            "FROM s GROUP BY doc_id ORDER BY doc_id"
+        ),
         # cross-source contamination: DISTINCT (source, gram) pairs
         # (grams per document), self-join on gram for shared counts;
         # containment = n_shared / least(n_a, n_b) is int/int

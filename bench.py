@@ -376,6 +376,23 @@ def run_bench() -> dict:
         lambda: contract._q_url_templates(sf_dir).count(),
     )
 
+    # session-3 additions: sort-free radix range splitters (4 counting
+    # passes, bounded driver state), per-doc first-seen-gram novelty
+    # (one gram-aligned window-min + one doc-aligned merge), and greedy
+    # max-coverage selection (per-round streaming score passes).
+    timed(
+        "range_splitters",
+        lambda: contract._q_range_splitters(sf_dir).num_rows,
+    )
+    timed(
+        "novelty",
+        lambda: contract._q_novelty_scores(sf_dir).count(),
+    )
+    timed(
+        "coverage_select",
+        lambda: contract._q_coverage_select(sf_dir).count(),
+    )
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     # In-run hardware control: this shared VM intermittently loses 2-20x

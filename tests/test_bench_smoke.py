@@ -69,5 +69,8 @@ def test_bench_emits_single_json_line():
         "outliers",
         "crawl_schedule",
         "url_templates",
+        "range_splitters",
+        "novelty",
+        "coverage_select",
     }
     assert data["n_docs"] == 500

@@ -715,3 +715,58 @@ class TestTrendingTerms:
             for r in trending_terms(ds, window_s=60, k=2).take_all()
         ]
         assert got == [("apple", 1), ("zebra", 2)]
+
+
+class TestSentenceStats:
+    def test_boundary_rule_edges(self, ray_session):
+        """'Hi! How are you? Fine.' -> pieces ['Hi','How are you','Fine.']
+        (end-of-text '.' stays in the last piece); '!! x' -> a leading
+        EMPTY piece then 'x'; 'no terminators' -> one piece."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.analytics import sentence_stats
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["Hi! How are you? Fine.", "!! x", "no terminators"]
+                ),
+            }
+        )
+        out = sentence_stats(rd.from_arrow(t).repartition(2)).take_all()
+        got = {r["doc_id"]: r for r in out}
+        assert got[0]["n_sentences"] == 3
+        assert got[0]["max_sent_bytes"] == len("How are you")
+        assert got[0]["sum_sent_bytes"] == len("Hi") + len("How are you") + len("Fine.")
+        assert got[1]["n_sentences"] == 2
+        assert got[1]["max_sent_bytes"] == 1 and got[1]["sum_sent_bytes"] == 1
+        assert got[2] == {
+            "doc_id": 2,
+            "n_sentences": 1,
+            "max_sent_bytes": len("no terminators"),
+            "sum_sent_bytes": len("no terminators"),
+        }
+
+    def test_multibyte_lengths_are_bytes(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.analytics import sentence_stats
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([7], pa.int64()),
+                "text": pa.array(["héé. ok"]),
+            }
+        )
+        out = sentence_stats(rd.from_arrow(t)).take_all()
+        assert out == [
+            {
+                "doc_id": 7,
+                "n_sentences": 2,
+                "max_sent_bytes": len("héé".encode()),
+                "sum_sent_bytes": len("héé".encode()) + 2,
+            }
+        ]

@@ -390,3 +390,51 @@ class TestPivotCounts:
             )
         )
         assert pivot_counts(ds, ["view"]).take_all() == []
+
+
+class TestVocabCoverage:
+    def test_cutoff_tie_and_oov(self, ray_session):
+        """Corpus words: a(x3) b(x2) c(x2) d(x1). vocab_size=2 ->
+        vocab {a, b} (count desc, word asc: c ties b but 'b' < 'c').
+        doc0 'a b c' -> 1 OOV of 3; doc1 'd d' -> 2 of 2; doc2 'a' ->
+        0 of 1."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.frequency import vocab_coverage
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["a b c", "d d c", "a b a"]),
+            }
+        )
+        out = vocab_coverage(
+            rd.from_arrow(t).repartition(2).materialize(), vocab_size=2
+        ).take_all()
+        got = {r["doc_id"]: r for r in out}
+        assert got[0] == {
+            "doc_id": 0, "n_tokens": 3, "n_oov": 1, "oov_frac": 1 / 3,
+        }
+        assert got[1]["n_oov"] == 3 and got[1]["oov_frac"] == 1.0
+        assert got[2]["n_oov"] == 0 and got[2]["oov_frac"] == 0.0
+
+    def test_tokenless_doc_included(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from textalyzer_ray.pipelines.frequency import vocab_coverage
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([4, 5], pa.int64()),
+                "text": pa.array(["...", "a a"]),
+            }
+        )
+        out = vocab_coverage(
+            rd.from_arrow(t).materialize(), vocab_size=1
+        ).take_all()
+        assert out[0] == {
+            "doc_id": 4, "n_tokens": 0, "n_oov": 0, "oov_frac": 0.0,
+        }
+        assert out[1]["oov_frac"] == 0.0

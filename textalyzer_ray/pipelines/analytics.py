@@ -1838,3 +1838,70 @@ def ols_trends(
         ols_block,
         num_partitions=partitions_for(counts.count()),
     ).sort(type_col)
+
+
+def sentence_stats(
+    ds_docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Per-document sentence segmentation metrics: split on the
+    boundary rule ``[.!?]+ `` (one or more terminators followed by a
+    space — the RE2-class regex both polars' rust-regex and DuckDB's
+    RE2 interpret identically; no lookbehind, which RE2 lacks), then
+    count pieces and their byte lengths. The sentence-length profile
+    is a standard prose-quality signal (machine text skews to extreme
+    sentence lengths) and the unit every readability formula needs.
+
+    Exact rule: every regex match becomes one boundary (empty pieces
+    count — a leading/doubled boundary yields a zero-byte sentence;
+    terminators at end-of-text are not followed by a space, so they
+    stay inside the last piece in both engines).
+
+    One vectorized polars pass per block (replace boundary -> NUL,
+    split, explode, byte lengths, group by doc) — nothing shuffles,
+    text dies in the stage. All-BIGINT output
+    (doc_id, n_sentences, max_sent_bytes, sum_sent_bytes), by doc."""
+    import polars as pl
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("n_sentences", pa.int64()),
+            pa.field("max_sent_bytes", pa.int64()),
+            pa.field("sum_sent_bytes", pa.int64()),
+        ]
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .with_columns(
+                pl.col(text_col)
+                .str.replace_all(r"[.!?]+ ", "\x00")
+                .str.split("\x00")
+                .alias("s")
+            )
+            .select([id_col, "s"])
+            .explode("s")
+            .with_columns(
+                pl.col("s").str.len_bytes().cast(pl.Int64).alias("b")
+            )
+            .group_by(id_col)
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_sentences"),
+                pl.col("b").max().alias("max_sent_bytes"),
+                pl.col("b").sum().alias("sum_sent_bytes"),
+            )
+            .select(
+                [id_col, "n_sentences", "max_sent_bytes", "sum_sent_bytes"]
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return ds_docs.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(id_col)

@@ -946,3 +946,98 @@ def burst_intervals(
         islands,
         num_partitions=partitions_for(hist.count()),
     ).sort(["word", "burst_start"])
+
+
+def vocab_coverage(
+    ds: Dataset,
+    vocab_size: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Top-``vocab_size`` vocabulary construction + per-document
+    out-of-vocabulary rate — the tokenizer-budget audit an LM data
+    pipeline runs before committing to a vocab (docs with high OOV
+    under the deployment vocabulary are the ones the model will see
+    as noise). Vocabulary = the first ``vocab_size`` words of the
+    corpus histogram under the reference's total order (count desc,
+    word asc — ties at the cutoff are deterministic).
+
+    Scale shape: ONE word_histogram pass (auto-probed distributed
+    merge) -> sort+limit to the vocab (vocab_size-bounded by
+    definition, the only driver materialization) -> vocab broadcast
+    via ray.put + the per-worker object cache -> ONE zero-shuffle
+    per-doc scoring pass (each doc whole in its row). oov_frac =
+    n_oov / n_tokens is one int/int double division (hash-safe raw;
+    0.0 for token-free docs).
+
+    -> (doc_id, n_tokens, n_oov, oov_frac) for every input doc,
+    sorted by doc_id.
+
+    Consumes ``ds`` twice (histogram + scoring) — pass a
+    parquet-backed or materialized dataset (CLAUDE.md minhash_dedup
+    lesson)."""
+    import polars as pl
+    import ray
+
+    from textalyzer_ray.stages.groups import _worker_object_cache
+    from textalyzer_ray.stages.tokenize import exploded_tokens
+
+    vocab = [
+        r["word"]
+        for r in word_histogram(ds.select_columns([text_col]), sort=True)
+        .limit(vocab_size)
+        .take_all()
+    ]
+    vocab_ref = ray.put(frozenset(vocab))
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("n_oov", pa.int64()),
+            pa.field("oov_frac", pa.float64()),
+        ]
+    )
+
+    def score(t: pa.Table, _vref=vocab_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        cache = _worker_object_cache()
+        key = _vref.hex() if hasattr(_vref, "hex") else str(_vref)
+        voc = cache.get(key)
+        if voc is None:
+            voc = cache[key] = ray.get(_vref)
+        toks = pl.from_arrow(exploded_tokens(t, id_col, text_col))
+        per = toks.group_by(id_col).agg(
+            pl.len().cast(pl.Int64).alias("n_tokens"),
+            (~pl.col("word").is_in(list(voc) or [""]))
+            .sum()
+            .cast(pl.Int64)
+            .alias("n_oov"),
+        )
+        base = pl.from_arrow(t.select([id_col]))
+        return (
+            base.join(per, on=id_col, how="left", maintain_order="left")
+            .with_columns(
+                pl.col("n_tokens").fill_null(0),
+                pl.col("n_oov").fill_null(0),
+            )
+            .with_columns(
+                pl.when(pl.col("n_tokens") > 0)
+                .then(
+                    pl.col("n_oov").cast(pl.Float64)
+                    / pl.col("n_tokens").cast(pl.Float64)
+                )
+                .otherwise(0.0)
+                .alias("oov_frac")
+            )
+            .select([id_col, "n_tokens", "n_oov", "oov_frac"])
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(id_col)
+    )
