@@ -1969,6 +1969,83 @@ def _editsim_strings(sf_dir: str):
     return docs.map_batches(build, batch_format="pyarrow")
 
 
+_EDITSIM_LONG_MID = (
+    " status two hundred ok content type application json charset utf"
+    " eight cache control no store user agent crawler node "
+)
+_EDITSIM_LONG_TAIL = " referer https example dot com slash index page"
+
+
+def _editsim_long_strings(sf_dir: str):
+    """(doc_id, s) planted LONG edit-join corpus: the same 5-variant
+    mutation scheme as ``_editsim_strings`` over a ~180-byte ASCII
+    request-log base line — every string is > 64 bytes, so every
+    verify block runs the MULTI-word Myers kernel (the r4 growth path,
+    pipelines/editsim.py). Mirrored character-for-character by the
+    oracle's CASE chain (parity pinned in tests)."""
+    import pyarrow as pa
+
+    from textalyzer_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def build(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        out = []
+        for i in t["doc_id"].to_pylist():
+            g, v = i // 5, i % 5
+            b = (
+                f"GET /api/v{g % 3}/users/{g}/profile"
+                f"{_EDITSIM_LONG_MID}{g % 7}{_EDITSIM_LONG_TAIL}"
+            )
+            n = len(b)
+            if v == 0:
+                s = b
+            elif v == 1:
+                s = b[: n - 1] + "x"
+            elif v == 2:
+                s = b[: n - 2]
+            elif v == 3:
+                s = b[: n - 7] + "z" + b[n - 6 :]
+            else:
+                s = b[: n - 11] + b[n - 10 :]
+            out.append(s)
+        return pa.table(
+            {"doc_id": t["doc_id"], "s": pa.array(out, pa.string())}
+        )
+
+    return docs.map_batches(build, batch_format="pyarrow")
+
+
+def _editsim_long_base_sql() -> str:
+    """``es(doc_id, b, v)`` CTE body for the long edit-join corpus —
+    shared by the oracle and the string-parity test."""
+    return (
+        "SELECT doc_id, 'GET /api/v' || ((doc_id // 5) % 3) || "
+        "'/users/' || (doc_id // 5) || '/profile"
+        + _EDITSIM_LONG_MID
+        + "' || ((doc_id // 5) % 7) || '"
+        + _EDITSIM_LONG_TAIL
+        + "' AS b, doc_id % 5 AS v FROM documents"
+    )
+
+
+def _q_editsim_long_pairs(sf_dir: str):
+    """Exact edit-distance join over 64–256-byte strings: identical
+    Ed-Join prefix-filter recall-1 construction as ``editsim_pairs``,
+    but every block verifies through the MULTI-word Myers bit-vector
+    kernel (W = ceil(maxlen/64) uint64 words per column, carries chained
+    across words — core/editdist.py levenshtein_peq_multi, pinned to
+    Wagner-Fischer by hypothesis). Oracle = DuckDB brute-force
+    ``levenshtein``; integer distances, no float anywhere."""
+    from textalyzer_ray.pipelines.editsim import edit_similarity_join
+
+    return edit_similarity_join(
+        _editsim_long_strings(sf_dir), max_dist=2, max_bytes=256
+    ).sort(["id_a", "id_b"])
+
+
 def _q_editsim_pairs(sf_dir: str):
     """Exact edit-distance similarity join (Ed-Join prefix filter +
     Myers bit-parallel verify) at byte-Levenshtein <= 2: recall is 1
@@ -4053,6 +4130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_collocations,
         "setjoin_pairs": _q_setjoin_pairs,
         "editsim_pairs": _q_editsim_pairs,
+        "editsim_long_pairs": _q_editsim_long_pairs,
         "cdc_chunks": _q_cdc_chunks,
         "table_profile": _q_table_profile,
         "srp_pairs": _q_srp_pairs,
@@ -4988,6 +5066,24 @@ def oracle_sql() -> dict[str, str]:
             "((doc_id // 5) % 7) || '"
             + _EDITSIM_SUFFIX
             + "' AS b, doc_id % 5 AS v FROM documents), "
+            "et AS MATERIALIZED (SELECT doc_id, CASE v "
+            "WHEN 0 THEN b "
+            "WHEN 1 THEN substr(b, 1, length(b)-1) || 'x' "
+            "WHEN 2 THEN substr(b, 1, length(b)-2) "
+            "WHEN 3 THEN substr(b, 1, length(b)-7) || 'z' || "
+            "substr(b, length(b)-5) "
+            "ELSE substr(b, 1, length(b)-11) || substr(b, length(b)-9) "
+            "END AS s FROM es) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist "
+            "FROM et a JOIN et b ON a.doc_id < b.doc_id "
+            "AND abs(length(a.s) - length(b.s)) <= 2 "
+            "WHERE levenshtein(a.s, b.s) <= 2 ORDER BY id_a, id_b"
+        ),
+        "editsim_long_pairs": (
+            "WITH es AS MATERIALIZED ("
+            + _editsim_long_base_sql()
+            + "), "
             "et AS MATERIALIZED (SELECT doc_id, CASE v "
             "WHEN 0 THEN b "
             "WHEN 1 THEN substr(b, 1, length(b)-1) || 'x' "

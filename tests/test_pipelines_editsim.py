@@ -46,9 +46,28 @@ def test_myers_kernel_matches_reference(pairs):
     assert (got == exp).all()
 
 
-def test_kernel_rejects_long_patterns():
+def test_long_patterns_route_to_multiword_kernel():
+    # r5: patterns > 64 bytes take the multi-word Myers kernel instead
+    # of raising — exactness incl. the 64/65 word boundary
+    got = levenshtein_batch(
+        [b"a" * 65, b"a" * 64, b"ab" * 64], [b"b", b"a" * 65, b"ba" * 64]
+    )
+    assert got.tolist() == [
+        levenshtein_ref(b"a" * 65, b"b"),
+        levenshtein_ref(b"a" * 64, b"a" * 65),
+        levenshtein_ref(b"ab" * 64, b"ba" * 64),
+    ]
+
+
+def test_featurize_rejects_overlong_strings():
+    # the JOIN still bounds string length via max_bytes (default 64)
+    from textalyzer_ray.pipelines.editsim import _featurize_table
+
+    t = pa.table({"doc_id": [1], "s": ["a" * 65]})
     with pytest.raises(ValueError):
-        levenshtein_batch([b"a" * 65], [b"b"])
+        _featurize_table(t, "doc_id", "s", 2, pa.int64())
+    out = _featurize_table(t, "doc_id", "s", 2, pa.int64(), max_bytes=128)
+    assert out["slen"].to_pylist() == [65]
 
 
 def test_gram_ids_distinct_sorted():
@@ -115,6 +134,66 @@ def test_short_string_sentinel_recall():
     ids = list(range(len(strs)))
     tbl = pa.table({"doc_id": ids, "s": strs})
     assert run(tbl, 2) == brute(ids, strs, 2)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.binary(min_size=0, max_size=200),
+            st.binary(min_size=0, max_size=260),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_multiword_myers_matches_reference(pairs):
+    # force the multi-word path even when hypothesis draws short
+    # strings: one long sentinel pattern raises the batch word count
+    pairs = pairs + [(b"z" * 129, b"z" * 128)]
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    got = levenshtein_batch(pats, txts)
+    exp = np.array([levenshtein_ref(a, b) for a, b in pairs])
+    assert (got == exp).all()
+
+
+@given(
+    st.lists(st.text(alphabet="abcxyz 01", max_size=40), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=40, deadline=None)
+def test_vectorized_featurize_matches_gram_ids(strs, q):
+    # r5 featurize is one numpy pass over the batch's concatenated
+    # bytes — pinned blob/count-equal to the scalar core.gram_ids
+    from textalyzer_ray.pipelines.editsim import _featurize_table
+
+    t = pa.table({"doc_id": list(range(len(strs))), "s": strs})
+    out = _featurize_table(t, "doc_id", "s", q, pa.int64())
+    for s, blob, ng, slen in zip(
+        strs,
+        out["grams"].to_pylist(),
+        out["ng"].to_pylist(),
+        out["slen"].to_pylist(),
+    ):
+        g = gram_ids(s.encode("utf-8"), q)
+        assert blob == g.tobytes()
+        assert ng == len(g)
+        assert slen == len(s.encode("utf-8"))
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_recall_one_vs_brute_force_long_strings(seed):
+    # 64–256-byte strings: blocks verify through the multi-word kernel
+    strs = _random_corpus(seed, 40, min_len=64, max_len=240)
+    assert max(len(s) for s in strs) > 64
+    ids = list(range(len(strs)))
+    tbl = pa.table({"doc_id": ids, "s": strs})
+    for d in (1, 2):
+        assert run(tbl, d, max_bytes=256) == brute(ids, strs, d)
+    # the <= 64 B contract still raises without the opt-in
+    with pytest.raises(Exception):
+        run(tbl, 2)
 
 
 def test_small_and_distributed_paths_equal():
@@ -184,6 +263,56 @@ def test_sql_string_parity_sf0001():
     got = dict(zip(t["doc_id"].to_pylist(), t["s"].to_pylist()))
     assert got == exp
     assert max(len(s.encode()) for s in got.values()) <= 64
+
+
+def test_long_oracle_equality_sf0001():
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    got = entry._q_editsim_long_pairs(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    exp = con.sql(entry.oracle_sql()["editsim_long_pairs"]).df()
+    assert got.columns.tolist() == exp.columns.tolist()
+    assert len(got) == len(exp) > 0
+    assert got.equals(exp)
+
+
+def test_long_sql_string_parity_sf0001():
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    t = pa.concat_tables(
+        list(
+            entry._editsim_long_strings(SF).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+    ).sort_by("doc_id")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    sql = (
+        "WITH es AS (" + entry._editsim_long_base_sql() + ") "
+        "SELECT doc_id, CASE v WHEN 0 THEN b "
+        "WHEN 1 THEN substr(b, 1, length(b)-1) || 'x' "
+        "WHEN 2 THEN substr(b, 1, length(b)-2) "
+        "WHEN 3 THEN substr(b, 1, length(b)-7) || 'z' || "
+        "substr(b, length(b)-5) "
+        "ELSE substr(b, 1, length(b)-11) || substr(b, length(b)-9) END AS s "
+        "FROM es ORDER BY doc_id"
+    )
+    exp = dict(con.sql(sql).fetchall())
+    got = dict(zip(t["doc_id"].to_pylist(), t["s"].to_pylist()))
+    assert got == exp
+    lens = [len(s.encode()) for s in got.values()]
+    # the whole corpus exercises the multi-word kernel: > 64 B always
+    assert min(lens) > 64 and max(lens) <= 256
 
 
 def test_duplicate_free_and_empty_inputs():

@@ -44,11 +44,12 @@ def levenshtein_batch(
     pats: list[bytes], texts: list[bytes]
 ) -> np.ndarray:
     """Exact Levenshtein distance for each (pats[i], texts[i]) pair.
-    List-of-bytes front end for :func:`levenshtein_matrix` (the
-    vectorized Myers core); buffer packing here is a per-pair Python
-    loop, so corpus-scale callers should build the byte matrices
-    vectorized and call the matrix form directly (editsim does).
-    Requires every pattern length <= 64 (one machine word)."""
+    List-of-bytes front end for :func:`levenshtein_matrix` /
+    :func:`levenshtein_peq_multi` (the vectorized Myers cores); buffer
+    packing here is a per-pair Python loop, so corpus-scale callers
+    should build the byte matrices vectorized and call the matrix forms
+    directly (editsim does). Patterns <= 64 bytes take the one-word
+    kernel; longer patterns route to the multi-word kernel."""
     n_pairs = len(pats)
     if n_pairs != len(texts):
         raise ValueError("pats and texts must be the same length")
@@ -56,16 +57,21 @@ def levenshtein_batch(
         return np.zeros(0, np.int64)
     m = np.fromiter((len(p) for p in pats), np.int64, n_pairs)
     n = np.fromiter((len(t) for t in texts), np.int64, n_pairs)
-    if int(m.max(initial=0)) > 64:
-        raise ValueError("pattern length must be <= 64 for the bit kernel")
-    max_n = int(n.max(initial=0))
-    pat_buf = np.zeros((n_pairs, 64), np.uint8)
+    max_m = int(m.max(initial=0))
+    w = max(1, (max_m + 63) // 64)
+    pat_buf = np.zeros((n_pairs, 64 * w), np.uint8)
     for k, pb in enumerate(pats):
         pat_buf[k, : len(pb)] = np.frombuffer(pb, np.uint8)
+    max_n = int(n.max(initial=0))
     txt_buf = np.zeros((n_pairs, max(max_n, 1)), np.uint8)
     for k, tb in enumerate(texts):
         txt_buf[k, : len(tb)] = np.frombuffer(tb, np.uint8)
-    return levenshtein_matrix(pat_buf, m, txt_buf, n)
+    if w == 1:
+        return levenshtein_matrix(pat_buf, m, txt_buf, n)
+    peq = build_peq_multi(pat_buf, m)
+    return levenshtein_peq_multi(
+        peq, np.arange(n_pairs, dtype=np.int64), m, txt_buf, n
+    )
 
 
 def levenshtein_matrix(
@@ -161,6 +167,143 @@ def levenshtein_peq(
         new_mv = ph & xv
         pv = np.where(active, new_pv, pv)
         mv = np.where(active, new_mv, mv)
+    out[live] = score
+    return out
+
+
+def build_peq_multi(pat_buf: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """(k, 256, W) uint64 Myers Peq[char] match masks for zero-padded
+    pattern rows ``pat_buf`` (k, 64*W) with byte lengths ``m`` — the
+    multi-word generalization of :func:`build_peq` (Myers 1999 §5
+    block form, as in Hyyrö 2003): pattern bit j lives in word j//64,
+    bit j%64. ~2 KiB * W per distinct pattern — callers share ONE
+    table per block via ``pat_ix``."""
+    k = len(m)
+    w = max(1, pat_buf.shape[1] // 64) if pat_buf.ndim == 2 else 1
+    peq = np.zeros((k, 256, w), _U64)
+    if k == 0:
+        return peq
+    if int(m.max(initial=0)) > 64 * w:
+        raise ValueError("pattern length exceeds the padded buffer width")
+    rows = np.arange(k)
+    for j in range(int(m.max(initial=0))):
+        has = m > j
+        peq[rows[has], pat_buf[has, j], j // 64] |= _ONE << _U64(j % 64)
+    return peq
+
+
+def levenshtein_peq_multi(
+    peq: np.ndarray,
+    pat_ix: np.ndarray,
+    m: np.ndarray,
+    txt_buf: np.ndarray,
+    n: np.ndarray,
+    chunk: int = 1 << 18,
+) -> np.ndarray:
+    """Exact Levenshtein distances with MULTI-WORD Myers bit-vectors:
+    pair i's pattern is row ``pat_ix[i]`` of the shared (k, 256, W)
+    ``peq`` table, pattern lengths ``m`` <= 64*W. The column bit-vector
+    is W uint64 words per pair; per text byte the batch advances with
+    the one-word recurrence run word-by-word (low to high) carrying
+
+    - the multi-precision ADD carry through ``(Eq & Pv) + Pv``, and
+    - the Ph/Mh left-shift carry (Ph's bottom carry-in is the global
+      boundary D[0][j] = j, exactly the one-word ``(Ph << 1) | 1``),
+
+    which IS the W*64-bit integer recurrence of Myers' block algorithm
+    (Myers 1999; Hyyrö, "A bit-vector algorithm for computing
+    Levenshtein and Damerau edit distances", 2003). Dead words above a
+    pattern's own ceil(m/64) hold garbage but carries flow strictly
+    upward and the score reads only the pattern's top bit — pinned
+    bit-identical to ``levenshtein_ref`` by hypothesis tests. Pairs
+    are processed in ``chunk`` slices to bound the (pairs, W) live
+    arrays."""
+    n_pairs = len(m)
+    out = np.zeros(n_pairs, np.int64)
+    if n_pairs == 0:
+        return out
+    w = peq.shape[2]
+    if int(m.max(initial=0)) > 64 * w:
+        raise ValueError("pattern length exceeds the Peq word width")
+    for lo in range(0, n_pairs, chunk):
+        sl = slice(lo, min(lo + chunk, n_pairs))
+        out[sl] = _lev_multi_chunk(peq, pat_ix[sl], m[sl], txt_buf[sl], n[sl])
+    return out
+
+
+def _lev_multi_chunk(
+    peq: np.ndarray,
+    pat_ix: np.ndarray,
+    m: np.ndarray,
+    txt_buf: np.ndarray,
+    n: np.ndarray,
+) -> np.ndarray:
+    w = peq.shape[2]
+    n_pairs = len(m)
+    out = np.zeros(n_pairs, np.int64)
+    empty_pat = m == 0
+    out[empty_pat] = n[empty_pat]
+    live = np.flatnonzero(~empty_pat)
+    if live.size == 0:
+        return out
+    m_l = m[live]
+    n_l = n[live]
+    max_n = int(n_l.max(initial=0))
+    pix = pat_ix[live]
+    txt = txt_buf[live]
+    k = live.size
+    rows = np.arange(k)
+    hw = ((m_l - 1) // 64).astype(np.int64)  # hibit word per pair
+    hibit = _ONE << ((m_l - 1) % 64).astype(_U64)
+    # Pv init: low m bits set across words
+    bits_in_w = np.clip(
+        m_l[:, None] - 64 * np.arange(w)[None, :], 0, 64
+    ).astype(_U64)
+    full = ~np.uint64(0)
+    pv = np.where(
+        bits_in_w == 64,
+        full,
+        (_ONE << bits_in_w) - _ONE,
+    ).astype(_U64)
+    mv = np.zeros((k, w), _U64)
+    score = m_l.copy()
+    eq = np.empty((k, w), _U64)
+    xh = np.empty((k, w), _U64)
+    ph = np.empty((k, w), _U64)
+    mh = np.empty((k, w), _U64)
+    for step in range(max_n):
+        active = n_l > step
+        eq[:] = peq[pix, txt[:, step]]
+        # multi-precision (Eq & Pv) + Pv, word-by-word carry
+        carry = np.zeros(k, _U64)
+        for j in range(w):
+            a = eq[:, j] & pv[:, j]
+            t1 = a + pv[:, j]
+            c1 = t1 < a
+            t2 = t1 + carry
+            c2 = t2 < t1
+            xh[:, j] = (t2 ^ pv[:, j]) | eq[:, j]
+            carry = (c1 | c2).astype(_U64)
+        ph[:] = mv | ~(xh | pv)
+        mh[:] = pv & xh
+        ph_top = ph[rows, hw]
+        mh_top = mh[rows, hw]
+        score = score + np.where(active & ((ph_top & hibit) != 0), 1, 0)
+        score = score - np.where(active & ((mh_top & hibit) != 0), 1, 0)
+        # left shift by 1 across words; Ph bottom carry-in = 1 (D[0][j]=j)
+        ph_c = np.full(k, _ONE, _U64)
+        mh_c = np.zeros(k, _U64)
+        for j in range(w):
+            ph_hi = ph[:, j] >> _U64(63)
+            mh_hi = mh[:, j] >> _U64(63)
+            sph = (ph[:, j] << _ONE) | ph_c
+            smh = (mh[:, j] << _ONE) | mh_c
+            xv = eq[:, j] | mv[:, j]
+            new_pv = smh | ~(xv | sph)
+            new_mv = sph & xv
+            pv[:, j] = np.where(active, new_pv, pv[:, j])
+            mv[:, j] = np.where(active, new_mv, mv[:, j])
+            ph_c, mh_c = ph_hi, mh_hi
     out[live] = score
     return out
 
