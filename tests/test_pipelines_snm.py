@@ -60,6 +60,21 @@ def test_boundary_pairs_survive_partitioning():
         assert pairs == expect
 
 
+def test_carry_guard_refuses_oversized_driver_state():
+    # r5: the blocks x (window-1) driver carry is measured and refused
+    # above the guard instead of silently growing the driver dict
+    t = _docs([(i, f"doc number {i} with words") for i in range(40)])
+    with pytest.raises(ValueError, match="driver guard"):
+        sorted_neighborhood_pairs(
+            rd.from_arrow(t).repartition(8), window=4, carry_guard_rows=2
+        ).materialize()
+    # bytes guard fires independently
+    with pytest.raises(ValueError, match="driver guard"):
+        sorted_neighborhood_pairs(
+            rd.from_arrow(t).repartition(8), window=4, carry_guard_bytes=8
+        ).materialize()
+
+
 def test_rejects_tiny_window():
     with pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(rd.from_arrow(_docs([(1, "a")])), window=1)

@@ -35,9 +35,13 @@ Jaccard (int/int division is IEEE-identical — CLAUDE.md r2)."""
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
+
+logger = logging.getLogger(__name__)
 
 _PAIR_SCHEMA = pa.schema(
     [
@@ -55,10 +59,15 @@ def sorted_neighborhood_pairs(
     threshold: float = 0.7,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_guard_rows: int = 2_000_000,
+    carry_guard_bytes: int = 1 << 30,
 ) -> Dataset:
     """(id_a, id_b, jaccard) with id_a < id_b: every pair within
     ``window`` positions of each other under the (byte-length, id)
-    sort whose exact ``shingle_k``-gram Jaccard >= ``threshold``."""
+    sort whose exact ``shingle_k``-gram Jaccard >= ``threshold``.
+    The driver-side carry metadata (blocks x (window-1) rows incl.
+    shingle blobs) is measured and refused above ``carry_guard_rows``
+    / ``carry_guard_bytes``."""
     import ray
     import pyarrow.compute as pc
 
@@ -130,10 +139,31 @@ def sorted_neighborhood_pairs(
             schema=meta_schema,
         )
 
-    # driver-bounded: blocks x (window-1) rows
-    meta_rows = feats.map_batches(
+    # driver-bounded: blocks x (window-1) rows — MEASURED before they
+    # land on the driver (the repo-wide measured-size-guard pattern):
+    # at web scale (~800k blocks x w1 incl. shingle blobs) an unbounded
+    # take_all is a few-GB driver dict, so refuse loudly above the
+    # guard instead of silently degrading the driver
+    meta_ds = feats.map_batches(
         block_meta, batch_format="pyarrow", batch_size=None
-    ).take_all()
+    ).materialize()
+    n_meta = meta_ds.count()
+    meta_bytes = meta_ds.size_bytes() or 0
+    if n_meta > carry_guard_rows or meta_bytes > carry_guard_bytes:
+        raise ValueError(
+            f"sorted_neighborhood_pairs: carry metadata ({n_meta} rows, "
+            f"{meta_bytes} bytes) exceeds the driver guard "
+            f"({carry_guard_rows} rows / {carry_guard_bytes} bytes) — "
+            "raise the guard explicitly or shrink window / grow block "
+            "size; the carry walk is sequential in key order by design "
+            "(Hernandez-Stolfo), so past this size run SNM per key range"
+        )
+    logger.info(
+        "sorted_neighborhood_pairs: driver carry %d rows, %d bytes",
+        n_meta,
+        meta_bytes,
+    )
+    meta_rows = meta_ds.take_all()
     blocks: dict[tuple[int, int], list] = {}
     for r in meta_rows:
         blocks.setdefault((r["h_klen"], r["h_id"]), []).append(r)
