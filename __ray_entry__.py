@@ -2061,6 +2061,24 @@ def _q_editsim_pairs(sf_dir: str):
     ).sort(["id_a", "id_b"])
 
 
+def _q_exact_substr_spans(sf_dir: str):
+    """Byte-level ExactSubstr duplicate spans (Lee et al. ACL 2022 —
+    the suffix-array dedup, distributed via the L-window coverage
+    lemma, pipelines/exactsubstr.py): maximal byte spans covered by a
+    >= 40-byte substring occurring >= 2 times anywhere in the REAL
+    documents corpus (measured: 5.6k duplicated windows at sf0.01).
+    Hash-recall + actual-bytes verify makes the output exact, so the
+    oracle is plain substr GROUP BY + gaps-and-islands — all BIGINT,
+    byte == char because the documents tables are ASCII (the cdc
+    precedent). Pinned equal to the suffix-array reference
+    (core/exactsubstr.py) on planted + random corpora in tests."""
+    from textalyzer_ray.pipelines.exactsubstr import exact_substr_spans
+    from textalyzer_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_substr_spans(docs, min_len=40)
+
+
 def _q_cdc_chunks(sf_dir: str):
     """Content-defined chunking (LBFS/Rabin shape) duplicate-chunk
     groups over the real documents table: 16-byte rolling window,
@@ -4131,6 +4149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "setjoin_pairs": _q_setjoin_pairs,
         "editsim_pairs": _q_editsim_pairs,
         "editsim_long_pairs": _q_editsim_long_pairs,
+        "exact_substr_spans": _q_exact_substr_spans,
         "cdc_chunks": _q_cdc_chunks,
         "table_profile": _q_table_profile,
         "srp_pairs": _q_srp_pairs,
@@ -5097,6 +5116,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM et a JOIN et b ON a.doc_id < b.doc_id "
             "AND abs(length(a.s) - length(b.s)) <= 2 "
             "WHERE levenshtein(a.s, b.s) <= 2 ORDER BY id_a, id_b"
+        ),
+        "exact_substr_spans": (
+            "WITH pos AS MATERIALIZED (SELECT doc_id, text, "
+            "unnest(generate_series(1, length(text) - 39)) AS i "
+            "FROM documents), "
+            "w AS MATERIALIZED (SELECT doc_id, i, substr(text, i, 40) "
+            "AS win FROM pos), "
+            "d AS MATERIALIZED (SELECT win FROM w GROUP BY win "
+            "HAVING count(*) >= 2), "
+            "c AS MATERIALIZED (SELECT doc_id, i FROM w "
+            "WHERE win IN (SELECT win FROM d)), "
+            "o AS (SELECT doc_id, i, CASE WHEN "
+            "lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL "
+            "OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 40 "
+            "THEN 1 ELSE 0 END AS brk FROM c), "
+            "g AS (SELECT doc_id, i, sum(brk) OVER "
+            "(PARTITION BY doc_id ORDER BY i) AS grp FROM o) "
+            "SELECT doc_id, CAST(min(i) - 1 AS BIGINT) AS span_start, "
+            "CAST(max(i) - 1 + 40 AS BIGINT) AS span_end "
+            "FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start"
         ),
         "cdc_chunks": _cdc_oracle_sql(),
         "table_profile": _table_profile_oracle_sql(
