@@ -4055,127 +4055,89 @@ def _q_extract_fixtures(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # ORDER MATTERS: the driver's CORRECTNESS file witnessed exactly the
-    # first 50 entries in round 2, so ONE query per distinct operator
-    # family sits in the first 50. The r3 session additions displaced
-    # family-redundant entries into the redundant-coverage block
-    # (bigram_histogram, word_histogram_by_lang, winnow_fingerprints,
-    # orders_by_region_nation, parts_by_supplier_nation,
-    # readability_components, host_outdegree, extract_fixtures,
-    # extract_pdf_text, site_linkgraph, ivf_topk, knn_graph,
-    # boilerplate_removal — each still covered by a same-family query
-    # above the cap: extraction by extract_text/warc_extract, linkgraph
-    # by host_pagerank + anchor_rollup, ANN by similarity_topk, exact
-    # similarity kernels by cosine_pairs, C4-line family by
-    # line_dedup_rebuild; bm25_topk (retrieval) and funnel_stages
-    # (ordered-funnel) took the freed slots). This session's stateful
-    # showcases took four more: lsh_index_dedup replaced minhash_dedup
-    # (near-dedup family still witnessed by minhash_pairs, and the
-    # index oracle subsumes the keep rule), stream_windows replaced
-    # winnow_pairs (sketch pairs still witnessed by minhash_pairs +
-    # simhash_pairs; winnow_fingerprints sits just above the cap),
-    # word_triangles replaced line_width_histogram_chunks (line family
-    # witnessed by line_length_histogram), vector_index_topk replaced
-    # similarity_topk (same exact-top-k semantics through the sharded
-    # index), stream_range_join replaced purchase_asof_view (temporal
-    # custom-join family still covered below the cap by both the asof
-    # and batch-band variants; the streaming join carries the
-    # identical band oracle), and zorder_layout replaced
-    # cap_per_source (sampling/split family witnessed by hash_split;
-    # cap stays locally gated below the cap), and snapshot_diff
-    # replaced dedup_against (two-corpus comparison family; the
-    # incremental anti-join stays locally gated below the cap).
-    # Rows-only entries close the dict.
-    #
-    # r4 continuation rotation: four new families entered the window
-    # (editsim_pairs — edit-distance join; cdc_chunks — content-defined
-    # chunking dedup; table_profile — column profiler; srp_pairs —
-    # embedding SRP-LSH). Displaced past the cap: dup_ngram_coverage
-    # (duplication coverage witnessed by dup_span_removal + cdc_chunks),
-    # word_kcore (graph family by word_triangles + lpa_communities +
-    # textrank_keywords), classifier_scores (model-scoring family by
-    # lm_surprisal, kept in-window by parking containment_pairs, whose
-    # setjoin family setjoin_pairs witnesses). Second r4 rotation:
-    # hits_doc_host (hubs/authorities — a distinct iterative-graph
-    # algorithm from the pagerank chain) displaced the r3-green
-    # word_triangles (triangle counting stays witnessed by the r03
-    # driver row and locally gated below the cap), and host_cocitation
-    # (bipartite co-citation projection, a new graph-derivation family)
-    # displaced the r3-green embedding_clusters (CC family keeps its
-    # r03 row + the semdedup variant below the cap), and
-    # lexical_profile (type-token/hapax diversity, a new quality-signal
-    # family) displaced the r3-green image_dhash_groups (multimodal
-    # family holds THREE r03 driver rows — image/audio/video — and all
-    # three stay locally gated below the cap).
-    #
-    # Third r4 rotation (this session): four NEW families entered the
-    # window — crawl_schedule (politeness scheduling), score_deciles
-    # (distributed global rank / exact NTILE), rrf_fusion (rank
-    # fusion), source_outliers (robust MAD stats). Displaced, all
-    # r03-driver-green with their family still covered in-window:
-    # warc_extract (extraction by extract_text), kmeans_clusters
-    # (clustering by lpa_communities + pq_codes), cosine_pairs (exact
-    # similarity by vector_index_topk + setjoin_pairs), anchor_rollup
-    # (links by hits_doc_host + host_cocitation), decontaminate
-    # (curation by dup_span_removal + funnel_stages + resumable_funnel).
-    # bloom_url_seen sits first past the cap (r03 row stands).
-    #
-    # Fifth r4 rotation (session 3): phrase_search (exact positional
-    # phrase search — a new retrieval-positional family) entered;
-    # single_line_dups (r03-driver-green G2; exact line-dup semantics
-    # also exercised in-window by line_dedup_rebuild) parked first in
-    # the redundant block so its family keeps local gating. Then
-    # sequence_pack (cross-doc fixed-length LLM sequence packing, a
-    # new family) entered; extract_text (r03-driver-green; extraction
-    # family keeps page_meta in-window + warc_extract's r03 row)
-    # parked beside it.
-    #
-    # Fourth r4 rotation (same session): five MORE new families entered
-    # — url_templates (crawl structure census), redirect_resolution
-    # (pointer jumping), rendezvous_shards (HRW placement),
-    # quota_select (budgeted selection), burst_intervals (windowed
-    # burst runs). Parked in exchange (all r03-driver-green, family
-    # still represented or r03 row standing): bm25_topk (retrieval by
-    # inverted_index), funnel_stages (by resumable_funnel +
-    # cohort_retention), lsh_index_dedup (near-dup by minhash_pairs +
-    # setjoin_pairs + sorted_neighborhood; service tier by
-    # vector_index_topk + hll_service_distinct), stream_range_join
-    # (r03 row stands; trending_terms + events window family below the
-    # cap), dup_span_removal (r03 row stands; duplication by
-    # cdc_chunks + single_line_dups).
+    # ORDER MATTERS: the driver's CORRECTNESS file witnesses exactly
+    # the FIRST 50 entries each round.
+    # r5 ROTATION (this round): the judge's task #2 — every query with
+    # NO driver row yet (23, VERDICT r4 'What's missing #2') plus the
+    # five whose LAST row is a stale r1/r2 err (minhash_dedup, ivf_topk,
+    # winnow_fingerprints, and the two permanently-rows-only
+    # compression_ratio / multi_line_dups) moved INTO the first-50
+    # window, alongside this round's two new families
+    # (exact_substr_spans — byte-level ExactSubstr; editsim_long_pairs —
+    # multi-word Myers). The remaining 20 slots hold r4-green family
+    # anchors, preferring the two pipelines whose code changed this
+    # round (url_templates pre-distinct, sorted_neighborhood carry
+    # guard) so the changes get fresh driver rows. Every displaced
+    # query keeps its r1-r4 driver-green record and stays locally
+    # gated below the cap (tools/check_contract.py runs ALL of them).
+    # Historical rotation rationale for r2-r4 windows: git log of this
+    # file (the per-round comment blocks were folded into history when
+    # the r5 window was cut).
     return {
-        # SQL-oracled — one per family, strongest evidence first
-        "pmi_collocations": _q_pmi_collocations,
-        "setjoin_pairs": _q_setjoin_pairs,
-        "editsim_pairs": _q_editsim_pairs,
-        "editsim_long_pairs": _q_editsim_long_pairs,
+        # ---- DRIVER WINDOW (first 50) ----
         "exact_substr_spans": _q_exact_substr_spans,
+        "editsim_long_pairs": _q_editsim_long_pairs,
+        "minhash_dedup": _q_minhash_dedup,
+        "ivf_topk": _q_ivf_topk,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "sentence_stats": _q_sentence_stats,
+        "vocab_coverage": _q_vocab_coverage,
+        "ols_trends": _q_ols_trends,
+        "source_overlap": _q_source_overlap,
+        "interval_counts": _q_interval_counts,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "decayed_counts": _q_decayed_counts,
+        "chunk_windows": _q_chunk_windows,
+        "word_kcore": _q_word_kcore,
+        "containment_pairs": _q_containment_pairs,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "blocklist_audit": _q_blocklist_audit,
+        "bpe_doc_tokens": _q_bpe_doc_tokens,
+        "approx_distinct_words": _q_approx_distinct_words,
+        "cluster_balanced_sample": _q_cluster_balanced_sample,
+        "cluster_label_profile": _q_cluster_label_profile,
+        "length_quantile_filter": _q_length_quantile_filter,
+        "shard_shuffle": _q_shard_shuffle,
+        "host_outdegree": _q_host_outdegree,
+        "site_linkgraph": _q_site_linkgraph,
+        "boilerplate_removal": _q_boilerplate_removal,
+        "line_width_histogram_chunks": _q_line_width_histogram_chunks,
+        "winnow_pairs": _q_winnow_pairs,
+        "editsim_pairs": _q_editsim_pairs,
         "cdc_chunks": _q_cdc_chunks,
+        "setjoin_pairs": _q_setjoin_pairs,
+        "pmi_collocations": _q_pmi_collocations,
         "table_profile": _q_table_profile,
         "srp_pairs": _q_srp_pairs,
         "trending_terms": _q_trending_terms,
         "inverted_index": _q_inverted_index,
         "phrase_search": _q_phrase_search,
         "sequence_pack": _q_sequence_pack,
-        "cohort_retention": _q_cohort_retention,
         "hits_doc_host": _q_hits_doc_host,
         "lexical_profile": _q_lexical_profile,
+        "crawl_schedule": _q_crawl_schedule,
+        "score_deciles": _q_score_deciles,
+        "rrf_fusion": _q_rrf_fusion,
+        "url_templates": _q_url_templates,
+        "sorted_neighborhood": _q_sorted_neighborhood,
+        "hll_service_distinct": _q_hll_service_distinct,
+        "resumable_funnel": _q_resumable_funnel,
+        "range_splitters": _q_range_splitters,
+        "compression_ratio": _q_compression_ratio,
+        "multi_line_dups": _q_multi_line_dups,
+        # ---- below the cap: locally gated, strongest-first ----
+        "cohort_retention": _q_cohort_retention,
         "seeded_textrank": _q_seeded_textrank,
         "count_min_words": _q_count_min_words,
         "weighted_sample": _q_weighted_sample,
         "host_cocitation": _q_host_cocitation,
         "robots_filter": _q_robots_filter,
-        "crawl_schedule": _q_crawl_schedule,
-        "score_deciles": _q_score_deciles,
-        "rrf_fusion": _q_rrf_fusion,
         "source_outliers": _q_source_outliers,
-        "url_templates": _q_url_templates,
         "redirect_resolution": _q_redirect_resolution,
         "rendezvous_shards": _q_rendezvous_shards,
         "quota_select": _q_quota_select,
         "burst_intervals": _q_burst_intervals,
         "session_transitions": _q_session_transitions,
-        "hll_service_distinct": _q_hll_service_distinct,
         "stratified_split": _q_stratified_split,
         "pivot_counts": _q_pivot_counts,
         "page_meta": _q_page_meta,
@@ -4185,90 +4147,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_communities": _q_lpa_communities,
         "common_neighbors": _q_common_neighbors,
         "k_truss": _q_k_truss,
-        "resumable_funnel": _q_resumable_funnel,
         "grouping_sets": _q_grouping_sets,
-        "sorted_neighborhood": _q_sorted_neighborhood,
         "textrank_keywords": _q_textrank_keywords,
         "props_rollup": _q_props_rollup,
         "pq_codes": _q_pq_codes,
         "events_gapfill": _q_events_gapfill,
         "cusum_alarms": _q_cusum_alarms,
         "theil_sen_trends": _q_theil_sen_trends,
-        "range_splitters": _q_range_splitters,
         "coverage_select": _q_coverage_select,
         "novelty_scores": _q_novelty_scores,
-        "ols_trends": _q_ols_trends,
-        "source_overlap": _q_source_overlap,
-        "sentence_stats": _q_sentence_stats,
-        "vocab_coverage": _q_vocab_coverage,
-        "chunk_windows": _q_chunk_windows,
-        "decayed_counts": _q_decayed_counts,
         "bloom_url_seen": _q_bloom_url_seen,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
-        "word_kcore": _q_word_kcore,
         "classifier_scores": _q_classifier_scores,
-        "containment_pairs": _q_containment_pairs,
         "hash_split": _q_hash_split,
         "line_dedup_rebuild": _q_line_dedup_rebuild,
         "rep_signals": _q_rep_signals,
-        # Sixth r4 rotation (session 3): range_splitters (sort-free
-        # radix selection — a new scale-pattern family), coverage_select
-        # (greedy submodular selection) and novelty_scores (first-seen
-        # gram fraction) entered the window; the last three r03-driver-
-        # green veterans parked here in exchange (word_histogram's G1
-        # family stays witnessed via trending_terms + burst_intervals'
-        # windowed histograms and its r03 row; line_length_histogram
-        # via lexical_profile + sentence_stats' per-doc length
-        # metrics; minhash_pairs' near-dup family via setjoin_pairs +
-        # sorted_neighborhood + srp_pairs in-window). ols_trends,
-        # source_overlap and sentence_stats queue first past the cap.
         "word_histogram": _q_word_histogram,
         "line_length_histogram": _q_line_length_histogram,
         "minhash_pairs": _q_minhash_pairs,
-        # SQL-oracled, redundant coverage (same families as entries
-        # above) — first to fall past a driver cap. r4 rotation parked
-        # ten r3-driver-green veterans here (each family keeps an
-        # in-window representative): tfidf_top_terms (bm25_topk +
-        # pmi_collocations), sessionize (funnel_stages +
-        # cohort_retention), doc_token_counts (word_histogram),
-        # host_pagerank (textrank_keywords runs the same chain),
-        # token_shards (chunk_windows + hash_split),
-        # cust_orders_by_segment (grouping_sets), outlinks
-        # (anchor_rollup), quality_components (rep_signals +
-        # readability), approx_top_words (minhash/simhash sketches +
-        # hll_service_distinct), resumable_extract (resumable_funnel,
-        # strictly stronger: forced abort + global-stage checkpoint).
-        # r4 late rotation: the queued r4 families (count_min_words,
-        # pivot_counts, word_kcore, pq_codes) plus setjoin_pairs moved
-        # INTO the window; parked here in exchange (each family keeps an
-        # in-window representative): simhash_pairs (sketch pairs by
-        # minhash_pairs + setjoin_pairs), video_vhash_groups (multimodal
-        # by image_dhash_groups), audio_afp_groups (same),
-        # semdedup (embedding-cluster family by embedding_clusters),
-        # curation_funnel (funnel by resumable_funnel, which runs the
-        # same funnel under forced abort + resume).
-        # r4 continuation rotation: robots_filter (crawl-frontier robots
-        # verdicts, a new family) took the window slot of the r3-green
-        # zorder_layout (layout family keeps its r03 driver row; parked
-        # here, still locally gated), and knn_hop_distance (multi-source
-        # BFS graph traversal, a new family) took the slot of the
-        # r3-green readability (readability_components stays locally
-        # gated; the family keeps its r03 driver row), and
-        # decayed_counts (exact dyadic time-decay scoring, a new
-        # family) took the slot of the r3-green scrub_pii (curation
-        # keeps decontaminate + dup_span_removal + funnel in-window).
-        # ...and trending_terms (windowed top-k, a new family) took the
-        # slot of the r3-green stream_windows (streaming keeps
-        # stream_range_join in-window).
-        # ...and seeded_textrank (TrustRank-restart topic-sensitive
-        # ranking, a new variant family) took the slot of the r3-green
-        # exact_dedup_distributed (exact-dedup keeps dedup_keep_best,
-        # single_line_dups and the whole near-dup tier in-window).
-        # session-2 park: vector_index_topk (r03-green; service tier
-        # repped in-window by hll_service_distinct) made room for
-        # theil_sen_trends at the cap; lm_surprisal (r03-green) for
-        # k_truss; session-3: bpe_train (r03-green; family locally
-        # gated + bpe_doc_tokens below) for page_meta.
         "extract_text": _q_extract_text,
         "single_line_dups": _q_single_line_dups,
         "lm_surprisal": _q_lm_surprisal,
@@ -4311,19 +4207,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_words": _q_approx_top_words,
         "resumable_extract": _q_resumable_extract,
         "word_histogram_by_lang": _q_word_histogram_by_lang,
-        "winnow_fingerprints": _q_winnow_fingerprints,
         "bigram_histogram": _q_bigram_histogram,
         "orders_by_region_nation": _q_orders_by_region_nation,
         "parts_by_supplier_nation": _q_parts_by_supplier_nation,
         "readability_components": _q_readability_components,
-        "host_outdegree": _q_host_outdegree,
         "lang_rollup": _q_lang_rollup,
         "bpe_token_counts": _q_bpe_token_counts,
         "events_hourly": _q_events_hourly,
-        "site_linkgraph": _q_site_linkgraph,
         "extract_fixtures": _q_extract_fixtures,
         "extract_pdf_text": _q_extract_pdf_text,
-        "ivf_topk": _q_ivf_topk,
         "purchase_view_range_join": _q_purchase_view_range_join,
         "source_rollup": _q_source_rollup,
         "top_k_longest": _q_top_k_longest,
@@ -4335,43 +4227,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "hash_sample": _q_hash_sample,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
-        "csv_roundtrip": _q_csv_roundtrip,
         "url_dedup": _q_url_dedup,
         "doc_top_bigram": _q_doc_top_bigram,
         "lineitem_priority_join": _q_lineitem_priority_join,
-        "approx_distinct_words": _q_approx_distinct_words,
-        "cluster_balanced_sample": _q_cluster_balanced_sample,
-        "length_quantile_filter": _q_length_quantile_filter,
-        "nfc_clean": _q_nfc_clean,
-        "cluster_label_profile": _q_cluster_label_profile,
-        "shard_shuffle": _q_shard_shuffle,
-        "dedup_keep_best": _q_dedup_keep_best,
         "gopher_quality": _q_gopher_quality,
-        "bpe_doc_tokens": _q_bpe_doc_tokens,
-        "skyline_docs": _q_skyline_docs,
-        "grouping_sets": _q_grouping_sets,
-        "interval_counts": _q_interval_counts,
-        "cohort_retention": _q_cohort_retention,
-        "pmi_collocations": _q_pmi_collocations,
-        "chunk_windows": _q_chunk_windows,
-        "blocklist_audit": _q_blocklist_audit,
-        "inverted_index": _q_inverted_index,
-        "textrank_keywords": _q_textrank_keywords,
         "cap_per_source": _q_cap_per_source,
-        "resumable_funnel": _q_resumable_funnel,
         "purchase_asof_view": _q_purchase_asof_view,
-        "hll_service_distinct": _q_hll_service_distinct,
         "dedup_against": _q_dedup_against,
-        "minhash_dedup": _q_minhash_dedup,
-        "winnow_pairs": _q_winnow_pairs,
-        "line_width_histogram_chunks": _q_line_width_histogram_chunks,
         "similarity_topk": _q_similarity_topk,
         "knn_graph": _q_knn_graph,
-        "boilerplate_removal": _q_boilerplate_removal,
-        # rows-only (non-SQL-expressible: zlib, global greedy
-        # suppression)
-        "compression_ratio": _q_compression_ratio,
-        "multi_line_dups": _q_multi_line_dups,
     }
 
 

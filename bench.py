@@ -393,6 +393,18 @@ def run_bench() -> dict:
         lambda: contract._q_coverage_select(sf_dir).count(),
     )
 
+    # r5 additions: byte-level ExactSubstr duplicate spans (window-hash
+    # count + actual-bytes verify + doc-aligned interval merge) and the
+    # multi-word Myers edit join over the planted 64-256-byte corpus.
+    timed(
+        "exact_substr",
+        lambda: contract._q_exact_substr_spans(sf_dir).count(),
+    )
+    timed(
+        "editsim_long",
+        lambda: contract._q_editsim_long_pairs(sf_dir).count(),
+    )
+
     ray.shutdown()
     total = round(sum(timings.values()), 3)
     # In-run hardware control: this shared VM intermittently loses 2-20x
