@@ -2079,6 +2079,20 @@ def _q_exact_substr_spans(sf_dir: str):
     return exact_substr_spans(docs, min_len=40)
 
 
+def _q_exact_substr_removal(sf_dir: str):
+    """The ACTION to ``exact_substr_spans``: rebuild every document
+    with its duplicated >= 40-byte spans CUT (Lee et al. 2022's actual
+    corpus edit). The oracle reconstructs kept_text in SQL as the
+    ordered concat of substr segments between spans, so the gate is
+    STRING-equal on the rebuilt text itself plus BIGINT byte
+    accounting."""
+    from textalyzer_ray.pipelines.exactsubstr import exact_substr_removal
+    from textalyzer_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_substr_removal(docs, min_len=40)
+
+
 def _q_cdc_chunks(sf_dir: str):
     """Content-defined chunking (LBFS/Rabin shape) duplicate-chunk
     groups over the real documents table: 16-byte rolling window,
@@ -4076,6 +4090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- DRIVER WINDOW (first 50) ----
         "exact_substr_spans": _q_exact_substr_spans,
+        "exact_substr_removal": _q_exact_substr_removal,
         "editsim_long_pairs": _q_editsim_long_pairs,
         "minhash_dedup": _q_minhash_dedup,
         "ivf_topk": _q_ivf_topk,
@@ -4122,10 +4137,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood": _q_sorted_neighborhood,
         "hll_service_distinct": _q_hll_service_distinct,
         "resumable_funnel": _q_resumable_funnel,
-        "range_splitters": _q_range_splitters,
         "compression_ratio": _q_compression_ratio,
         "multi_line_dups": _q_multi_line_dups,
         # ---- below the cap: locally gated, strongest-first ----
+        "range_splitters": _q_range_splitters,
         "cohort_retention": _q_cohort_retention,
         "seeded_textrank": _q_seeded_textrank,
         "count_min_words": _q_count_min_words,
@@ -5000,6 +5015,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(min(i) - 1 AS BIGINT) AS span_start, "
             "CAST(max(i) - 1 + 40 AS BIGINT) AS span_end "
             "FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start"
+        ),
+        "exact_substr_removal": (
+            "WITH pos AS MATERIALIZED (SELECT doc_id, text, "
+            "unnest(generate_series(1, length(text) - 39)) AS i "
+            "FROM documents), "
+            "w AS MATERIALIZED (SELECT doc_id, i, substr(text, i, 40) "
+            "AS win FROM pos), "
+            "d AS MATERIALIZED (SELECT win FROM w GROUP BY win "
+            "HAVING count(*) >= 2), "
+            "c AS MATERIALIZED (SELECT doc_id, i FROM w "
+            "WHERE win IN (SELECT win FROM d)), "
+            "o AS (SELECT doc_id, i, CASE WHEN "
+            "lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL "
+            "OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 40 "
+            "THEN 1 ELSE 0 END AS brk FROM c), "
+            "g AS (SELECT doc_id, i, sum(brk) OVER "
+            "(PARTITION BY doc_id ORDER BY i) AS grp FROM o), "
+            "sp AS MATERIALIZED (SELECT doc_id, min(i) - 1 AS s, "
+            "max(i) - 1 + 40 AS e FROM g GROUP BY doc_id, grp), "
+            "seg1 AS (SELECT doc_id, coalesce(lag(e) OVER "
+            "(PARTITION BY doc_id ORDER BY s), 0) AS a, s AS b FROM sp), "
+            "segl AS (SELECT doc_id, max(e) AS a FROM sp GROUP BY doc_id), "
+            "segs AS (SELECT doc_id, a, b FROM seg1 UNION ALL "
+            "SELECT sl.doc_id, sl.a, length(d2.text) AS b FROM segl sl "
+            "JOIN documents d2 USING (doc_id)), "
+            "kept AS (SELECT segs.doc_id, "
+            "coalesce(string_agg(substr(d3.text, a + 1, b - a), '' "
+            "ORDER BY a), '') AS kt, sum(b - a) AS kb "
+            "FROM segs JOIN documents d3 ON segs.doc_id = d3.doc_id "
+            "GROUP BY segs.doc_id) "
+            "SELECT dd.doc_id, CAST(length(dd.text) AS BIGINT) AS n_bytes, "
+            "CAST(length(dd.text) - coalesce(k.kb, length(dd.text)) "
+            "AS BIGINT) AS removed_bytes, "
+            "coalesce(k.kt, dd.text) AS kept_text "
+            "FROM documents dd LEFT JOIN kept k USING (doc_id) "
+            "ORDER BY dd.doc_id"
         ),
         "cdc_chunks": _cdc_oracle_sql(),
         "table_profile": _table_profile_oracle_sql(

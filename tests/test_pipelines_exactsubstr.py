@@ -134,3 +134,102 @@ def test_oracle_equality_sf0001():
     assert got.columns.tolist() == exp.columns.tolist()
     assert len(got) == len(exp) > 0
     assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+def test_cast_table_chunked_slices_oversized_binary():
+    # r5 soak finding: polars emits single-chunk large_binary and Arrow
+    # cannot cast a chunk past int32 offsets into binary — the helper
+    # row-slices along the offsets buffer (tiny limit stands in for the
+    # 2 GiB boundary)
+    from textalyzer_ray.stages.groups import cast_table_chunked
+
+    vals = [b"x" * 10, b"y" * 25, None, b"z" * 5, b"w" * 40, b""]
+    t = pa.table(
+        {
+            "id": pa.array(range(6), pa.int64()),
+            "blob": pa.array(vals, pa.large_binary()),
+        }
+    )
+    schema = pa.schema(
+        [pa.field("id", pa.int64()), pa.field("blob", pa.binary())]
+    )
+    out = cast_table_chunked(t, schema, limit=16)
+    assert out.schema == schema
+    assert out["blob"].to_pylist() == vals
+    assert out["blob"].num_chunks > 1
+    # sliced (offset != 0) inputs and the fast no-slice path
+    sl = pa.table({"id": t["id"].slice(1, 4), "blob": t["blob"].slice(1, 4)})
+    assert cast_table_chunked(sl, schema, limit=16)["blob"].to_pylist() == vals[1:5]
+    assert cast_table_chunked(t, schema)["blob"].num_chunks == 1
+
+
+def test_removal_rebuild_matches_reference_spans():
+    # removal == cut every reference span out of the text, in order
+    from textalyzer_ray.pipelines.exactsubstr import exact_substr_removal
+
+    rng = random.Random(21)
+    frag = bytes(rng.randrange(97, 123) for _ in range(60))
+    texts = {
+        d: bytes(rng.randrange(97, 123) for _ in range(rng.randrange(20, 120)))
+        + (frag if d % 2 == 0 else b"")
+        for d in range(12)
+    }
+    t = pa.table(
+        {
+            "doc_id": list(texts),
+            "text": [v.decode() for v in texts.values()],
+        }
+    )
+    got = exact_substr_removal(
+        rd.from_arrow(t).repartition(3), min_len=30
+    ).take_all()
+    spans_by_doc: dict[int, list] = {}
+    for d, s, e in reference_spans(texts, 30):
+        spans_by_doc.setdefault(d, []).append((s, e))
+    assert len(got) == len(texts)
+    for r in got:
+        buf = texts[r["doc_id"]]
+        kept = bytearray()
+        prev = 0
+        for s, e in spans_by_doc.get(r["doc_id"], []):
+            kept += buf[prev:s]
+            prev = e
+        kept += buf[prev:]
+        assert r["n_bytes"] == len(buf)
+        assert r["kept_text"].encode() == bytes(kept)
+        assert r["removed_bytes"] == len(buf) - len(kept)
+
+
+def test_removal_full_and_none():
+    from textalyzer_ray.pipelines.exactsubstr import exact_substr_removal
+
+    # two identical docs: everything removed; one unique doc: untouched
+    texts = {0: b"a" * 50, 1: b"a" * 50, 2: b"totally unique content here x"}
+    t = pa.table(
+        {"doc_id": [0, 1, 2], "text": [v.decode() for v in texts.values()]}
+    )
+    got = {
+        r["doc_id"]: (r["removed_bytes"], r["kept_text"])
+        for r in exact_substr_removal(
+            rd.from_arrow(t).repartition(2), min_len=40
+        ).take_all()
+    }
+    assert got[0] == (50, "") and got[1] == (50, "")
+    assert got[2] == (0, texts[2].decode())
+
+
+def test_removal_oracle_equality_sf0001():
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    got = entry._q_exact_substr_removal(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    exp = con.sql(entry.oracle_sql()["exact_substr_removal"]).df()
+    assert got.columns.tolist() == exp.columns.tolist()
+    assert len(got) == len(exp) > 0
+    assert (got["removed_bytes"] > 0).any()
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))

@@ -127,9 +127,59 @@ def exact_substr_spans(
     each doc covered by some >= ``min_len``-byte substring occurring
     >= 2 times in the corpus. Byte offsets, half-open. ``id_col`` must
     be unique int64-castable."""
+    import ray.data as rd
+
+    from textalyzer_ray.stages.groups import grouped_apply, partitions_for
+
+    kept, n_kept = _dup_window_starts(
+        ds, min_len, id_col, text_col, broadcast_threshold
+    )
+    if kept is None:
+        return rd.from_arrow(_SPAN_SCHEMA.empty_table())
+
+    # --- spans: doc-aligned interval merge (fixed-length intervals)
+    def spans_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SPAN_SCHEMA.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ids))
+        ids, pos = ids[order], pos[order]
+        brk = np.r_[
+            True, (ids[1:] != ids[:-1]) | (pos[1:] > pos[:-1] + min_len)
+        ]
+        first = np.flatnonzero(brk)
+        last = np.r_[first[1:] - 1, len(pos) - 1]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[first]),
+                "span_start": pa.array(pos[first]),
+                "span_end": pa.array(pos[last] + min_len),
+            },
+            schema=_SPAN_SCHEMA,
+        )
+
+    return grouped_apply(
+        kept,
+        ["doc_id"],
+        spans_block,
+        num_partitions=partitions_for(n_kept, 4_000_000),
+    ).sort(["doc_id", "span_start"])
+
+
+def _dup_window_starts(
+    ds: Dataset,
+    min_len: int,
+    id_col: str,
+    text_col: str,
+    broadcast_threshold: int,
+) -> tuple[Dataset | None, int]:
+    """The shared ExactSubstr core: (materialized Dataset[(doc_id,
+    pos)] of VERIFIED duplicated window starts, its row count), or
+    (None, 0) when the corpus has no duplicated window. See the module
+    docstring for the pass structure."""
     import pyarrow.compute as pc
     import ray
-    import ray.data as rd
 
     from textalyzer_ray.stages.groups import (
         _worker_object_cache,
@@ -154,9 +204,9 @@ def exact_substr_spans(
         batch_format="pyarrow",
     ).materialize()
     n_dup = dup_ds.count()
-    logger.info("exact_substr_spans: %d duplicated window hashes", n_dup)
+    logger.info("exact_substr: %d duplicated window hashes", n_dup)
     if n_dup == 0:
-        return rd.from_arrow(_SPAN_SCHEMA.empty_table())
+        return None, 0
 
     cand_schema = pa.schema(
         [
@@ -210,9 +260,9 @@ def exact_substr_spans(
             ds, dup_ds, n_dup, min_len, id_col, text_col, cand_schema
         ).materialize()
     n_cand = cands.count()
-    logger.info("exact_substr_spans: %d candidate windows", n_cand)
+    logger.info("exact_substr: %d candidate windows", n_cand)
     if n_cand == 0:
-        return rd.from_arrow(_SPAN_SCHEMA.empty_table())
+        return None, 0
 
     # --- verify: group candidates by ACTUAL bytes inside hash blocks
     kept_schema = pa.schema(
@@ -234,36 +284,8 @@ def exact_substr_spans(
     ).materialize()
     n_kept = kept.count()
     if n_kept == 0:
-        return rd.from_arrow(_SPAN_SCHEMA.empty_table())
-
-    # --- spans: doc-aligned interval merge (fixed-length intervals)
-    def spans_block(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _SPAN_SCHEMA.empty_table()
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        pos = t["pos"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((pos, ids))
-        ids, pos = ids[order], pos[order]
-        brk = np.r_[
-            True, (ids[1:] != ids[:-1]) | (pos[1:] > pos[:-1] + min_len)
-        ]
-        first = np.flatnonzero(brk)
-        last = np.r_[first[1:] - 1, len(pos) - 1]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[first]),
-                "span_start": pa.array(pos[first]),
-                "span_end": pa.array(pos[last] + min_len),
-            },
-            schema=_SPAN_SCHEMA,
-        )
-
-    return grouped_apply(
-        kept,
-        ["doc_id"],
-        spans_block,
-        num_partitions=partitions_for(n_kept, 4_000_000),
-    ).sort(["doc_id", "span_start"])
+        return None, 0
+    return kept, n_kept
 
 
 def _cands_distributed(
@@ -390,3 +412,168 @@ def _cands_distributed(
         slice_block,
         num_partitions=partitions_for(tagged.count(), 2_000_000),
     )
+
+
+_REMOVAL_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("n_bytes", pa.int64()),
+        pa.field("removed_bytes", pa.int64()),
+        pa.field("kept_text", pa.string()),
+    ]
+)
+
+
+def exact_substr_removal(
+    ds: Dataset,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_threshold: int = 2_000_000,
+) -> Dataset:
+    """(doc_id, n_bytes, removed_bytes, kept_text), sorted — the
+    ACTION to ``exact_substr_spans``'s signal, i.e. what Lee et al.
+    2022 apply to the training corpus: every byte inside a duplicated
+    >= ``min_len``-byte substring is cut and the document is rebuilt
+    from the surviving bytes in order ('' when everything was
+    removed). String-equal in SQL (substr segment concat), so the
+    oracle gates the rebuild itself, not just counts.
+
+    One extra doc-aligned exchange beyond the shared core: texts and
+    verified window starts union-tag by doc (the dup_span_removal
+    rebuild precedent); the per-block rebuild is a single diff-array
+    coverage cumsum over the block's concatenated byte buffer + one
+    masked gather — no per-doc Python slicing."""
+    import pyarrow.compute as pc
+
+    from textalyzer_ray.stages.groups import grouped_apply, partitions_for
+
+    def passthrough(t: pa.Table) -> pa.Table:
+        col = pc.fill_null(t[text_col], "").cast(pa.string())
+        return pa.table(
+            {
+                "doc_id": pc.cast(t[id_col], pa.int64()),
+                "n_bytes": pc.cast(pc.binary_length(col), pa.int64()),
+                "removed_bytes": pa.array(
+                    np.zeros(t.num_rows, np.int64)
+                ),
+                "kept_text": col,
+            },
+            schema=_REMOVAL_SCHEMA,
+        )
+
+    kept, n_kept = _dup_window_starts(
+        ds, min_len, id_col, text_col, broadcast_threshold
+    )
+    if kept is None:
+        return ds.select_columns([id_col, text_col]).map_batches(
+            passthrough, batch_format="pyarrow"
+        ).sort(["doc_id"])
+
+    tag_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("pos", pa.int64()),
+            pa.field(text_col, pa.string()),
+            pa.field("__side", pa.int8()),
+        ]
+    )
+
+    def tag_start(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pos": t["pos"],
+                text_col: pa.nulls(n, pa.string()),
+                "__side": pa.array(np.zeros(n, np.int8)),
+            },
+            schema=tag_schema,
+        )
+
+    def tag_text(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": pc.cast(t[id_col], pa.int64()),
+                "pos": pa.nulls(n, pa.int64()),
+                text_col: pc.cast(pc.fill_null(t[text_col], ""), pa.string()),
+                "__side": pa.array(np.ones(n, np.int8)),
+            },
+            schema=tag_schema,
+        )
+
+    tagged = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(tag_text, batch_format="pyarrow")
+        .union(kept.map_batches(tag_start, batch_format="pyarrow"))
+    )
+    # scope the hash strategy to the union's lineage (CLAUDE.md r3)
+    from ray.data.context import ShuffleStrategy
+
+    tagged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    tagged = tagged.materialize()
+
+    def rebuild_block(t: pa.Table) -> pa.Table:
+        from textalyzer_ray.pipelines.editsim import _str_buffers
+
+        if t.num_rows == 0:
+            return _REMOVAL_SCHEMA.empty_table()
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        texts = t.filter(pa.array(side == 1))
+        starts = t.filter(pa.array(side == 0))
+        if texts.num_rows == 0:
+            return _REMOVAL_SCHEMA.empty_table()
+        tids = texts["doc_id"].to_numpy(zero_copy_only=False)
+        t_order = np.argsort(tids, kind="stable")
+        texts = texts.take(pa.array(t_order, pa.int64()))
+        tids = tids[t_order]
+        tcol = texts[text_col]
+        tcol = (
+            tcol.combine_chunks() if isinstance(tcol, pa.ChunkedArray) else tcol
+        )
+        off, data = _str_buffers(tcol)
+        lens = off[1:] - off[:-1]
+        total = int(off[-1]) - int(off[0])
+        base = int(off[0])
+        diff = np.zeros(total + 1, np.int32)
+        if starts.num_rows:
+            sids = starts["doc_id"].to_numpy(zero_copy_only=False)
+            pos = starts["pos"].to_numpy(zero_copy_only=False)
+            tix = np.searchsorted(tids, sids)
+            a = off[:-1][tix] - base + pos
+            np.add.at(diff, a, 1)
+            np.add.at(diff, a + min_len, -1)
+        cov = np.cumsum(diff[:-1]) > 0
+        csum = np.zeros(total + 1, np.int64)
+        np.cumsum(cov, out=csum[1:])
+        o = off - base
+        removed = csum[o[1:]] - csum[o[:-1]]
+        kept_bytes = data[base : base + total][~cov]
+        new_off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens - removed, out=new_off[1:])
+        kept_text = pa.Array.from_buffers(
+            pa.string(),
+            len(lens),
+            [
+                None,
+                pa.py_buffer(new_off.astype(np.int32).tobytes()),
+                pa.py_buffer(kept_bytes.tobytes()),
+            ],
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(tids),
+                "n_bytes": pa.array(lens),
+                "removed_bytes": pa.array(removed),
+                "kept_text": kept_text,
+            },
+            schema=_REMOVAL_SCHEMA,
+        )
+
+    return grouped_apply(
+        tagged,
+        ["doc_id"],
+        rebuild_block,
+        num_partitions=partitions_for(tagged.count(), 2_000_000),
+    ).sort(["doc_id"])

@@ -315,8 +315,12 @@ def union_tag_lookup(
         )
         cand = df.filter(pl.col("__side") == 1).drop([out_col, "__side"])
         out = cand.join(vm, on=key_col, how="inner").rename({"__v": out_col})
-        return out.select([f.name for f in out_schema]).to_arrow().cast(
-            out_schema
+        # chunk-sliced cast: a blob-heavy partition can exceed the
+        # int32 offset capacity of one binary chunk (r5 soak finding)
+        from textalyzer_ray.stages.groups import cast_table_chunked
+
+        return cast_table_chunked(
+            out.select([f.name for f in out_schema]).to_arrow(), out_schema
         )
 
     return grouped_apply(both, [key_col], merge_block, num_partitions)

@@ -170,6 +170,61 @@ def filter_to_keys(
     return ds.map_batches(key_filter, batch_format="pyarrow")
 
 
+def cast_table_chunked(
+    t: pa.Table, schema: pa.Schema, limit: int = (1 << 31) - 64
+) -> pa.Table:
+    """Schema cast that survives > 2 GiB binary/string columns (r5
+    soak finding: polars emits single-chunk large_binary, and Arrow
+    cannot cast one chunk whose byte extent exceeds int32 offsets into
+    ``binary`` — "input array too large"). A CHUNKED column of
+    < 2 GiB slices IS a valid binary column, so oversized chunks are
+    row-sliced along their offsets buffer to fit ``limit`` bytes each,
+    cast per slice, and reassembled. Columns already at the target
+    type pass through zero-copy."""
+    cols = []
+    for field in schema:
+        col = t.column(t.schema.get_field_index(field.name))
+        if col.type == field.type:
+            cols.append(col)
+            continue
+        chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        out_chunks = []
+        for ch in chunks:
+            out_chunks.extend(_cast_chunk_sliced(ch, field.type, limit))
+        cols.append(
+            pa.chunked_array(
+                out_chunks if out_chunks else [pa.array([], field.type)],
+                field.type,
+            )
+        )
+    return pa.table(cols, schema=schema)
+
+
+def _cast_chunk_sliced(ch: pa.Array, target: pa.DataType, limit: int):
+    import numpy as np
+
+    src = ch.type
+    need_slice = (
+        pa.types.is_large_binary(src) or pa.types.is_large_string(src)
+    ) and (pa.types.is_binary(target) or pa.types.is_string(target))
+    if not need_slice or len(ch) == 0:
+        return [ch.cast(target)]
+    off = np.frombuffer(ch.buffers()[1], np.int64)[
+        ch.offset : ch.offset + len(ch) + 1
+    ]
+    if int(off[-1] - off[0]) <= limit:
+        return [ch.cast(target)]
+    rel = off - off[0]
+    out = []
+    start = 0
+    while start < len(ch):
+        end = int(np.searchsorted(rel, rel[start] + limit, side="right")) - 1
+        end = max(end, start + 1)
+        out.append(ch.slice(start, end - start).cast(target))
+        start = end
+    return out
+
+
 _WORKER_CACHE: dict = {}
 
 
