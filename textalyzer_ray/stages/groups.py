@@ -212,17 +212,56 @@ def _cast_chunk_sliced(ch: pa.Array, target: pa.DataType, limit: int):
     off = np.frombuffer(ch.buffers()[1], np.int64)[
         ch.offset : ch.offset + len(ch) + 1
     ]
-    if int(off[-1] - off[0]) <= limit:
+    # plain cast rewrites offsets against the ORIGINAL shared data
+    # buffer, so it fails whenever the ABSOLUTE end offset passes
+    # int32 — even for a small slice near the end (measured). Safe
+    # only when the whole buffer extent ends below the limit.
+    if int(off[-1]) <= limit:
         return [ch.cast(target)]
-    rel = off - off[0]
     out = []
     start = 0
     while start < len(ch):
-        end = int(np.searchsorted(rel, rel[start] + limit, side="right")) - 1
+        end = int(
+            np.searchsorted(off, off[start] + limit, side="right")
+        ) - 1
         end = max(end, start + 1)
-        out.append(ch.slice(start, end - start).cast(target))
+        out.append(_compact_cast(ch.slice(start, end - start), target))
         start = end
     return out
+
+
+def _compact_cast(sl: pa.Array, target: pa.DataType) -> pa.Array:
+    """Cast a (sliced) large_binary/large_string array to its 32-bit
+    type by COMPACTING into fresh buffers — rebased int32 offsets +
+    the slice's own byte segment — so absolute positions in the source
+    buffer never matter. Validity bitmap is re-packed for the slice."""
+    import numpy as np
+
+    off = np.frombuffer(sl.buffers()[1], np.int64)[
+        sl.offset : sl.offset + len(sl) + 1
+    ]
+    buf = sl.buffers()[2]
+    data = (
+        np.frombuffer(buf, np.uint8) if buf is not None else np.empty(0, np.uint8)
+    )
+    seg = data[off[0] : off[-1]]
+    new_off = (off - off[0]).astype(np.int32)
+    validity = None
+    nulls = sl.null_count
+    vbuf = sl.buffers()[0]
+    if vbuf is not None and nulls:
+        bits = np.unpackbits(
+            np.frombuffer(vbuf, np.uint8), bitorder="little"
+        )[sl.offset : sl.offset + len(sl)]
+        validity = pa.py_buffer(
+            np.packbits(bits, bitorder="little").tobytes()
+        )
+    return pa.Array.from_buffers(
+        target,
+        len(sl),
+        [validity, pa.py_buffer(new_off.tobytes()), pa.py_buffer(seg.tobytes())],
+        null_count=nulls if validity is not None else 0,
+    )
 
 
 _WORKER_CACHE: dict = {}
