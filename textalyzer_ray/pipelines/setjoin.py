@@ -37,15 +37,23 @@ Scale shape (no text or list column through any shuffle):
    searchsorted) below ``df_broadcast_max`` distinct shingles, else the
    join-free union-tag exchange + one doc-key grouped_apply — the
    decontaminate-style measured auto-switch.
-4. Prefix rows are 24-byte (h, id, n) triples; candidates come from a
-   per-block polars join inside ONE key-aligned exchange; a pair seen
-   from several shared prefix elements is collapsed by a second
-   (id_a, id_b)-aligned exchange sized to the measured candidate count.
-5. Verification attaches the featurized blobs back to the candidate
-   ids (two join-free union-tag lookups — acero rejects the schema-less
-   empty hash partitions small candidate sets produce, CLAUDE.md r3)
-   and computes the exact hash-set overlap — int/int division,
-   bit-identical to the SQL oracle's DOUBLE.
+4. (symmetric join, r5 rework) candidates AND verification happen
+   inside ONE self-partitioned exchange: light 24-byte (pk, h, id, n)
+   prefix rows plus each doc's blob ONCE per distinct pk = h % P among
+   its prefix elements (blob volume <= min(prefix_len, P) per doc —
+   NEVER per candidate pair; the old per-pair blob attach spilled the
+   disk on a self-similar 32x soak corpus, 240 GB). Per block: polars
+   self-join on h + length filter -> exact bitset intersection over
+   the block-local vocabulary (AND + SWAR popcount, per-pair-loop
+   fallback above the word budget). Only TRUE pairs leave; the final
+   (id_a, id_b) dedup exchange is sized to the measured verified
+   count. int/int division, bit-identical to the SQL oracle's DOUBLE.
+5. ``containment_join`` still verifies via the candidate-pair blob
+   attach (two join-free union-tag lookups — acero rejects the
+   schema-less empty hash partitions small candidate sets produce,
+   CLAUDE.md r3): its index side carries FULL element rows, so the
+   per-(pk, doc) blob dedup above does not transfer directly; its
+   candidate volume is probe-prefix bounded.
 
 Measured-size switch (the triangles/kcore pattern): when the corpus's
 TOTAL element count is at most ``small_threshold``, the prefix/
@@ -326,6 +334,266 @@ def _emit_rows(
     return grouped_apply(with_df, [id_col], emit_block)
 
 
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over a uint64 array (the uint8-table
+    gather creates an 8x uint16 temp and was the measured bottleneck
+    at block scale)."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    v = v - ((v >> np.uint64(1)) & m1)
+    v = (v & m2) + ((v >> np.uint64(2)) & m2)
+    v = (v + (v >> np.uint64(4))) & m4
+    return (v * h01) >> np.uint64(56)
+
+
+def _verify_pairs_vec(
+    ia: np.ndarray,
+    ib: np.ndarray,
+    doc_ids: np.ndarray,
+    sizes: np.ndarray,
+    flat: np.ndarray,
+    word_budget: int = 16_777_216,
+    pair_chunk: int = 65_536,
+) -> np.ndarray:
+    """Exact Jaccard for candidate pairs, vectorized (the r5 verify
+    hot-loop fix: ``_overlaps``'s per-pair Python intersect1d was the
+    join wall on self-similar corpora — 25 s / 3.3M candidates per
+    block measured). Bitset path (the editsim ``_gram_bitmasks``
+    pattern): map the block's elements to vocab ranks once, build one
+    (docs, W) uint64 mask matrix, then per chunk of pairs intersect =
+    AND + popcount — measured 9x over the loop at 3.3M pairs / 22k
+    vocab. Falls back to the per-pair merge loop when docs * W would
+    exceed ``word_budget`` words (huge-vocab blocks, where postings
+    are short and candidates few).
+
+    ``doc_ids`` must be sorted unique ids aligned with ``sizes``;
+    ``flat`` their concatenated ascending-sorted element blobs."""
+    n_pairs = len(ia)
+    out = np.empty(n_pairs, np.float64)
+    if n_pairs == 0:
+        return out
+    starts = np.zeros(len(sizes) + 1, np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    a_ix = np.searchsorted(doc_ids, ia)
+    b_ix = np.searchsorted(doc_ids, ib)
+    na, nb = sizes[a_ix], sizes[b_ix]
+    vocab = np.unique(flat)
+    w = max(1, (len(vocab) + 63) // 64)
+    if len(sizes) * w <= word_budget:
+        eid = np.searchsorted(vocab, flat).astype(np.int64)
+        doc_of_flat = np.repeat(
+            np.arange(len(sizes), dtype=np.int64), sizes
+        )
+        # flat is sorted per doc, so (doc, word) runs are contiguous:
+        # one reduceat OR per run beats scattered bitwise_or.at
+        word_ix = doc_of_flat * w + (eid // 64)
+        bits = np.uint64(1) << (eid % 64).astype(np.uint64)
+        masks = np.zeros(len(sizes) * w, np.uint64)
+        if len(word_ix):
+            run_starts = np.flatnonzero(
+                np.r_[True, word_ix[1:] != word_ix[:-1]]
+            )
+            masks[word_ix[run_starts]] = np.bitwise_or.reduceat(
+                bits, run_starts
+            )
+        masks = masks.reshape(len(sizes), w)
+        for lo in range(0, n_pairs, pair_chunk):
+            hi = min(lo + pair_chunk, n_pairs)
+            inter = masks[a_ix[lo:hi]] & masks[b_ix[lo:hi]]
+            ix = _popcount64(inter).sum(axis=1).astype(np.int64)
+            d = na[lo:hi] + nb[lo:hi] - ix
+            out[lo:hi] = np.where(d > 0, ix / np.maximum(d, 1), 1.0)
+        return out
+    for i in range(n_pairs):  # huge-vocab fallback: per-pair merge
+        va = flat[starts[a_ix[i]] : starts[a_ix[i] + 1]]
+        vb = flat[starts[b_ix[i]] : starts[b_ix[i] + 1]]
+        ix = np.intersect1d(va, vb, assume_unique=True).size
+        d = len(va) + len(vb) - ix
+        out[i] = ix / d if d else 1.0
+    return out
+
+
+def _tag_schema(id_col: str, id_type: pa.DataType) -> pa.Schema:
+    return pa.schema(
+        [
+            pa.field("pk", pa.int64()),
+            pa.field("h", pa.uint64()),
+            pa.field(id_col, id_type),
+            pa.field("n", pa.int64()),
+            pa.field("hashes", pa.binary()),
+            pa.field("side", pa.int8()),
+        ]
+    )
+
+
+def _tagged_prefix_tables(
+    ids: np.ndarray,
+    sizes: np.ndarray,
+    hs: np.ndarray,
+    dfs: np.ndarray,
+    blob_take,
+    t_num: int,
+    n_parts: int,
+    id_col: str,
+    id_type: pa.DataType,
+) -> pa.Table:
+    """Prefix light rows + per-(partition, doc) blob rows in ONE tag
+    schema (the r5 verify rework): light rows are the (df, h)-ordered
+    prefix triples with their self-chosen partition ``pk = h % P``;
+    each doc's full hash blob is emitted ONCE per DISTINCT pk among
+    its prefix elements (never per element, never per candidate pair)
+    — so verify volume is bounded by min(prefix_len, P) blobs per doc
+    no matter how many candidates the corpus produces. ``blob_take``
+    maps a doc-index array to the aligned binary blob column."""
+    schema = _tag_schema(id_col, id_type)
+    if len(hs) == 0:
+        return schema.empty_table()
+    starts = np.zeros(len(sizes) + 1, np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    doc_ix = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    order = np.lexsort((hs, dfs, doc_ix))
+    rank_in_doc = np.arange(len(hs), dtype=np.int64) - starts[doc_ix[order]]
+    plen = sizes - (-(-t_num * sizes) // _T_DEN) + 1
+    keep = rank_in_doc < plen[doc_ix[order]]
+    sel = order[keep]
+    sel_doc = doc_ix[sel]
+    sel_h = hs[sel]
+    pk = (sel_h % np.uint64(n_parts)).astype(np.int64)
+    n_light = len(sel)
+    light = pa.table(
+        {
+            "pk": pa.array(pk),
+            "h": pa.array(sel_h),
+            id_col: pa.array(ids[sel_doc]).cast(id_type),
+            "n": pa.array(sizes[sel_doc].astype(np.int64)),
+            "hashes": pa.nulls(n_light, pa.binary()),
+            "side": pa.array(np.zeros(n_light, np.int8)),
+        },
+        schema=schema,
+    )
+    key = sel_doc * n_parts + pk
+    uk = np.unique(key)
+    bd = uk // n_parts
+    bpk = uk % n_parts
+    blob_rows = pa.table(
+        {
+            "pk": pa.array(bpk),
+            "h": pa.nulls(len(uk), pa.uint64()),
+            id_col: pa.array(ids[bd]).cast(id_type),
+            "n": pa.array(sizes[bd].astype(np.int64)),
+            "hashes": blob_take(bd),
+            "side": pa.array(np.ones(len(uk), np.int8)),
+        },
+        schema=schema,
+    )
+    return pa.concat_tables([light, blob_rows])
+
+
+def _emit_tagged(
+    feats, df_ds, vocab, df_broadcast_max, t_num, id_col, id_type, n_parts
+):
+    """Tagged (light prefix + per-(pk, doc) blob) row stream for the
+    symmetric join's single-exchange verify; same broadcast-vs-
+    union-tag df switch as ``_emit_rows``."""
+    import ray
+
+    from textalyzer_ray.pipelines.joins import union_tag_lookup
+    from textalyzer_ray.stages.groups import _worker_object_cache, grouped_apply
+
+    if vocab <= df_broadcast_max:
+        df_tbl = pa.concat_tables(
+            list(df_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+        )
+        df_ref = ray.put(_df_lut(df_tbl))
+
+        def emit_broadcast(t: pa.Table) -> pa.Table:
+            cache = _worker_object_cache()
+            ck = df_ref.hex()
+            lut = cache.get(ck)
+            if lut is None:
+                lut = cache[ck] = ray.get(df_ref)
+            hs_lut, dfs_lut = lut
+            _, ids, sizes, flat = _blob_arrays(t, id_col)
+            dfs = dfs_lut[np.searchsorted(hs_lut, flat)]
+            blob_col = (
+                t["hashes"].combine_chunks()
+                if isinstance(t["hashes"], pa.ChunkedArray)
+                else t["hashes"]
+            )
+            return _tagged_prefix_tables(
+                ids,
+                sizes,
+                flat,
+                dfs,
+                lambda bd: blob_col.take(pa.array(bd, pa.int64())),
+                t_num,
+                n_parts,
+                id_col,
+                id_type,
+            )
+
+        return feats.map_batches(emit_broadcast, batch_format="pyarrow")
+
+    def explode_hashes(t: pa.Table) -> pa.Table:
+        _, ids, sizes, flat = _blob_arrays(t, id_col)
+        return pa.table(
+            {"h": pa.array(flat), id_col: pa.array(np.repeat(ids, sizes))}
+        )
+
+    with_df = union_tag_lookup(
+        feats.map_batches(explode_hashes, batch_format="pyarrow"),
+        df_ds,
+        key_col="h",
+        value_col="count",
+        out_col="df",
+    )
+
+    def emit_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _tag_schema(id_col, id_type).empty_table()
+        df = (
+            pl.from_arrow(t)
+            .sort(id_col)
+            .group_by(id_col, maintain_order=True)
+            .agg([pl.col("h"), pl.col("df")])
+        )
+        ids = df[id_col].to_numpy()
+        hs = df["h"].explode().to_numpy().astype(np.uint64, copy=False)
+        dfs = df["df"].explode().to_numpy()
+        sizes = df["h"].list.len().to_numpy().astype(np.int64)
+        # rebuild each doc's sorted-set blob (featurize order) from its
+        # exploded elements: one lexsort + offset-sliced binary build
+        doc_ix = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        so = np.lexsort((hs, doc_ix))
+        flat_sorted = hs[so]
+        boff = np.zeros(len(sizes) + 1, np.int64)
+        np.cumsum(sizes * 8, out=boff[1:])
+        blob_col = pa.Array.from_buffers(
+            pa.binary(),
+            len(sizes),
+            [
+                None,
+                pa.py_buffer(boff.astype(np.int32).tobytes()),
+                pa.py_buffer(flat_sorted.tobytes()),
+            ],
+        )
+        return _tagged_prefix_tables(
+            ids,
+            sizes,
+            hs,
+            dfs,
+            lambda bd: blob_col.take(pa.array(bd, pa.int64())),
+            t_num,
+            n_parts,
+            id_col,
+            id_type,
+        )
+
+    return grouped_apply(with_df, [id_col], emit_block)
+
+
 def _distinct_then_verify(
     cands_ds,
     n_cand,
@@ -405,6 +673,7 @@ def set_similarity_join(
     shingle_k: int = 3,
     df_broadcast_max: int = 2_000_000,
     small_threshold: int = 2_000_000,
+    verify_parts_cap: int = 8,
 ) -> Dataset:
     """(id_a, id_b, jaccard) — ALL unordered pairs with shingle-set
     Jaccard >= ``threshold``, id_a < id_b, exact recall (module
@@ -490,32 +759,101 @@ def set_similarity_join(
         refs = feats.to_arrow_refs()
         return rd.from_arrow_refs([setjoin_task.remote(df_tbl, *refs)])
 
-    prefix_rows = _emit_rows(
-        feats, df_ds, vocab, df_broadcast_max, t_num, id_col, id_type, False
+    # r5 verify rework (the 240 GB soak-spill fix): the old shape
+    # collapsed candidates then attached BOTH feature blobs per
+    # candidate pair through two union-tag exchanges — on self-similar
+    # corpora candidate volume x blob size dwarfs the corpus (measured:
+    # the 32x soak spilled the disk). Now verification happens INSIDE
+    # self-partitioned blocks (pk = h % P chosen by us, so the doc side
+    # can predict where its prefix elements land): light 24-byte prefix
+    # rows + each doc's blob ONCE per distinct pk among its prefix
+    # elements ride ONE exchange; every candidate pair's two blobs are
+    # in the block by construction, only TRUE pairs leave, and the
+    # final (id_a, id_b) dedup exchange is sized to the measured
+    # verified count (the editsim r4 precedent, blob-deduped per
+    # partition). Per-doc verify volume <= min(prefix_len, P) blobs.
+    # blob replication is min(prefix_len, P) copies per doc — P is the
+    # knob trading verify parallelism against blob exchange volume.
+    # When prefixes are longer than P (normal), replication == P, so
+    # cap P at ``verify_parts_cap`` (measured A/B below in BASELINE.md)
+    # while still scaling down for small inputs.
+    n_parts = min(
+        max(cluster_cpus(), 2),
+        partitions_for(total_elems, 2_000_000),
+        max(2, verify_parts_cap),
+    )
+    tagged = _emit_tagged(
+        feats, df_ds, vocab, df_broadcast_max, t_num, id_col, id_type,
+        n_parts,
     ).materialize()
-    n_prefix = prefix_rows.count()
-    if n_prefix == 0:
+    n_tag = tagged.count()
+    if n_tag == 0:
         return rd.from_arrow(pair_schema.empty_table())
 
-    cands = grouped_apply(
-        prefix_rows,
-        ["h"],
-        pairs_in_block,
-        num_partitions=min(
-            max(cluster_cpus(), 2), partitions_for(n_prefix, 2_000_000)
-        ),
+    def verify_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        light = t.filter(pa.array(side == 0)).select(["h", id_col, "n"])
+        cand = pairs_in_block(light)
+        if cand.num_rows == 0:
+            return pair_schema.empty_table()
+        brows = t.filter(pa.array(side == 1))
+        # several pk values can hash into one partition, so the same
+        # doc's blob row may appear once per pk — dedupe by id
+        bids = brows[id_col].to_numpy(zero_copy_only=False)
+        blobs = brows["hashes"].to_pylist()
+        uids, first = np.unique(bids, return_index=True)
+        sizes = np.fromiter(
+            (len(blobs[i]) // 8 for i in first), np.int64, len(first)
+        )
+        flat = (
+            np.frombuffer(b"".join(blobs[i] for i in first), np.uint64)
+            if len(first)
+            else np.empty(0, np.uint64)
+        )
+        ia = cand["id_a"].to_numpy(zero_copy_only=False)
+        ib = cand["id_b"].to_numpy(zero_copy_only=False)
+        vals = _verify_pairs_vec(ia, ib, uids, sizes, flat)
+        keep = vals >= threshold
+        return pa.table(
+            {
+                "id_a": cand["id_a"].filter(pa.array(keep)),
+                "id_b": cand["id_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(vals[keep], pa.float64()),
+            },
+            schema=pair_schema,
+        )
+
+    verified = grouped_apply(
+        tagged, ["pk"], verify_block, num_partitions=n_parts
     ).materialize()
-    n_cand = cands.count()
+    n_ver = verified.count()
     logger.info(
-        "set_similarity_join: %d prefix rows -> %d candidate rows",
-        n_prefix,
-        n_cand,
+        "set_similarity_join: %d tagged rows -> %d verified pair rows",
+        n_tag,
+        n_ver,
     )
-    if n_cand == 0:
+    if n_ver == 0:
         return rd.from_arrow(pair_schema.empty_table())
-    return _distinct_then_verify(
-        cands, n_cand, feats, threshold, "jaccard", "union", pair_schema,
-        id_col,
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        # a pair verifies once per shared prefix pk; jaccard is
+        # deterministic so keep any one row
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .unique(["id_a", "id_b"], maintain_order=False)
+            .to_arrow()
+            .cast(pair_schema)
+        )
+
+    return grouped_apply(
+        verified,
+        ["id_a", "id_b"],
+        distinct_pairs,
+        num_partitions=partitions_for(n_ver, 2_000_000),
     )
 
 

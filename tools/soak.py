@@ -246,7 +246,25 @@ def main() -> dict:
         )
         return pa.concat_tables([tt, copies])
 
-    big_sj = big.map_batches(
+    # r5: the leg runs at its own replication (--sj-repl, default 8 =
+    # 40k docs) — candidate volume on this self-similar corpus grows
+    # superlinearly with corpus size (inherent to prefix-filter joins),
+    # and the 32x point is recorded separately in BASELINE.md (r5
+    # verify rework: disk-full crash -> 420 s zero-spill).
+    sj_repl = arg("--sj-repl", 8)
+
+    def keep_sj_replicas(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % 500_000_000) // 10_000_000 < sj_repl))
+
+    base_sj = (
+        big
+        if sj_repl >= dedup_repl
+        else big.map_batches(
+            keep_sj_replicas, batch_format="pyarrow"
+        ).materialize()
+    )
+    big_sj = base_sj.map_batches(
         plant_copies, batch_format="pyarrow"
     ).materialize()
     t0 = time.monotonic()
@@ -275,7 +293,7 @@ def main() -> dict:
     ra = reps["ra"].to_numpy()
     rb = reps["rb"].to_numpy()
     assert (ra == rb).all(), "cross-replica setjoin pair leaked"
-    per_rep = np.bincount(ra, minlength=dedup_repl)
+    per_rep = np.bincount(ra, minlength=sj_repl)[:sj_repl]
     assert (per_rep == per_rep[0]).all() and per_rep[0] > 0, per_rep[:8]
     out["setjoin_pairs_per_replica"] = int(per_rep[0])
 
