@@ -72,5 +72,7 @@ def test_bench_emits_single_json_line():
         "range_splitters",
         "novelty",
         "coverage_select",
+        "exact_substr",
+        "editsim_long",
     }
     assert data["n_docs"] == 500
