@@ -422,6 +422,8 @@ def _tag_schema(id_col: str, id_type: pa.DataType) -> pa.Schema:
             pa.field("h", pa.uint64()),
             pa.field(id_col, id_type),
             pa.field("n", pa.int64()),
+            pa.field("r", pa.int64()),  # element rank in the doc's
+            # full (df, h) order — feeds the PPJoin positional filter
             pa.field("hashes", pa.binary()),
             pa.field("side", pa.int8()),
         ]
@@ -460,6 +462,7 @@ def _tagged_prefix_tables(
     sel = order[keep]
     sel_doc = doc_ix[sel]
     sel_h = hs[sel]
+    sel_r = rank_in_doc[keep]
     pk = (sel_h % np.uint64(n_parts)).astype(np.int64)
     n_light = len(sel)
     light = pa.table(
@@ -468,6 +471,7 @@ def _tagged_prefix_tables(
             "h": pa.array(sel_h),
             id_col: pa.array(ids[sel_doc]).cast(id_type),
             "n": pa.array(sizes[sel_doc].astype(np.int64)),
+            "r": pa.array(sel_r),
             "hashes": pa.nulls(n_light, pa.binary()),
             "side": pa.array(np.zeros(n_light, np.int8)),
         },
@@ -483,6 +487,7 @@ def _tagged_prefix_tables(
             "h": pa.nulls(len(uk), pa.uint64()),
             id_col: pa.array(ids[bd]).cast(id_type),
             "n": pa.array(sizes[bd].astype(np.int64)),
+            "r": pa.nulls(len(uk), pa.int64()),
             "hashes": blob_take(bd),
             "side": pa.array(np.ones(len(uk), np.int8)),
         },
@@ -790,12 +795,58 @@ def set_similarity_join(
     if n_tag == 0:
         return rd.from_arrow(pair_schema.empty_table())
 
+    o_den = t_num + _T_DEN
+
     def verify_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pair_schema.empty_table()
         side = t["side"].to_numpy(zero_copy_only=False)
-        light = t.filter(pa.array(side == 0)).select(["h", id_col, "n"])
-        cand = pairs_in_block(light)
+        light = t.filter(pa.array(side == 0)).select(
+            ["h", id_col, "n", "r"]
+        )
+        df = pl.from_arrow(light)
+        left = df.rename({id_col: "id_a", "n": "na", "r": "ra"})
+        right = df.rename({id_col: "id_b", "n": "nb", "r": "rb"})
+        # PPJoin positional filter (Xiao-Wang-Lin-Yu 2008), adapted to
+        # pk-split blocks: per-doc ranks come from ONE global (df, h)
+        # order, so at the GLOBALLY FIRST meeting e0 of a pair every
+        # other shared element ranks after e0 in BOTH docs (a shared
+        # element below e0 would sit in both prefixes and be an earlier
+        # meeting), giving overlap <= 1 + min(na - ra0 - 1, nb - rb0 -
+        # 1). e0's block computes exactly this from its LOCAL min-rank
+        # meeting (minima of ra and rb co-occur at one element), so a
+        # true pair always survives in e0's block; other blocks may
+        # prune it freely (the final dedup needs >= 1 survival). A
+        # k-meeting bound is NOT valid here — meetings split across pk
+        # blocks undercount k (measured: dropped true pairs).
+        # Aggregating per pair replaces the old .unique() at the same
+        # cost and kills candidates BEFORE the bitset verify.
+        g = (
+            left.join(right, on="h", how="inner")
+            .filter(pl.col("id_a") < pl.col("id_b"))
+            .filter(pl.col("nb") * _T_DEN >= pl.col("na") * t_num)
+            .filter(pl.col("na") * _T_DEN >= pl.col("nb") * t_num)
+            .group_by(["id_a", "id_b"])
+            .agg(
+                pl.col("ra").min().alias("ra0"),
+                pl.col("rb").min().alias("rb0"),
+                pl.col("na").first(),
+                pl.col("nb").first(),
+            )
+            .filter(
+                1
+                + pl.min_horizontal(
+                    pl.col("na") - pl.col("ra0") - 1,
+                    pl.col("nb") - pl.col("rb0") - 1,
+                )
+                >= (
+                    (pl.col("na") + pl.col("nb")) * t_num + (o_den - 1)
+                )
+                // o_den
+            )
+            .select(["id_a", "id_b"])
+        )
+        cand = g.to_arrow().cast(cand_schema)
         if cand.num_rows == 0:
             return pair_schema.empty_table()
         brows = t.filter(pa.array(side == 1))
