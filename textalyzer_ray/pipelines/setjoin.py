@@ -48,12 +48,14 @@ Scale shape (no text or list column through any shuffle):
    fallback above the word budget). Only TRUE pairs leave; the final
    (id_a, id_b) dedup exchange is sized to the measured verified
    count. int/int division, bit-identical to the SQL oracle's DOUBLE.
-5. ``containment_join`` still verifies via the candidate-pair blob
-   attach (two join-free union-tag lookups — acero rejects the
-   schema-less empty hash partitions small candidate sets produce,
-   CLAUDE.md r3): its index side carries FULL element rows, so the
-   per-(pk, doc) blob dedup above does not transfer directly; its
-   candidate volume is probe-prefix bounded.
+5. ``containment_join`` runs the same single-exchange shape made
+   asymmetric: probe PREFIX light rows + index FULL element light
+   rows + each doc's blob once per distinct pk among its full set
+   (<= min(n, P) copies — the old per-candidate-pair blob attach
+   spilled 11.6 GB at an 8x corpus). The positional filter at the
+   block-local first meeting stays valid because the index side is
+   element-complete; verification is the same bitset kernel with the
+   |Sa| denominator.
 
 Measured-size switch (the triangles/kcore pattern): when the corpus's
 TOTAL element count is at most ``small_threshold``, the prefix/
@@ -258,82 +260,6 @@ def _prepare(ds, id_col, text_col, shingle_k):
     return feats, exploded, df_ds, vocab, total_elems, id_type
 
 
-def _emit_rows(
-    feats, df_ds, vocab, df_broadcast_max, t_num, id_col, id_type, full
-):
-    """The (h, id, n) row stream for one side — prefix rows
-    (full=False) or every element (full=True, the containment index).
-    Broadcast df lookup below ``df_broadcast_max`` distinct shingles,
-    else the join-free union-tag exchange + one doc-key grouped_apply."""
-    import ray
-
-    from textalyzer_ray.pipelines.joins import union_tag_lookup
-    from textalyzer_ray.stages.groups import _worker_object_cache, grouped_apply
-
-    if vocab <= df_broadcast_max:
-        df_tbl = pa.concat_tables(
-            list(df_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
-        )
-        df_ref = ray.put(_df_lut(df_tbl))
-
-        def emit_broadcast(t: pa.Table) -> pa.Table:
-            cache = _worker_object_cache()
-            ck = df_ref.hex()
-            lut = cache.get(ck)
-            if lut is None:
-                lut = cache[ck] = ray.get(df_ref)
-            hs_lut, dfs_lut = lut
-            _, ids, sizes, flat = _blob_arrays(t, id_col)
-            dfs = dfs_lut[np.searchsorted(hs_lut, flat)]
-            return _prefix_table(
-                ids, sizes, flat, dfs, t_num, id_col, id_type, full=full
-            )
-
-        return feats.map_batches(emit_broadcast, batch_format="pyarrow")
-
-    def explode_hashes(t: pa.Table) -> pa.Table:
-        _, ids, sizes, flat = _blob_arrays(t, id_col)
-        return pa.table(
-            {"h": pa.array(flat), id_col: pa.array(np.repeat(ids, sizes))}
-        )
-
-    with_df = union_tag_lookup(
-        feats.map_batches(explode_hashes, batch_format="pyarrow"),
-        df_ds,
-        key_col="h",
-        value_col="count",
-        out_col="df",
-    )
-
-    def emit_block(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _prefix_table(
-                np.empty(0, np.int64),
-                np.empty(0, np.int64),
-                np.empty(0, np.uint64),
-                np.empty(0, np.int64),
-                t_num,
-                id_col,
-                id_type,
-                full=full,
-            )
-        df = (
-            pl.from_arrow(t)
-            .sort(id_col)
-            .group_by(id_col, maintain_order=True)
-            .agg([pl.col("h"), pl.col("df")])
-        )
-        ids = df[id_col].to_numpy()
-        hs = df["h"].explode().to_numpy().astype(np.uint64, copy=False)
-        dfs = df["df"].explode().to_numpy()
-        sizes = df["h"].list.len().to_numpy().astype(np.int64)
-        return _prefix_table(
-            ids, sizes, hs, dfs, t_num, id_col, id_type, full=full
-        )
-
-    return grouped_apply(with_df, [id_col], emit_block)
-
-
 def _popcount64(v: np.ndarray) -> np.ndarray:
     """Vectorized SWAR popcount over a uint64 array (the uint8-table
     gather creates an 8x uint16 temp and was the measured bottleneck
@@ -356,8 +282,10 @@ def _verify_pairs_vec(
     flat: np.ndarray,
     word_budget: int = 16_777_216,
     pair_chunk: int = 65_536,
+    denom: str = "union",
 ) -> np.ndarray:
-    """Exact Jaccard for candidate pairs, vectorized (the r5 verify
+    """Exact Jaccard (``denom='union'``) or containment |Sa n Sb|/|Sa|
+    (``denom='left'``) for candidate pairs, vectorized (the r5 verify
     hot-loop fix: ``_overlaps``'s per-pair Python intersect1d was the
     join wall on self-similar corpora — 25 s / 3.3M candidates per
     block measured). Bitset path (the editsim ``_gram_bitmasks``
@@ -403,14 +331,18 @@ def _verify_pairs_vec(
             hi = min(lo + pair_chunk, n_pairs)
             inter = masks[a_ix[lo:hi]] & masks[b_ix[lo:hi]]
             ix = _popcount64(inter).sum(axis=1).astype(np.int64)
-            d = na[lo:hi] + nb[lo:hi] - ix
+            d = (
+                na[lo:hi] + nb[lo:hi] - ix
+                if denom == "union"
+                else na[lo:hi]
+            )
             out[lo:hi] = np.where(d > 0, ix / np.maximum(d, 1), 1.0)
         return out
     for i in range(n_pairs):  # huge-vocab fallback: per-pair merge
         va = flat[starts[a_ix[i]] : starts[a_ix[i] + 1]]
         vb = flat[starts[b_ix[i]] : starts[b_ix[i] + 1]]
         ix = np.intersect1d(va, vb, assume_unique=True).size
-        d = len(va) + len(vb) - ix
+        d = (len(va) + len(vb) - ix) if denom == "union" else len(va)
         out[i] = ix / d if d else 1.0
     return out
 
@@ -599,75 +531,173 @@ def _emit_tagged(
     return grouped_apply(with_df, [id_col], emit_block)
 
 
-def _distinct_then_verify(
-    cands_ds,
-    n_cand,
-    feats,
-    threshold,
-    value_col,
-    denom,
-    pair_schema,
-    id_col,
+def _containment_tagged_tables(
+    ids: np.ndarray,
+    sizes: np.ndarray,
+    hs: np.ndarray,
+    dfs: np.ndarray,
+    blob_take,
+    t_num: int,
+    n_parts: int,
+    id_col: str,
+    id_type: pa.DataType,
+) -> pa.Table:
+    """Containment-join tag emit (the r5 in-block verify, asymmetric
+    variant): side 0 = probe PREFIX light rows, side 1 = index FULL
+    element light rows, side 2 = each doc's blob once per distinct
+    pk among its FULL element set (<= min(n, P) copies — the index
+    side must be reachable from every pk where one of its elements
+    lands, which also covers its probe role)."""
+    schema = _tag_schema(id_col, id_type)
+    if len(hs) == 0:
+        return schema.empty_table()
+    starts = np.zeros(len(sizes) + 1, np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    doc_ix = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    order = np.lexsort((hs, dfs, doc_ix))
+    rank_in_doc = np.arange(len(hs), dtype=np.int64) - starts[doc_ix[order]]
+    all_doc = doc_ix[order]
+    all_h = hs[order]
+    pk_all = (all_h % np.uint64(n_parts)).astype(np.int64)
+
+    def light(sel_mask, side):
+        d = all_doc[sel_mask]
+        n = int(sel_mask.sum())
+        return pa.table(
+            {
+                "pk": pa.array(pk_all[sel_mask]),
+                "h": pa.array(all_h[sel_mask]),
+                id_col: pa.array(ids[d]).cast(id_type),
+                "n": pa.array(sizes[d].astype(np.int64)),
+                "r": pa.array(rank_in_doc[sel_mask]),
+                "hashes": pa.nulls(n, pa.binary()),
+                "side": pa.array(np.full(n, side, np.int8)),
+            },
+            schema=schema,
+        )
+
+    plen = sizes - (-(-t_num * sizes) // _T_DEN) + 1
+    probe_mask = rank_in_doc < plen[all_doc]
+    index_mask = np.ones(len(all_h), bool)
+    key = all_doc * n_parts + pk_all
+    uk = np.unique(key)
+    bd = uk // n_parts
+    bpk = uk % n_parts
+    blob_rows = pa.table(
+        {
+            "pk": pa.array(bpk),
+            "h": pa.nulls(len(uk), pa.uint64()),
+            id_col: pa.array(ids[bd]).cast(id_type),
+            "n": pa.array(sizes[bd].astype(np.int64)),
+            "r": pa.nulls(len(uk), pa.int64()),
+            "hashes": blob_take(bd),
+            "side": pa.array(np.full(len(uk), 2, np.int8)),
+        },
+        schema=schema,
+    )
+    return pa.concat_tables(
+        [light(probe_mask, 0), light(index_mask, 1), blob_rows]
+    )
+
+
+def _emit_containment_tagged(
+    feats, df_ds, vocab, df_broadcast_max, t_num, id_col, id_type, n_parts
 ):
-    """Collapse duplicate candidates in one key-aligned exchange sized
-    to the measured candidate count, then attach the feature blobs via
-    two union-tag lookups and verify exactly."""
+    """Tagged row stream for the containment join's single-exchange
+    verify; same broadcast-vs-union-tag df switch as ``_emit_rows``."""
+    import ray
+
     from textalyzer_ray.pipelines.joins import union_tag_lookup
-    from textalyzer_ray.sources.tables import cluster_cpus
-    from textalyzer_ray.stages.groups import grouped_apply, partitions_for
+    from textalyzer_ray.stages.groups import _worker_object_cache, grouped_apply
 
-    cand_schema = pa.schema(
-        [pair_schema.field("id_a"), pair_schema.field("id_b")]
+    if vocab <= df_broadcast_max:
+        df_tbl = pa.concat_tables(
+            list(df_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+        )
+        df_ref = ray.put(_df_lut(df_tbl))
+
+        def emit_broadcast(t: pa.Table) -> pa.Table:
+            cache = _worker_object_cache()
+            ck = df_ref.hex()
+            lut = cache.get(ck)
+            if lut is None:
+                lut = cache[ck] = ray.get(df_ref)
+            hs_lut, dfs_lut = lut
+            _, ids, sizes, flat = _blob_arrays(t, id_col)
+            dfs = dfs_lut[np.searchsorted(hs_lut, flat)]
+            blob_col = (
+                t["hashes"].combine_chunks()
+                if isinstance(t["hashes"], pa.ChunkedArray)
+                else t["hashes"]
+            )
+            return _containment_tagged_tables(
+                ids,
+                sizes,
+                flat,
+                dfs,
+                lambda bd: blob_col.take(pa.array(bd, pa.int64())),
+                t_num,
+                n_parts,
+                id_col,
+                id_type,
+            )
+
+        return feats.map_batches(emit_broadcast, batch_format="pyarrow")
+
+    def explode_hashes(t: pa.Table) -> pa.Table:
+        _, ids, sizes, flat = _blob_arrays(t, id_col)
+        return pa.table(
+            {"h": pa.array(flat), id_col: pa.array(np.repeat(ids, sizes))}
+        )
+
+    with_df = union_tag_lookup(
+        feats.map_batches(explode_hashes, batch_format="pyarrow"),
+        df_ds,
+        key_col="h",
+        value_col="count",
+        out_col="df",
     )
 
-    def distinct_block(t: pa.Table) -> pa.Table:
+    def emit_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return cand_schema.empty_table()
-        return (
+            return _tag_schema(id_col, id_type).empty_table()
+        df = (
             pl.from_arrow(t)
-            .unique(["id_a", "id_b"])
-            .to_arrow()
-            .cast(cand_schema)
+            .sort(id_col)
+            .group_by(id_col, maintain_order=True)
+            .agg([pl.col("h"), pl.col("df")])
+        )
+        ids = df[id_col].to_numpy()
+        hs = df["h"].explode().to_numpy().astype(np.uint64, copy=False)
+        dfs = df["df"].explode().to_numpy()
+        sizes = df["h"].list.len().to_numpy().astype(np.int64)
+        doc_ix = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        so = np.lexsort((hs, doc_ix))
+        flat_sorted = hs[so]
+        boff = np.zeros(len(sizes) + 1, np.int64)
+        np.cumsum(sizes * 8, out=boff[1:])
+        blob_col = pa.Array.from_buffers(
+            pa.binary(),
+            len(sizes),
+            [
+                None,
+                pa.py_buffer(boff.astype(np.int32).tobytes()),
+                pa.py_buffer(flat_sorted.tobytes()),
+            ],
+        )
+        return _containment_tagged_tables(
+            ids,
+            sizes,
+            hs,
+            dfs,
+            lambda bd: blob_col.take(pa.array(bd, pa.int64())),
+            t_num,
+            n_parts,
+            id_col,
+            id_type,
         )
 
-    pairs = grouped_apply(
-        cands_ds,
-        ["id_a", "id_b"],
-        distinct_block,
-        num_partitions=min(
-            max(cluster_cpus(), 2), partitions_for(n_cand, 2_000_000)
-        ),
-    )
-
-    n_parts = max(2, min(cluster_cpus() // 2, n_cand // 10_000 + 1))
-    j = pairs
-    for side, out_col in (("id_a", "ha"), ("id_b", "hb")):
-        j = union_tag_lookup(
-            j,
-            feats.map_batches(
-                lambda t, s=side: pa.table(
-                    {s: t[id_col], "hashes": t["hashes"]}
-                ),
-                batch_format="pyarrow",
-            ),
-            key_col=side,
-            value_col="hashes",
-            out_col=out_col,
-            num_partitions=n_parts,
-        )
-
-    def verify(t: pa.Table) -> pa.Table:
-        ha = t["ha"].to_pylist()
-        hb = t["hb"].to_pylist()
-        return _overlaps(
-            t,
-            lambda i, s: ha[i] if s == "a" else hb[i],
-            value_col,
-            threshold,
-            denom,
-        ).cast(pair_schema)
-
-    return j.map_batches(verify, batch_format="pyarrow")
+    return grouped_apply(with_df, [id_col], emit_block)
 
 
 def set_similarity_join(
@@ -916,6 +946,7 @@ def containment_join(
     shingle_k: int = 3,
     df_broadcast_max: int = 2_000_000,
     small_threshold: int = 2_000_000,
+    verify_parts_cap: int = 8,
 ) -> Dataset:
     """(id_a, id_b, containment) — ALL ordered pairs a != b with
     |Sa n Sb| / |Sa| >= ``threshold`` (Sa = a's shingle set): the
@@ -999,62 +1030,123 @@ def containment_join(
         refs = feats.to_arrow_refs()
         return rd.from_arrow_refs([containment_task.remote(df_tbl, *refs)])
 
-    # distributed: tag probe prefix rows and full index rows into one
-    # schema, ONE h-aligned exchange pairs them per block
-    tagged_schema = pa.schema(
-        [
-            pa.field("h", pa.uint64()),
-            pa.field(id_col, id_type),
-            pa.field("n", pa.int64()),
-            pa.field("side", pa.int8()),
-        ]
+    # distributed (r5 rework, the setjoin precedent made asymmetric):
+    # candidates AND verification inside ONE self-partitioned exchange
+    # — probe prefix light rows, index FULL element light rows, and
+    # each doc's blob once per distinct pk = h % P among its full set
+    # (<= min(n, P) copies; the old per-candidate-pair blob attach
+    # spilled 11.6 GB at an 8x corpus and was on the setjoin crash
+    # trajectory). Per block: probe x index join on h + the positional
+    # filter at the block-local first meeting (valid globally because
+    # the index side is element-complete: a shared element below the
+    # globally-first meeting would sit in the probe prefix and be an
+    # earlier meeting), then exact bitset containment; only TRUE pairs
+    # leave into the measured-size dedup exchange.
+    n_parts = min(
+        max(cluster_cpus(), 2),
+        partitions_for(total_elems, 2_000_000),
+        max(2, verify_parts_cap),
     )
-
-    def tag(side: int):
-        def f(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "side", pa.array(np.full(t.num_rows, side, np.int8))
-            ).cast(tagged_schema)
-
-        return f
-
-    probe_rows = _emit_rows(
-        feats, df_ds, vocab, df_broadcast_max, t_num, id_col, id_type, False
-    ).map_batches(tag(1), batch_format="pyarrow")
-    index_rows = _emit_rows(
-        feats, df_ds, vocab, df_broadcast_max, t_num, id_col, id_type, True
-    ).map_batches(tag(0), batch_format="pyarrow")
-    both = probe_rows.union(index_rows).materialize()
-    n_rows = both.count()
-    if n_rows == 0:
+    tagged = _emit_containment_tagged(
+        feats, df_ds, vocab, df_broadcast_max, t_num, id_col, id_type,
+        n_parts,
+    ).materialize()
+    n_tag = tagged.count()
+    if n_tag == 0:
         return rd.from_arrow(pair_schema.empty_table())
+    o_den = _T_DEN
 
-    def pairs_block(t: pa.Table) -> pa.Table:
+    def verify_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return cand_schema.empty_table()
-        df = pl.from_arrow(t)
-        return probe_index_block(
-            df.filter(pl.col("side") == 1).drop("side").to_arrow(),
-            df.filter(pl.col("side") == 0).drop("side").to_arrow(),
+            return pair_schema.empty_table()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        probe = t.filter(pa.array(side == 0)).select(
+            ["h", id_col, "n", "r"]
+        )
+        index = t.filter(pa.array(side == 1)).select(
+            ["h", id_col, "n", "r"]
+        )
+        if probe.num_rows == 0 or index.num_rows == 0:
+            return pair_schema.empty_table()
+        left = pl.from_arrow(probe).rename(
+            {id_col: "id_a", "n": "na", "r": "ra"}
+        )
+        right = pl.from_arrow(index).rename(
+            {id_col: "id_b", "n": "nb", "r": "rb"}
+        )
+        g = (
+            left.join(right, on="h", how="inner")
+            .filter(pl.col("id_a") != pl.col("id_b"))
+            .group_by(["id_a", "id_b"])
+            .agg(
+                pl.col("ra").min().alias("ra0"),
+                pl.col("rb").min().alias("rb0"),
+                pl.col("na").first(),
+                pl.col("nb").first(),
+            )
+            .filter(
+                1
+                + pl.min_horizontal(
+                    pl.col("na") - pl.col("ra0") - 1,
+                    pl.col("nb") - pl.col("rb0") - 1,
+                )
+                >= (pl.col("na") * t_num + (o_den - 1)) // o_den
+            )
+            .select(["id_a", "id_b"])
+        )
+        cand = g.to_arrow().cast(cand_schema)
+        if cand.num_rows == 0:
+            return pair_schema.empty_table()
+        brows = t.filter(pa.array(side == 2))
+        bids = brows[id_col].to_numpy(zero_copy_only=False)
+        blobs = brows["hashes"].to_pylist()
+        uids, first = np.unique(bids, return_index=True)
+        sizes = np.fromiter(
+            (len(blobs[i]) // 8 for i in first), np.int64, len(first)
+        )
+        flat = (
+            np.frombuffer(b"".join(blobs[i] for i in first), np.uint64)
+            if len(first)
+            else np.empty(0, np.uint64)
+        )
+        ia = cand["id_a"].to_numpy(zero_copy_only=False)
+        ib = cand["id_b"].to_numpy(zero_copy_only=False)
+        vals = _verify_pairs_vec(ia, ib, uids, sizes, flat, denom="left")
+        keep = vals >= threshold
+        return pa.table(
+            {
+                "id_a": cand["id_a"].filter(pa.array(keep)),
+                "id_b": cand["id_b"].filter(pa.array(keep)),
+                "containment": pa.array(vals[keep], pa.float64()),
+            },
+            schema=pair_schema,
         )
 
-    cands = grouped_apply(
-        both,
-        ["h"],
-        pairs_block,
-        num_partitions=min(
-            max(cluster_cpus(), 2), partitions_for(n_rows, 2_000_000)
-        ),
+    verified = grouped_apply(
+        tagged, ["pk"], verify_block, num_partitions=n_parts
     ).materialize()
-    n_cand = cands.count()
+    n_ver = verified.count()
     logger.info(
-        "containment_join: %d tagged rows -> %d candidate rows",
-        n_rows,
-        n_cand,
+        "containment_join: %d tagged rows -> %d verified pair rows",
+        n_tag,
+        n_ver,
     )
-    if n_cand == 0:
+    if n_ver == 0:
         return rd.from_arrow(pair_schema.empty_table())
-    return _distinct_then_verify(
-        cands, n_cand, feats, threshold, "containment", "left", pair_schema,
-        id_col,
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .unique(["id_a", "id_b"], maintain_order=False)
+            .to_arrow()
+            .cast(pair_schema)
+        )
+
+    return grouped_apply(
+        verified,
+        ["id_a", "id_b"],
+        distinct_pairs,
+        num_partitions=partitions_for(n_ver, 2_000_000),
     )
